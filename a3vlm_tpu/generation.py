@@ -1,0 +1,216 @@
+"""Batched KV-cached generation, reproducing MetaModel.generate semantics
+(reference model/accessory/model/meta.py:379-485) as a single jit-compiled
+``lax.while_loop`` — no per-token host round-trips:
+
+- prompts right-padded; generation starts after a static-length prefill and
+  passes prompt tokens through instead of sampled ones while inside each
+  element's prompt (meta.py:463-465).
+- greedy when temperature == 0, top-p sampling otherwise (meta.py:456-461).
+- multi-token stop sequences checked per batch element each step; stop_pos
+  records where the match began (meta.py:439-477). EOS is always a stop.
+- with images, KV-cache positions of text tokens are offset by ``image_words``
+  (llama_ens5.py:513-521).
+
+Static-shape policy: the prefill length is the largest power of two <=
+min_prompt_len (bounded recompile count); the loop itself is fully traced with
+an early-exit condition when every element has stopped.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Iterable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from a3vlm_tpu.config import ModelArgs
+from a3vlm_tpu.models import llama
+from a3vlm_tpu.ops.sampling import sample_token
+
+
+@dataclass(frozen=True)
+class GenerationResult:
+    tokens: np.ndarray  # [B, total_len]
+    stop_pos: np.ndarray  # [B]
+
+
+def _prefill_bucket(min_prompt: int) -> int:
+    p = 1
+    while p * 2 <= min_prompt:
+        p *= 2
+    return p
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "args",
+        "total_len",
+        "temperature",
+        "top_p",
+        "stop_tokens",
+        "impl",
+    ),
+    donate_argnames=("cache",),
+)
+def _generate_loop(
+    params,
+    args: ModelArgs,
+    cache: llama.KVCache,
+    tokens: jnp.ndarray,  # [B, total_len]
+    input_text_mask: jnp.ndarray,  # [B, total_len]
+    prefill_tokens: jnp.ndarray,  # [B, P] (static P)
+    image_tokens: Optional[jnp.ndarray],
+    rng: jax.Array,
+    total_len: int,
+    temperature: float,
+    top_p: float,
+    stop_tokens: tuple[tuple[int, ...], ...],
+    impl: str = "auto",
+):
+    B, P = prefill_tokens.shape
+    image_words = 0 if image_tokens is None else image_tokens.shape[1]
+
+    logits, cache, _ = llama.prefill(
+        params, args, cache, prefill_tokens, image_tokens=image_tokens, impl=impl
+    )
+
+    start_pos = P
+    stopped = jnp.zeros((B,), bool)
+    stop_pos = jnp.full((B,), start_pos + 1, jnp.int32)
+
+    def cond(state):
+        cur_pos, _, _, stopped, _, _, _ = state
+        return (cur_pos < total_len) & ~jnp.all(stopped)
+
+    def body(state):
+        cur_pos, tokens, cache, stopped, stop_pos, logits, rng = state
+        rng, sub = jax.random.split(rng)
+        next_token = sample_token(sub, logits, temperature, top_p)
+        in_prompt = jax.lax.dynamic_slice_in_dim(
+            input_text_mask, cur_pos, 1, axis=1
+        )[:, 0]
+        prompt_tok = jax.lax.dynamic_slice_in_dim(tokens, cur_pos, 1, axis=1)[:, 0]
+        next_token = jnp.where(in_prompt, prompt_tok, next_token)
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, next_token[:, None], (0, cur_pos)
+        )
+
+        stop_pos = jnp.where(stopped, stop_pos, cur_pos + 1)
+        for st in stop_tokens:
+            L = len(st)
+            window_start = jnp.maximum(cur_pos + 1 - L, 0)
+            window = jax.lax.dynamic_slice(
+                tokens, (0, window_start), (B, L)
+            )
+            matched = jnp.all(window == jnp.asarray(st, tokens.dtype)[None], axis=1)
+            matched &= (cur_pos + 1 - L) >= 0
+            new_stop = matched & ~in_prompt & ~stopped
+            stop_pos = jnp.where(new_stop, cur_pos + 1 - L, stop_pos)
+            stopped = stopped | new_stop
+
+        logits, cache = llama.decode_step(
+            params,
+            args,
+            cache,
+            next_token[:, None],
+            cur_pos + image_words,
+            impl=impl,
+        )
+        return (cur_pos + 1, tokens, cache, stopped, stop_pos, logits, rng)
+
+    state = (jnp.int32(start_pos), tokens, cache, stopped, stop_pos, logits, rng)
+    _, tokens, _, stopped, stop_pos, _, _ = jax.lax.while_loop(cond, body, state)
+    # elements that never hit a stop keep the final stop_pos (== last filled+1)
+    return tokens, stop_pos
+
+
+class Generator:
+    """Host-side orchestration: tokenize prompts, build static-shape buffers,
+    run the device loop, trim and decode."""
+
+    def __init__(self, params, args: ModelArgs, tokenizer, image_words: int = 0):
+        self.params = params
+        self.args = args
+        self.tokenizer = tokenizer
+        self.image_words = image_words
+
+    def generate(
+        self,
+        prompts: Sequence[str],
+        image_tokens: Optional[jnp.ndarray] = None,
+        max_gen_len: int = 512,
+        temperature: float = 0.0,
+        top_p: float = 0.95,
+        additional_stop_symbols: Iterable[str] = (),
+        seed: int = 0,
+        impl: str = "auto",
+    ) -> list[str]:
+        if isinstance(prompts, str):
+            raise ValueError("generate expects a batched LIST of prompts")
+        bsz = len(prompts)
+        args = self.args
+        assert bsz <= args.max_batch_size, (bsz, args.max_batch_size)
+
+        tok = self.tokenizer
+        prompt_tokens = [tok.encode(x, bos=True, eos=False) for x in prompts]
+
+        max_seq_len = args.max_seq_len
+        if image_tokens is not None:
+            max_seq_len -= self.image_words
+
+        # left-truncate prompts, leaving room for generation (meta.py:427-429)
+        prompt_tokens = [t[-(max_seq_len - max_gen_len):] for t in prompt_tokens]
+        min_prompt = min(len(t) for t in prompt_tokens)
+        max_prompt = max(len(t) for t in prompt_tokens)
+        total_len = min(max_seq_len, max_gen_len + max_prompt)
+
+        tokens = np.zeros((bsz, total_len), np.int32)
+        mask = np.zeros((bsz, total_len), bool)
+        for i, t in enumerate(prompt_tokens):
+            tokens[i, : len(t)] = t
+            mask[i, : len(t)] = True
+
+        stop_tok: list[tuple[int, ...]] = [(tok.eos_id,)]
+        for sym in additional_stop_symbols:
+            stop_tok.append(tuple(tok.encode_segment(sym)))
+            stop_tok.append(tuple(tok.encode_wo_prefix_space(sym)))
+        stop_tokens = tuple(dict.fromkeys(stop_tok))  # dedup, keep order
+
+        P = _prefill_bucket(min_prompt)
+        cache_len = total_len + (0 if image_tokens is None else self.image_words)
+        cache = llama.KVCache.create(
+            args,
+            bsz,
+            max_seq_len=cache_len,
+            dtype=jnp.bfloat16
+            if jax.devices()[0].platform == "tpu"
+            else jnp.float32,
+        )
+
+        out_tokens, stop_pos = _generate_loop(
+            self.params,
+            args,
+            cache,
+            jnp.asarray(tokens),
+            jnp.asarray(mask),
+            jnp.asarray(tokens[:, :P]),
+            image_tokens,
+            jax.random.PRNGKey(seed),
+            total_len=total_len,
+            temperature=temperature,
+            top_p=top_p,
+            stop_tokens=stop_tokens,
+            impl=impl,
+        )
+        out_tokens = np.asarray(out_tokens)
+        stop_pos = np.asarray(stop_pos)
+
+        decoded = []
+        for i in range(bsz):
+            t = out_tokens[i, len(prompt_tokens[i]) : stop_pos[i]].tolist()
+            decoded.append(tok.decode(t))
+        return decoded

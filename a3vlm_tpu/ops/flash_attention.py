@@ -1,0 +1,199 @@
+"""Pallas TPU flash-attention kernel (TPU-native replacement for the CUDA
+``flash_attn`` the reference dispatches to at llama_ens5.py:142-149).
+
+Blockwise online-softmax attention:
+
+- grid = (batch, q_heads, q_blocks, kv_blocks); the kv dimension is innermost
+  so the f32 running (max, sum, acc) scratch carries across kv steps.
+- right-aligned causal masking (query row i of Sq attends key j of Skv iff
+  ``i - Sq >= j - Skv``), the semantics of llama_ens5.py:181-185 — this also
+  covers prefill-with-cache, which CUDA flash-attn could not (llama_ens5.py
+  :131-141 comment).
+- GQA: kv heads indexed as ``h // (Hq // Hkv)`` directly in the BlockSpec
+  index map — no materialized repeat_kv.
+- fully-masked kv blocks are skipped via ``pl.when`` (compute predicated off).
+
+Layout: q [B, Hq, Sq, D], k/v [B, Hkv, Skv, D]. f32 accumulation, inputs may
+be bf16. Head dim is padded to a lane multiple by the caller if needed.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _flash_kernel(
+    q_ref,
+    k_ref,
+    v_ref,
+    o_ref,
+    m_scr,
+    l_scr,
+    acc_scr,
+    *,
+    sm_scale: float,
+    causal: bool,
+    block_q: int,
+    block_k: int,
+    sq: int,
+    skv: int,
+):
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    # right-aligned causal: q row (global) r attends kv col c iff
+    # r - sq >= c - skv  <=>  c <= r + (skv - sq)
+    offset = skv - sq
+    q_start = qi * block_q
+    k_start = ki * block_k
+    if causal:
+        # skip kv blocks strictly beyond the last visible column of this q block
+        block_visible = k_start <= q_start + block_q - 1 + offset
+    else:
+        block_visible = ki >= 0  # always true, but traced
+
+    @pl.when(block_visible)
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32) * sm_scale  # [block_q, D]
+        k = k_ref[0, 0].astype(jnp.float32)  # [block_k, D]
+        s = jax.lax.dot_general(
+            q,
+            k,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [block_q, block_k]
+
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            allowed = (q_start + rows + offset) >= (k_start + cols)
+            s = jnp.where(allowed, s, _NEG_INF)
+
+        m_prev = m_scr[:, :1]  # [block_q, 1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)  # [block_q, 1]
+        p = jnp.exp(s - m_new)  # [block_q, block_k]
+
+        l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p,
+            v_ref[0, 0].astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [block_q, D]
+        acc_scr[:] = acc_scr[:] * alpha + pv
+        m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+        l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l = l_scr[:, :1]
+        # guard fully-masked rows (can only happen with pathological inputs)
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[:] / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "block_q", "block_k"))
+def flash_attention_bhsd(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    causal: bool = True,
+    block_q: int = 256,
+    block_k: int = 256,
+) -> jnp.ndarray:
+    """q: [B, Hq, Sq, D]; k, v: [B, Hkv, Skv, D] -> [B, Hq, Sq, D]."""
+    B, Hq, Sq, D = q.shape
+    _, Hkv, Skv, _ = k.shape
+    assert Hq % Hkv == 0
+    group = Hq // Hkv
+    block_q = min(block_q, Sq)
+    block_k = min(block_k, Skv)
+    if Sq % block_q or Skv % block_k:
+        raise ValueError(
+            f"seq lens must divide block sizes: {Sq=} {block_q=} {Skv=} {block_k=}"
+        )
+
+    grid = (B, Hq, Sq // block_q, Skv // block_k)
+
+    kernel = functools.partial(
+        _flash_kernel,
+        sm_scale=D ** -0.5,
+        causal=causal,
+        block_q=block_q,
+        block_k=block_k,
+        sq=Sq,
+        skv=Skv,
+    )
+
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, D),
+                lambda b, h, qi, ki: (b, h, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, D),
+                lambda b, h, qi, ki, g=group: (b, h // g, ki, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, D),
+                lambda b, h, qi, ki, g=group: (b, h // g, ki, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, block_q, D),
+            lambda b, h, qi, ki: (b, h, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running max
+            pltpu.VMEM((block_q, 128), jnp.float32),  # running sum
+            pltpu.VMEM((block_q, D), jnp.float32),  # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hq * Sq * Skv * D * (0.5 if causal else 1.0),
+            bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
+            transcendentals=B * Hq * Sq * Skv,
+        ),
+    )(q, k, v)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    causal: bool = True,
+) -> jnp.ndarray:
+    """Convenience wrapper taking model-layout [B, S, H, D] tensors."""
+    out = flash_attention_bhsd(
+        q.transpose(0, 2, 1, 3),
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        causal=causal,
+    )
+    return out.transpose(0, 2, 1, 3)

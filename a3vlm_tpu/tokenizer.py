@@ -1,0 +1,129 @@
+"""Tokenizer with the reference's dual-backend API and segment-encoding
+semantics (model/accessory/model/tokenizer.py).
+
+Backends:
+- HuggingFace ``tokenizers``/``transformers`` directory (tokenizer.json) —
+  the primary backend (sentencepiece's Python wheel is not in this image;
+  HF tokenizers covers LLaMA's SPM vocab via tokenizer.json).
+- A ``.model`` sentencepiece path raises with guidance to convert, unless the
+  optional sentencepiece package happens to be importable.
+
+Key behavioral contracts carried over:
+- ``_probe_tokenizer_style`` (tokenizer.py:90-112): detect whether a leading
+  space must be added when encoding a segment cut from a longer text.
+- ``encode_segment`` / ``encode_wo_prefix_space`` (tokenizer.py:64-88) —
+  critical for exact label alignment in dialog training and for stop-symbol
+  token matching in generation.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import List
+
+
+class Tokenizer:
+    def __init__(self, model_path: str):
+        if model_path.endswith(".model"):
+            try:
+                from sentencepiece import SentencePieceProcessor
+            except ImportError as e:  # pragma: no cover
+                raise ImportError(
+                    "sentencepiece is unavailable in this environment; "
+                    "convert the .model to an HF tokenizer dir "
+                    "(tokenizer.json + tokenizer_config.json) and pass that."
+                ) from e
+            self.tokenizer_type = "spm"
+            assert os.path.isfile(model_path), model_path
+            self.tokenizer = SentencePieceProcessor(model_file=model_path)
+            self.bos_id: int = self.tokenizer.bos_id()
+            self.eos_id: int = self.tokenizer.eos_id()
+        else:
+            from transformers import AutoTokenizer
+
+            self.tokenizer_type = "transformers"
+            self.tokenizer = AutoTokenizer.from_pretrained(
+                model_path, trust_remote_code=True
+            )
+            self.bos_id = self.tokenizer.bos_token_id
+            if self.bos_id is None:
+                self.bos_id = self.tokenizer.eos_token_id
+            self.eos_id = self.tokenizer.eos_token_id
+            assert self.eos_id is not None
+
+        self._probe_tokenizer_style()
+
+    # -- encoding ----------------------------------------------------------
+
+    def encode(self, s: str, bos: bool, eos: bool) -> List[int]:
+        assert type(s) is str
+        if self.tokenizer_type == "transformers":
+            t = self.tokenizer.encode(s, truncation=False, add_special_tokens=False)
+        else:
+            t = self.tokenizer.encode(s)
+        if bos:
+            t = [self.bos_id] + t
+        if eos:
+            t = t + [self.eos_id]
+        return t
+
+    def encode_segment(self, s: str) -> List[int]:
+        """Encode a segment cut from a longer text so the tokens equal the
+        corresponding slice of the tokenized full text."""
+        s = s.lstrip(" ")
+        if self.need_space_before_segment:
+            return self.encode(" " + s, bos=False, eos=False)
+        return self.encode(s, bos=False, eos=False)
+
+    def encode_wo_prefix_space(self, s: str) -> List[int]:
+        if self.need_space_before_segment:
+            return self.encode(s, bos=False, eos=False)
+        # find a prefix char that tokenizes independently, encode prefix+s,
+        # and strip the prefix tokens (tokenizer.py:75-88)
+        for prefix in ["@", "\n", "\\", "=", ">", "`"]:
+            prefix_tokens = self.encode(prefix, bos=False, eos=False)
+            cat_tokens = self.encode(prefix + s, bos=False, eos=False)
+            if cat_tokens[: len(prefix_tokens)] == prefix_tokens:
+                return cat_tokens[len(prefix_tokens):]
+        raise NotImplementedError(
+            f"all prefixes merged into {s!r} during tokenization"
+        )
+
+    def _probe_tokenizer_style(self) -> None:
+        sentence1 = self.encode("Hi my darling", bos=False, eos=False)
+        sentence2 = self.encode("my darling", bos=False, eos=False)
+        if sentence1[-len(sentence2):] == sentence2:
+            self.need_space_before_segment = False
+        else:
+            sentence3 = self.encode(" my darling", bos=False, eos=False)
+            assert sentence1[-len(sentence3):] == sentence3
+            self.need_space_before_segment = True
+
+    # -- misc --------------------------------------------------------------
+
+    def decode(self, t: List[int]) -> str:
+        return self.tokenizer.decode(t)
+
+    def save(self, save_dir: str) -> None:
+        if self.tokenizer_type == "transformers":
+            self.tokenizer.save_pretrained(save_dir)
+        else:  # pragma: no cover
+            with open(Path(save_dir) / "tokenizer.model", "wb") as f:
+                f.write(self.tokenizer.serialized_model_proto())
+
+    @property
+    def n_words(self) -> int:
+        if self.tokenizer_type == "spm":  # pragma: no cover
+            return self.tokenizer.vocab_size()
+        return len(self.tokenizer)
+
+
+def probe_tokenizer_path_from_pretrained(pretrained_path: str) -> str | None:
+    """Find a tokenizer inside a checkpoint dir (tokenizer.py:134-156)."""
+    p = Path(pretrained_path)
+    if (p / "tokenizer.model").exists():
+        return str(p / "tokenizer.model")
+    if (p / "tokenizer.json").exists() and (p / "tokenizer_config.json").exists():
+        return pretrained_path
+    return None

@@ -1,0 +1,138 @@
+"""Unit tests for core ops: RoPE, RMSNorm, attention mask semantics, top-p."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from a3vlm_tpu.ops.attention import (
+    right_aligned_causal_mask,
+    sdpa_reference,
+)
+from a3vlm_tpu.ops.norms import rms_norm
+from a3vlm_tpu.ops.rope import apply_rotary_emb, precompute_freqs_cis
+from a3vlm_tpu.ops.sampling import sample_top_p
+
+
+def torch_rope_reference(xq, xk, freqs_cis_complex):
+    """The upstream LLaMA complex-number RoPE, reimplemented with numpy for
+    cross-checking (semantics of Meta llama's apply_rotary_emb)."""
+    def rot(x):
+        xc = x.reshape(*x.shape[:-1], -1, 2)
+        xc = xc[..., 0] + 1j * xc[..., 1]
+        out = xc * freqs_cis_complex[None, :, None, :]
+        return np.stack([out.real, out.imag], axis=-1).reshape(x.shape)
+
+    return rot(xq), rot(xk)
+
+
+def test_rope_matches_complex_reference():
+    rng = np.random.default_rng(0)
+    B, S, H, D = 2, 16, 4, 32
+    xq = rng.standard_normal((B, S, H, D)).astype(np.float32)
+    xk = rng.standard_normal((B, S, H, D)).astype(np.float32)
+
+    fc = precompute_freqs_cis(D, S)
+    fc_complex = np.asarray(fc[..., 0]) + 1j * np.asarray(fc[..., 1])
+
+    got_q, got_k = apply_rotary_emb(jnp.asarray(xq), jnp.asarray(xk), fc)
+    want_q, want_k = torch_rope_reference(xq, xk, fc_complex)
+    np.testing.assert_allclose(np.asarray(got_q), want_q, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got_k), want_k, atol=1e-5)
+
+
+def test_rope_scaling_linear_interpolation():
+    D, S = 8, 8
+    base = precompute_freqs_cis(D, S, scaling=None)
+    scaled = precompute_freqs_cis(D, 2 * S, scaling=2.0)
+    # position 2t with scaling 2 == position t unscaled
+    np.testing.assert_allclose(
+        np.asarray(scaled[::2][:S]), np.asarray(base), atol=1e-6
+    )
+
+
+def test_rms_norm_matches_torch_fallback():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((3, 5, 16)).astype(np.float32)
+    w = rng.standard_normal((16,)).astype(np.float32)
+    eps = 1e-5
+    want = x / np.sqrt((x**2).mean(-1, keepdims=True) + eps) * w
+    got = rms_norm(jnp.asarray(x), jnp.asarray(w), eps)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_right_aligned_causal_mask():
+    # equal lengths: standard lower-triangular
+    m = np.asarray(right_aligned_causal_mask(4, 4))
+    assert (m == np.tril(np.ones((4, 4), bool))).all()
+    # unequal: aligned on the RIGHT (llama_ens5.py:131-141 diagram)
+    m = np.asarray(right_aligned_causal_mask(3, 7))
+    want = np.array(
+        [
+            [1, 1, 1, 1, 1, 0, 0],
+            [1, 1, 1, 1, 1, 1, 0],
+            [1, 1, 1, 1, 1, 1, 1],
+        ],
+        dtype=bool,
+    )
+    assert (m == want).all()
+
+
+def _naive_attention(q, k, v, mask_bool):
+    B, Sq, Hq, D = q.shape
+    _, Skv, Hkv, _ = k.shape
+    group = Hq // Hkv
+    k = np.repeat(k, group, axis=2)
+    v = np.repeat(v, group, axis=2)
+    scores = np.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(D)
+    scores = np.where(mask_bool[None, None], scores, -1e30)
+    p = np.exp(scores - scores.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    return np.einsum("bhqk,bkhd->bqhd", p, v)
+
+
+@pytest.mark.parametrize("hq,hkv", [(4, 4), (8, 2)])
+def test_sdpa_causal_gqa(hq, hkv):
+    rng = np.random.default_rng(2)
+    B, Sq, Skv, D = 2, 5, 9, 16
+    q = rng.standard_normal((B, Sq, hq, D)).astype(np.float32)
+    k = rng.standard_normal((B, Skv, hkv, D)).astype(np.float32)
+    v = rng.standard_normal((B, Skv, hkv, D)).astype(np.float32)
+    got = sdpa_reference(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), "causal")
+    want = _naive_attention(
+        q, k, v, np.asarray(right_aligned_causal_mask(Sq, Skv))
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4)
+
+
+def test_sdpa_kv_valid_len_matches_sliced():
+    """Masked fixed-size cache == physically sliced cache."""
+    rng = np.random.default_rng(3)
+    B, Sq, Smax, H, D = 2, 1, 12, 2, 8
+    valid = np.array([5, 9], dtype=np.int32)
+    q = rng.standard_normal((B, Sq, H, D)).astype(np.float32)
+    k = rng.standard_normal((B, Smax, H, D)).astype(np.float32)
+    v = rng.standard_normal((B, Smax, H, D)).astype(np.float32)
+    got = sdpa_reference(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        mask=None, kv_valid_len=jnp.asarray(valid),
+    )
+    for b in range(B):
+        want = _naive_attention(
+            q[b : b + 1],
+            k[b : b + 1, : valid[b]],
+            v[b : b + 1, : valid[b]],
+            np.ones((Sq, valid[b]), bool),
+        )
+        np.testing.assert_allclose(np.asarray(got[b : b + 1]), want, atol=1e-4)
+
+
+def test_sample_top_p_distribution():
+    probs = jnp.asarray([[0.5, 0.3, 0.15, 0.05]] * 512)
+    # p=0.75: keep tokens while cumsum-minus-self <= 0.75 -> tokens 0,1,2
+    keys = jax.random.split(jax.random.PRNGKey(0), 1)
+    toks = np.asarray(sample_top_p(keys[0], probs, 0.75))
+    assert set(toks.tolist()) <= {0, 1, 2}
+    # p tiny: only the argmax survives
+    toks = np.asarray(sample_top_p(keys[0], probs, 0.01))
+    assert (toks == 0).all()
