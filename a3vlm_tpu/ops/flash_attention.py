@@ -176,9 +176,11 @@ def flash_attention_bhsd(
             dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * Hq * Sq * Skv * D * (0.5 if causal else 1.0),
-            bytes_accessed=(q.size + k.size + v.size + q.size) * q.dtype.itemsize,
-            transcendentals=B * Hq * Sq * Skv,
+            flops=int(4 * B * Hq * Sq * Skv * D * (0.5 if causal else 1.0)),
+            bytes_accessed=int(
+                (q.size + k.size + v.size + q.size) * q.dtype.itemsize
+            ),
+            transcendentals=int(B * Hq * Sq * Skv),
         ),
     )(q, k, v)
 
