@@ -30,3 +30,49 @@ def devices8():
     devs = jax.devices()
     assert len(devs) == 8, devs
     return devs
+
+
+@pytest.fixture(scope="session")
+def tiny_tokenizer_dir(tmp_path_factory):
+    """Train a tiny LLaMA-ish BPE tokenizer offline (no network) and save it
+    as an HF tokenizer dir."""
+    from tokenizers import Tokenizer as HFTok
+    from tokenizers import decoders, models, pre_tokenizers, trainers
+    from transformers import PreTrainedTokenizerFast
+
+    corpus = [
+        "A chat between a curious human and an artificial intelligence "
+        "assistant. The assistant gives helpful, detailed, and polite "
+        "answers to the human's questions.",
+        "### Human: Assistant: please provide the joint's type and its 2D "
+        "rotated bounding box linked to the object part door drawer lid",
+        "<rb>revolute</rb><rbd></rbd><box></box><axis>prismatic</axis>",
+        "[0.12,0.34,0.56,0.78,0.90] the answer is Opened Closed",
+        "0123456789 .,[]<>/# Hi my darling detect all manipulable object "
+        "parts and provide their rotated bounding boxes",
+        "There are two manipulable object parts with their 3d bounding "
+        "boxes slide_open flap_close StatusComplete",
+    ] * 50
+    tok = HFTok(models.BPE(unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Metaspace()
+    tok.decoder = decoders.Metaspace()
+    trainer = trainers.BpeTrainer(
+        vocab_size=800, special_tokens=["<unk>", "<s>", "</s>"]
+    )
+    tok.train_from_iterator(corpus, trainer)
+    fast = PreTrainedTokenizerFast(
+        tokenizer_object=tok,
+        unk_token="<unk>",
+        bos_token="<s>",
+        eos_token="</s>",
+    )
+    d = tmp_path_factory.mktemp("tok")
+    fast.save_pretrained(str(d))
+    return str(d)
+
+
+@pytest.fixture(scope="session")
+def tiny_tokenizer(tiny_tokenizer_dir):
+    from a3vlm_tpu.tokenizer import Tokenizer
+
+    return Tokenizer(tiny_tokenizer_dir)
