@@ -432,6 +432,63 @@ def import_llama_consolidated(
     }
 
 
+FORMAT_FILENAME_PATTERNS = {
+    "meta_ori": re.compile(r"^consolidated\.(\d{2})\.pth$"),
+    "consolidated": re.compile(r"^consolidated\.(\d{2})-of-(\d{2})\.model\.pth$"),
+    "diff": re.compile(r"^consolidated\.(\d{2})-of-(\d{2})\.model-diff\.pth$"),
+}
+
+
+def infer_checkpoint_format(path: str) -> tuple[str, int]:
+    """Autodetect checkpoint format + MP size from filenames
+    (util/tensor_parallel.py:333-384)."""
+    import os
+
+    files = [
+        f for f in os.listdir(path) if os.path.isfile(os.path.join(path, f))
+    ]
+    found = None
+    for fmt, pattern in FORMAT_FILENAME_PATTERNS.items():
+        matched = [f for f in files if pattern.match(f)]
+        if matched:
+            if found is not None:
+                raise NotImplementedError(
+                    f"multiple checkpoint formats in {path}: {found[0]}, {fmt}"
+                )
+            found = (fmt, len(matched), sorted(matched))
+    if found is None:
+        raise FileNotFoundError(f"no recognized checkpoint files in {path}")
+    return found[0], found[1]
+
+
+def load_consolidated_dir(path: str) -> tuple[dict[str, np.ndarray], str]:
+    """Load + merge all TP shards of a checkpoint dir (any of the three
+    formats). Returns (merged numpy state dict, format)."""
+    import os
+
+    import torch
+
+    fmt, mp_size = infer_checkpoint_format(path)
+    pattern = FORMAT_FILENAME_PATTERNS[fmt]
+    files = sorted(
+        f
+        for f in os.listdir(path)
+        if os.path.isfile(os.path.join(path, f)) and pattern.match(f)
+    )
+    shards = []
+    for f in files:
+        sd = torch.load(
+            os.path.join(path, f), map_location="cpu", weights_only=True
+        )
+        if "model" in sd and isinstance(sd["model"], dict):
+            sd = sd["model"]
+        shards.append(
+            {k: np.asarray(v.float().numpy()) for k, v in sd.items()}
+        )
+    merged = merge_consolidated_shards(shards) if len(shards) > 1 else shards[0]
+    return merged, fmt
+
+
 def _strip_prefix(sd: Mapping[str, np.ndarray], prefix: str):
     if not any(k.startswith(prefix) for k in sd):
         return dict(sd)

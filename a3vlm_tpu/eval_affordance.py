@@ -1,0 +1,223 @@
+"""Inference/eval CLI — the A3VLM "serve" (reference
+model/accessory/eval_affordance_v2.py).
+
+Differences from the reference, by design:
+- SPMD replaces the rank0-driven ``broadcast_object_list`` + lockstep
+  generate (:330-384): one process drives the whole mesh; XLA handles the TP
+  collectives.
+- images are NHWC host arrays; generation is a single jitted while-loop.
+
+Behavior carried over:
+- VQADataset over task JSON with sampling cap and resume-by-results-file
+  dedup (:109-180, :121-130)
+- PadToSquare + resize transform (:97-105)
+- conversation-wrapped prompts (:159-161)
+- answer post-processing: '###' split, "answer is" extraction,
+  ``format_bounding_box`` repair, failure flagging (:344-372)
+- merged JSON dump of {answer, format_answer, annotation, question, image,
+  fail} records (:386-401)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+from pathlib import Path
+
+import numpy as np
+from PIL import Image
+
+from a3vlm_tpu.codecs.repair import (
+    check_box_failed,
+    extract_answer,
+    format_bounding_box,
+)
+from a3vlm_tpu.data.conversation import conv_templates
+from a3vlm_tpu.data.transforms import PadToSquare, padded_resize
+
+
+class VQADataset:
+    """(eval_affordance_v2.py:109-180)"""
+
+    def __init__(
+        self,
+        task_json: str,
+        input_size: int = 448,
+        max_samples: int | None = None,
+        existing_results: list | None = None,
+        seed: int = 0,
+    ):
+        with open(task_json) as f:
+            data = json.load(f)
+        if max_samples is not None and len(data) > max_samples:
+            random.seed(seed)
+            data = random.sample(data, max_samples)
+        if existing_results:
+            done = {
+                (r["image"], r["question"]) for r in existing_results
+            }
+            data = [
+                d
+                for d in data
+                if (d["image"], _question_of(d)) not in done
+            ]
+        self.data = data
+        self.input_size = input_size
+
+    def __len__(self):
+        return len(self.data)
+
+    def __getitem__(self, idx):
+        item = self.data[idx]
+        question = _question_of(item)
+        annotation = item["conversations"][1]["value"] if len(
+            item["conversations"]
+        ) > 1 else ""
+        try:
+            img = Image.open(item["image"]).convert("RGB")
+        except Exception:
+            # corrupt-image resampling (:146-155)
+            return self[(idx + 1) % len(self)]
+        image = padded_resize(img, self.input_size)
+
+        conv = conv_templates["v1"]()
+        conv.load_qas([[question, None]])
+        prompt = conv.get_prompt()
+        return {
+            "image": image.astype(np.float32),
+            "prompt": prompt,
+            "question": question,
+            "annotation": annotation,
+            "image_path": item["image"],
+        }
+
+
+def _question_of(item):
+    q = item["conversations"][0]["value"]
+    return q.replace("<image>", "").strip()
+
+
+def run_eval(
+    model,
+    dataset: VQADataset,
+    batch_size: int = 4,
+    max_gen_len: int = 2048,
+    temperature: float = 0.1,
+    top_p: float = 0.75,
+) -> list[dict]:
+    outputs = []
+    conv_sep = conv_templates["v1"]().response_end_signal
+    for start in range(0, len(dataset), batch_size):
+        items = [
+            dataset[i]
+            for i in range(start, min(start + batch_size, len(dataset)))
+        ]
+        images = np.stack([it["image"] for it in items])
+        prompts = [it["prompt"] for it in items]
+        results = model.generate(
+            prompts,
+            images=images,
+            max_gen_len=max_gen_len,
+            temperature=temperature,
+            top_p=top_p,
+            additional_stop_symbols=[conv_sep],
+        )
+        for it, raw in zip(items, results):
+            answer = extract_answer(raw)
+            dt_bbox = format_bounding_box(answer)
+            failed = check_box_failed(dt_bbox)
+            outputs.append(
+                {
+                    "answer": answer,
+                    "format_answer": dt_bbox,
+                    "annotation": it["annotation"],
+                    "question": it["question"],
+                    "image": it["image_path"],
+                    "fail": failed,
+                }
+            )
+    return outputs
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser("A3VLM affordance eval")
+    parser.add_argument("--pretrained_path", nargs="+", default=None)
+    parser.add_argument("--llama_type", default="llama_ens5")
+    parser.add_argument("--llama_config", nargs="*", default=None)
+    parser.add_argument("--tokenizer_path", default=None)
+    parser.add_argument("--dataset", required=True, help="task JSON path")
+    parser.add_argument("--output_dir", default="./eval_out")
+    parser.add_argument("--batch_size", type=int, default=4)
+    parser.add_argument("--input_size", type=int, default=448)
+    parser.add_argument("--max_seq_len", type=int, default=4096)
+    parser.add_argument("--max_gen_len", type=int, default=2048)
+    parser.add_argument("--temperature", type=float, default=0.1)
+    parser.add_argument("--top_p", type=float, default=0.75)
+    parser.add_argument("--max_samples", type=int, default=None)
+    parser.add_argument("--tiny_random_model", action="store_true",
+                        help="use a tiny random-weight model (smoke/demo)")
+    args = parser.parse_args(argv)
+
+    from a3vlm_tpu.meta import MetaModel
+
+    if args.tiny_random_model:
+        from a3vlm_tpu.models import ens5 as ens5_mod
+
+        cfg = ens5_mod.tiny_ens5_config()
+        model = MetaModel(
+            llama_type="llama_ens5",
+            tokenizer_path=args.tokenizer_path,
+            with_visual=True,
+            max_seq_len=args.max_seq_len,
+            model_cfg=cfg,
+        )
+        input_size = cfg.image_size
+    else:
+        model = MetaModel.from_pretrained(
+            args.pretrained_path,
+            llama_type=args.llama_type,
+            llama_config=args.llama_config,
+            tokenizer_path=args.tokenizer_path,
+            with_visual=True,
+            max_seq_len=args.max_seq_len,
+        )
+        input_size = args.input_size
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    results_file = str(
+        Path(args.output_dir)
+        / f"results_{Path(args.dataset).stem}.json"
+    )
+    existing = None
+    if os.path.exists(results_file):
+        with open(results_file) as f:
+            existing = json.load(f)
+        print(f"resuming: {len(existing)} results already present")
+
+    dataset = VQADataset(
+        args.dataset,
+        input_size=input_size,
+        max_samples=args.max_samples,
+        existing_results=existing,
+    )
+    print(f"evaluating {len(dataset)} samples")
+    outputs = run_eval(
+        model,
+        dataset,
+        batch_size=args.batch_size,
+        max_gen_len=args.max_gen_len,
+        temperature=args.temperature,
+        top_p=args.top_p,
+    )
+    if existing:
+        outputs.extend(existing)
+    with open(results_file, "w") as f:
+        json.dump(outputs, f, ensure_ascii=False)
+    print(f"wrote {len(outputs)} results to {results_file}")
+    return results_file
+
+
+if __name__ == "__main__":
+    main()

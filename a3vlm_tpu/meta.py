@@ -1,0 +1,425 @@
+"""MetaModel — the universal model wrapper / library API (reference
+model/accessory/model/meta.py).
+
+Bundles a model family (dispatched by ``llama_type``, meta.py:30), its
+parameter pytree, the tokenizer, and an optional mesh; exposes the
+reference's API surface:
+
+- ``forward``: next-token loss over (examples, labels[, images])
+- ``generate`` / ``stream_generate``: batched KV-cached generation with
+  top-p, multi-token stop symbols and image splicing
+- ``compute_logits`` / ``evaluate_examples``: scoring APIs
+- ``from_pretrained``: probe meta.json/config.json/tokenizer, load
+  consolidated torch checkpoints (decoder weights; vision-tower torch trees
+  import via checkpoint/torch_import helpers)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Iterable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from a3vlm_tpu.config import ModelArgs, model_args_from_json, probe_pretrained_dir
+from a3vlm_tpu.generation import Generator
+from a3vlm_tpu.models import ens5 as ens5_mod
+from a3vlm_tpu.models import llama as llama_mod
+from a3vlm_tpu.tokenizer import Tokenizer, probe_tokenizer_path_from_pretrained
+from a3vlm_tpu.train.losses import next_token_loss
+
+
+class MetaModel:
+    def __init__(
+        self,
+        llama_type: str,
+        llama_config: Optional[Sequence[str]] = None,
+        tokenizer_path: Optional[str] = None,
+        with_visual: bool = False,
+        max_seq_len: int = 2048,
+        dtype=jnp.float32,
+        params=None,
+        tokenizer: Optional[Tokenizer] = None,
+        seed: int = 0,
+        model_cfg=None,
+    ):
+        self.llama_type = llama_type
+        self.with_visual = with_visual
+        self.tokenizer = tokenizer or Tokenizer(tokenizer_path)
+
+        overrides = dict(
+            max_seq_len=max_seq_len, vocab_size=self.tokenizer.n_words
+        )
+        if llama_type in ("llama", "falcon"):
+            args = (
+                model_args_from_json(llama_config or [], **overrides)
+                if llama_config
+                else ModelArgs(**overrides)
+            )
+            self.cfg = args
+            self.args = args
+            self._mod = llama_mod
+            self.image_words = 0
+            if params is None:
+                params = llama_mod.init_llama_params(
+                    jax.random.PRNGKey(seed), args, dtype
+                )
+        elif llama_type in ("llama_ens5", "llama_ens5_2images"):
+            if model_cfg is not None:
+                cfg = model_cfg
+            else:
+                args = (
+                    model_args_from_json(llama_config or [], **overrides)
+                    if llama_config
+                    else ModelArgs(**overrides)
+                )
+                cfg = ens5_mod.Ens5Config(llama=args)
+            if cfg.llama.vocab_size <= 0:
+                cfg = dataclasses.replace(
+                    cfg,
+                    llama=cfg.llama.replace(vocab_size=self.tokenizer.n_words),
+                )
+            self.cfg = cfg
+            self.args = cfg.llama
+            self._mod = ens5_mod
+            self.image_words = cfg.image_words if with_visual else 0
+            if llama_type == "llama_ens5_2images":
+                self.image_words *= 2  # RGB + depth (llama_ens5_2images:335)
+            if params is None:
+                params = ens5_mod.init_ens5_params(
+                    jax.random.PRNGKey(seed), cfg, dtype
+                )
+        else:
+            raise KeyError(f"unknown llama_type: {llama_type}")
+
+        self.params = params
+        self._generator: Optional[Generator] = None
+        self._encode_image_jit = None
+
+    # -- loading ------------------------------------------------------------
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        pretrained_path: str | List[str],
+        llama_type: Optional[str] = None,
+        llama_config: Optional[Sequence[str]] = None,
+        tokenizer_path: Optional[str] = None,
+        with_visual: bool = False,
+        max_seq_len: int = 4096,
+        dtype=jnp.bfloat16,
+        quant: bool = False,
+    ) -> "MetaModel":
+        """(meta.py:88-222). Probes meta.json (llama_type), config.json
+        (llama_config) and the tokenizer under pretrained_path; loads
+        consolidated checkpoints sequentially (diff checkpoints add onto the
+        preceding base)."""
+        from a3vlm_tpu.checkpoint.torch_import import (
+            apply_diff_checkpoint,
+            import_llama_consolidated,
+            load_consolidated_dir,
+        )
+
+        paths = (
+            [pretrained_path]
+            if isinstance(pretrained_path, str)
+            else list(pretrained_path)
+        )
+        probed = probe_pretrained_dir(paths[-1])
+        llama_type = llama_type or probed.get("llama_type") or "llama"
+        if llama_config is None and "llama_config" in probed:
+            cfg_file = Path(paths[-1]) / "config.json"
+            llama_config = [str(cfg_file)] if cfg_file.exists() else None
+        if tokenizer_path is None:
+            for p in paths[::-1]:
+                tokenizer_path = probe_tokenizer_path_from_pretrained(p)
+                if tokenizer_path is not None:
+                    break
+        if tokenizer_path is None:
+            raise FileNotFoundError(
+                f"no tokenizer found under {paths}; pass tokenizer_path"
+            )
+
+        model = cls(
+            llama_type=llama_type,
+            llama_config=llama_config,
+            tokenizer_path=tokenizer_path,
+            with_visual=with_visual,
+            max_seq_len=max_seq_len,
+            dtype=dtype,
+        )
+
+        merged = None
+        for p in paths:
+            sd, fmt = load_consolidated_dir(p)
+            if fmt == "diff" and merged is not None:
+                merged = apply_diff_checkpoint(merged, sd)
+            else:
+                merged = sd
+        if merged:
+            decoder = import_llama_consolidated(
+                merged, n_layers=model.args.n_layers
+            )
+            decoder = jax.tree_util.tree_map(
+                lambda x: jnp.asarray(x, dtype), decoder
+            )
+            if model.llama_type == "llama":
+                model.params = decoder
+            else:
+                model.params = dict(model.params)
+                model.params["llama"] = decoder
+                # projectors + image tags, when present in the checkpoint
+                extra = _import_ens5_extras(merged)
+                model.params.update(
+                    jax.tree_util.tree_map(
+                        lambda x: jnp.asarray(x, dtype), extra
+                    )
+                )
+        if quant:
+            from a3vlm_tpu.quant import quantize_params
+
+            model.params = quantize_params(
+                model.params, blocklist=model.get_quant_blocklist()
+            )
+        return model
+
+    # -- API ------------------------------------------------------------------
+
+    def encode_images(self, images) -> Optional[jnp.ndarray]:
+        if images is None:
+            return None
+        if self._encode_image_jit is None:
+            cfg = self.cfg
+
+            self._encode_image_jit = jax.jit(
+                lambda p, im: ens5_mod.build_image_tokens(p, cfg, im)
+            )
+        return self._encode_image_jit(self.params, jnp.asarray(images))
+
+    def forward(self, examples, labels, images=None):
+        """Training loss (meta.py:234-263): CE(ignore 0), logits shifted."""
+        image_tokens = self.encode_images(images)
+        if self.llama_type == "llama":
+            logits = llama_mod.forward_train(
+                self.params, self.args, jnp.asarray(examples)
+            )
+        else:
+            logits = llama_mod.forward_train(
+                self.params["llama"],
+                self.args,
+                jnp.asarray(examples),
+                image_tokens=image_tokens,
+            )
+        return next_token_loss(logits, jnp.asarray(labels))
+
+    def _get_generator(self) -> Generator:
+        if self._generator is None:
+            params = (
+                self.params
+                if self.llama_type == "llama"
+                else self.params["llama"]
+            )
+            self._generator = Generator(
+                params, self.args, self.tokenizer, image_words=self.image_words
+            )
+        return self._generator
+
+    def generate(
+        self,
+        prompts: List[str],
+        images=None,
+        max_gen_len: int = 512,
+        temperature: float = 0.0,
+        top_p: float = 0.95,
+        additional_stop_symbols: Iterable[str] = (),
+        seed: int = 0,
+    ) -> List[str]:
+        image_tokens = self.encode_images(images)
+        return self._get_generator().generate(
+            prompts,
+            image_tokens=image_tokens,
+            max_gen_len=max_gen_len,
+            temperature=temperature,
+            top_p=top_p,
+            additional_stop_symbols=additional_stop_symbols,
+            seed=seed,
+        )
+
+    def stream_generate(
+        self,
+        prompt: str,
+        image=None,
+        max_gen_len: int = 512,
+        temperature: float = 0.0,
+        top_p: float = 0.95,
+        additional_stop_symbols: Iterable[str] = (),
+    ):
+        """Single-prompt streaming generation (meta.py:487-566): yields
+        {"text", "end_of_content"} dicts. Host-loop decode (one jitted step
+        per token) so tokens stream as they are produced."""
+        if image is not None and np.ndim(image) == 3:
+            image = np.asarray(image)[None]
+        image_tokens = self.encode_images(image)
+        tok = self.tokenizer
+        args = self.args
+        max_seq_len = args.max_seq_len - (
+            self.image_words if image_tokens is not None else 0
+        )
+        prompt_tokens = tok.encode(prompt, bos=True, eos=False)
+        prompt_tokens = prompt_tokens[-(max_seq_len - max_gen_len):]
+        total_len = min(max_seq_len, max_gen_len + len(prompt_tokens))
+
+        params = (
+            self.params if self.llama_type == "llama" else self.params["llama"]
+        )
+        W = 0 if image_tokens is None else image_tokens.shape[1]
+        cache = llama_mod.KVCache.create(
+            args, 1, max_seq_len=total_len + W,
+            dtype=jnp.bfloat16
+            if jax.devices()[0].platform == "tpu"
+            else jnp.float32,
+        )
+        tokens = list(prompt_tokens)
+        logits, cache, _ = llama_mod.prefill(
+            params, args, cache,
+            jnp.asarray([prompt_tokens], jnp.int32),
+            image_tokens=image_tokens,
+        )
+        rng = jax.random.PRNGKey(0)
+        generated: list[int] = []
+        from a3vlm_tpu.ops.sampling import sample_token
+
+        for cur_pos in range(len(prompt_tokens), total_len):
+            rng, sub = jax.random.split(rng)
+            next_token = int(sample_token(sub, logits, temperature, top_p)[0])
+            if next_token == tok.eos_id:
+                break
+            generated.append(next_token)
+            text = tok.decode(generated)
+            for stop_symbol in additional_stop_symbols:
+                stop_pos = text.find(stop_symbol)
+                if stop_pos != -1:
+                    yield {"text": text[:stop_pos], "end_of_content": True}
+                    return
+            yield {"text": text, "end_of_content": False}
+            logits, cache = llama_mod.decode_step(
+                params, args, cache,
+                jnp.asarray([[next_token]], jnp.int32),
+                jnp.int32(cur_pos + W),
+            )
+        yield {"text": tok.decode(generated), "end_of_content": True}
+
+    def compute_logits(
+        self, examples: List, images=None, bos=True, eos=False
+    ) -> List[np.ndarray]:
+        """(meta.py:265-304): right-padded batch forward; per-item logits
+        trimmed to their true length."""
+        if isinstance(examples, str):
+            raise ValueError("compute_logits expects a batched LIST")
+        if isinstance(examples[0], str):
+            examples = [
+                self.tokenizer.encode(e, bos, eos) for e in examples
+            ]
+        lens = [len(e) for e in examples]
+        B, L = len(examples), max(lens)
+        toks = np.zeros((B, L), np.int32)
+        for i, e in enumerate(examples):
+            toks[i, : len(e)] = e
+        image_tokens = self.encode_images(images)
+        params = (
+            self.params if self.llama_type == "llama" else self.params["llama"]
+        )
+        logits = llama_mod.forward_train(
+            params, self.args, jnp.asarray(toks), image_tokens=image_tokens
+        )
+        logits = np.asarray(logits.astype(jnp.float32))
+        return [l[:n] for l, n in zip(logits, lens)]
+
+    def evaluate_examples(
+        self, examples: List, contexts: Optional[List] = None, images=None,
+        bos=True, eos=False,
+    ) -> dict:
+        """(meta.py:306-377): per-example log-likelihood / ppl / greedy-match
+        over the non-context suffix."""
+        if isinstance(examples, str):
+            raise ValueError("evaluate_examples expects a batched LIST")
+        if isinstance(examples[0], str):
+            examples = [self.tokenizer.encode(e, bos, eos) for e in examples]
+            if contexts is not None:
+                contexts = [
+                    self.tokenizer.encode(c, bos, False) for c in contexts
+                ]
+        if contexts is not None:
+            assert all(
+                e[: len(c)] == c for e, c in zip(examples, contexts)
+            )
+
+        logits = self.compute_logits(examples, images)
+        result = {
+            "log_likelihood": [],
+            "ppl": [],
+            "max_equal": [],
+            "non_context_logits": [],
+        }
+        for idx, item_logits in enumerate(logits):
+            start = 0 if contexts is None else len(contexts[idx]) - 1
+            assert start >= 0
+            item_logits = item_logits[start:-1]
+            labels = np.asarray(examples[idx][start + 1:])
+            logp = jax.nn.log_softmax(jnp.asarray(item_logits), axis=-1)
+            token_ll = np.asarray(
+                jnp.take_along_axis(logp, jnp.asarray(labels)[:, None], axis=1)
+            )[:, 0]
+            valid = labels != 0
+            losses = np.where(valid, -token_ll, 0.0)
+            n = max(int(valid.sum()), 1)
+            result["log_likelihood"].append(float(-losses.sum()))
+            result["ppl"].append(float(losses.sum() / n))
+            result["max_equal"].append(
+                bool((item_logits.argmax(-1) == labels).all())
+            )
+            result["non_context_logits"].append(item_logits)
+        return result
+
+    def get_image_words(self) -> int:
+        return self.image_words
+
+    def get_quant_blocklist(self) -> list[str]:
+        if self.llama_type.startswith("llama_ens5"):
+            return list(ens5_mod.quant_blocklist())
+        return []
+
+    def get_trainable_params(self):
+        if self.llama_type.startswith("llama_ens5"):
+            return ens5_mod.trainable_mask(self.params)
+        return jax.tree_util.tree_map(lambda _: True, self.params)
+
+
+def _import_ens5_extras(sd) -> dict:
+    """Projector / image-tag weights from a consolidated ens5 state dict
+    (llama_ens5.py:325-339 module names)."""
+    out: dict = {}
+    def has(k):
+        return k in sd
+
+    for name in ("qformer_proj", "visual_proj"):
+        wk = f"llma.{name}.0.weight"
+        if has(wk):
+            out[name] = {
+                "linear": {
+                    "weight": np.asarray(sd[wk]).T,
+                    "bias": np.asarray(sd[f"llma.{name}.0.bias"]),
+                },
+                "ln": {
+                    "weight": np.asarray(sd[f"llma.{name}.1.weight"]),
+                    "bias": np.asarray(sd[f"llma.{name}.1.bias"]),
+                },
+            }
+    for tag in ("start_img", "end_img", "start_depth_img", "end_depth_img"):
+        if has(f"llma.{tag}"):
+            out[tag] = np.asarray(sd[f"llma.{tag}"])
+    return out

@@ -1,0 +1,145 @@
+"""End-to-end slice tests: MetaModel API (generate/compute_logits/
+evaluate_examples/stream_generate) on a tiny random ens5 model, and the eval
+CLI over a demo-format task JSON."""
+
+import json
+
+import numpy as np
+import pytest
+
+from a3vlm_tpu.meta import MetaModel
+from a3vlm_tpu.models import ens5 as ens5_mod
+
+
+@pytest.fixture(scope="module")
+def tiny_meta(tiny_tokenizer_dir):
+    cfg = ens5_mod.tiny_ens5_config()
+    model = MetaModel(
+        llama_type="llama_ens5",
+        tokenizer_path=tiny_tokenizer_dir,
+        with_visual=True,
+        max_seq_len=384,
+        model_cfg=cfg,
+    )
+    return model
+
+
+def test_meta_image_words(tiny_meta):
+    assert tiny_meta.get_image_words() == tiny_meta.cfg.image_words
+    assert tiny_meta.get_image_words() == (8 + 17 + 2) * 5
+
+
+def test_generate_text_only(tiny_meta):
+    out = tiny_meta.generate(
+        ["Detect all manipulable object parts", "Say hi"],
+        max_gen_len=8,
+        temperature=0.0,
+    )
+    assert len(out) == 2
+    assert all(isinstance(s, str) for s in out)
+
+
+def test_generate_with_images(tiny_meta):
+    cfg = tiny_meta.cfg
+    images = np.zeros((2, cfg.image_size, cfg.image_size, 3), np.float32)
+    out = tiny_meta.generate(
+        ["What is this?", "Where is the door?"],
+        images=images,
+        max_gen_len=6,
+        temperature=0.0,
+    )
+    assert len(out) == 2
+
+
+def test_generate_stop_symbol(tiny_meta):
+    """Stop symbols terminate generation and are trimmed (meta.py:439-477)."""
+    out = tiny_meta.generate(
+        ["hello"], max_gen_len=16, temperature=0.0,
+        additional_stop_symbols=["###"],
+    )
+    assert "###" not in out[0]
+
+
+def test_generate_rejects_str(tiny_meta):
+    with pytest.raises(ValueError):
+        tiny_meta.generate("not a list")
+
+
+def test_compute_logits_and_evaluate(tiny_meta):
+    logits = tiny_meta.compute_logits(["Say hi", "Say hi again longer"])
+    assert len(logits) == 2
+    assert logits[0].shape[-1] == tiny_meta.args.vocab_size
+    assert logits[0].shape[0] < logits[1].shape[0]
+
+    res = tiny_meta.evaluate_examples(
+        examples=["Say hi now", "Say hi later"],
+        contexts=["Say hi", "Say hi"],
+    )
+    assert len(res["ppl"]) == 2
+    assert all(np.isfinite(res["ppl"]))
+    assert all(isinstance(m, bool) for m in res["max_equal"])
+
+
+def test_stream_generate(tiny_meta):
+    chunks = list(
+        tiny_meta.stream_generate("Say hi", max_gen_len=6, temperature=0.0)
+    )
+    assert chunks[-1]["end_of_content"] is True
+    assert all("text" in c for c in chunks)
+
+
+def test_greedy_stream_matches_batch(tiny_meta):
+    """stream_generate and generate agree under greedy decoding."""
+    batch = tiny_meta.generate(["Say hi"], max_gen_len=6, temperature=0.0)[0]
+    stream = list(
+        tiny_meta.stream_generate("Say hi", max_gen_len=6, temperature=0.0)
+    )[-1]["text"]
+    assert stream.strip() == batch.strip()
+
+
+def test_eval_cli_end_to_end(tmp_path, tiny_tokenizer_dir):
+    """The parity-gate flow: demo-format task JSON -> eval CLI -> results
+    JSON with the reference record schema (eval_affordance_v2.py:386-401)."""
+    from PIL import Image
+
+    from a3vlm_tpu import eval_affordance
+
+    img_path = tmp_path / "demo.png"
+    Image.new("RGB", (96, 64), (200, 100, 50)).save(img_path)
+    demo = [
+        {
+            "image": str(img_path),
+            "conversations": [
+                {
+                    "from": "human",
+                    "value": "Detect all manipulable object parts and "
+                    "provide their 3D bounding boxes.",
+                },
+                {"from": "gpt", "value": ""},
+            ],
+        }
+    ] * 2
+    task_json = tmp_path / "demo.json"
+    task_json.write_text(json.dumps(demo))
+
+    results_file = eval_affordance.main(
+        [
+            "--dataset", str(task_json),
+            "--output_dir", str(tmp_path / "out"),
+            "--tokenizer_path", tiny_tokenizer_dir,
+            "--tiny_random_model",
+            "--batch_size", "2",
+            "--max_gen_len", "6",
+            "--max_seq_len", "384",
+            "--temperature", "0.0",
+        ]
+    )
+    with open(results_file) as f:
+        results = json.load(f)
+    assert len(results) == 2
+    for rec in results:
+        assert set(rec) == {
+            "answer", "format_answer", "annotation", "question", "image",
+            "fail",
+        }
+        assert isinstance(rec["fail"], bool)
