@@ -1,0 +1,80 @@
+"""Host-side batching: dataset + sampler -> stacked numpy batches for the
+jitted train step (the torch DataLoader role, main_finetune.py:310-316,
+without worker processes — this host has the input pipeline overlapped with
+device steps via simple double-buffered prefetch)."""
+
+from __future__ import annotations
+
+import threading
+from queue import Queue
+from typing import Iterator
+
+import numpy as np
+
+
+def _stack(items: list[dict]) -> dict:
+    keys = items[0].keys()
+    assert all(it.keys() == keys for it in items), "mixed batch structure"
+    return {k: np.stack([it[k] for it in items]) for k in keys}
+
+
+class DataLoader:
+    """Yields dict batches [accum, micro_bs, ...] drawn from one sampler
+    pass. With accum_steps > 1, consecutive micro-batches are grouped along
+    a leading axis for the train step's accumulation scan."""
+
+    def __init__(
+        self,
+        dataset,
+        sampler,
+        batch_size: int,
+        accum_steps: int = 1,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.accum_steps = accum_steps
+        self.prefetch = prefetch
+
+    def __len__(self):
+        return len(self.sampler) // (self.batch_size * self.accum_steps)
+
+    def _produce(self) -> Iterator[dict]:
+        indices = list(iter(self.sampler))
+        step_span = self.batch_size * self.accum_steps
+        for start in range(0, len(indices) - step_span + 1, step_span):
+            micro = []
+            for a in range(self.accum_steps):
+                s = start + a * self.batch_size
+                micro.append(
+                    _stack(
+                        [self.dataset[i] for i in indices[s : s + self.batch_size]]
+                    )
+                )
+            batch = {k: np.stack([m[k] for m in micro]) for k in micro[0]}
+            if self.accum_steps == 1:
+                batch = {k: v[0] for k, v in batch.items()}
+            yield batch
+
+    def __iter__(self):
+        if self.prefetch <= 0:
+            yield from self._produce()
+            return
+        q: Queue = Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def worker():
+            try:
+                for b in self._produce():
+                    q.put(b)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            b = q.get()
+            if b is sentinel:
+                break
+            yield b

@@ -53,6 +53,7 @@ def _prefill_bucket(min_prompt: int) -> int:
         "top_p",
         "stop_tokens",
         "impl",
+        "vocab_limit",
     ),
     donate_argnames=("cache",),
 )
@@ -70,13 +71,23 @@ def _generate_loop(
     top_p: float,
     stop_tokens: tuple[tuple[int, ...], ...],
     impl: str = "auto",
+    vocab_limit: Optional[int] = None,
 ):
     B, P = prefill_tokens.shape
     image_words = 0 if image_tokens is None else image_tokens.shape[1]
 
+    def mask_pad_vocab(lg):
+        # lane-padded vocab entries must never be sampled
+        if vocab_limit is not None and vocab_limit < lg.shape[-1]:
+            return jnp.where(
+                jnp.arange(lg.shape[-1]) >= vocab_limit, -1e30, lg
+            )
+        return lg
+
     logits, cache, _ = llama.prefill(
         params, args, cache, prefill_tokens, image_tokens=image_tokens, impl=impl
     )
+    logits = mask_pad_vocab(logits)
 
     start_pos = P
     stopped = jnp.zeros((B,), bool)
@@ -120,6 +131,7 @@ def _generate_loop(
             cur_pos + image_words,
             impl=impl,
         )
+        logits = mask_pad_vocab(logits)
         return (cur_pos + 1, tokens, cache, stopped, stop_pos, logits, rng)
 
     state = (jnp.int32(start_pos), tokens, cache, stopped, stop_pos, logits, rng)
@@ -132,11 +144,15 @@ class Generator:
     """Host-side orchestration: tokenize prompts, build static-shape buffers,
     run the device loop, trim and decode."""
 
-    def __init__(self, params, args: ModelArgs, tokenizer, image_words: int = 0):
+    def __init__(
+        self, params, args: ModelArgs, tokenizer, image_words: int = 0,
+        vocab_limit: Optional[int] = None,
+    ):
         self.params = params
         self.args = args
         self.tokenizer = tokenizer
         self.image_words = image_words
+        self.vocab_limit = vocab_limit
 
     def generate(
         self,
@@ -205,6 +221,7 @@ class Generator:
             top_p=top_p,
             stop_tokens=stop_tokens,
             impl=impl,
+            vocab_limit=self.vocab_limit,
         )
         out_tokens = np.asarray(out_tokens)
         stop_pos = np.asarray(stop_pos)

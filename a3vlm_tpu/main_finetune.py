@@ -1,0 +1,305 @@
+"""Training CLI (reference model/accessory/main_finetune.py).
+
+The reference's per-rank torchrun/SLURM processes, NCCL init, FSDP wrap,
+activation-checkpoint wrapper, and grad scaler collapse into: one controller
+process, a ("data","model") mesh, sharded params, and a jitted train step
+(remat inside the layer scan, bf16 params + f32 optimizer moments).
+
+Flag surface mirrors main_finetune.py:55-138; parallelism flags map as:
+  --model_parallel_size  -> mesh "model" axis size
+  --data_parallel sdp|fsdp|ddp -> optimizer-state sharding policy (ZeRO-ish)
+     (ddp = replicate; sdp/fsdp = shard optimizer state over "data")
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def get_args_parser():
+    p = argparse.ArgumentParser("A3VLM finetune", add_help=False)
+    p.add_argument("--llama_type", default="llama_ens5")
+    p.add_argument("--llama_config", nargs="*", default=None)
+    p.add_argument("--tokenizer_path", required=True)
+    p.add_argument("--pretrained_path", nargs="*", default=None)
+    p.add_argument("--data_config", required=True)
+    p.add_argument("--dialog", action="store_true")
+    p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--accum_iter", type=int, default=1)
+    p.add_argument("--epochs", type=int, default=3)
+    p.add_argument("--warmup_epochs", type=float, default=0.03)
+    p.add_argument("--lr", type=float, default=2e-5)
+    p.add_argument("--min_lr", type=float, default=0.0)
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--clip_grad", type=float, default=8.0)
+    p.add_argument("--max_words", type=int, default=2048)
+    p.add_argument("--image_transform", default="padded_resize")
+    p.add_argument("--input_size", type=int, default=448)
+    p.add_argument("--model_parallel_size", type=int, default=1)
+    p.add_argument("--data_parallel", default="sdp",
+                   choices=["sdp", "fsdp", "ddp"])
+    p.add_argument("--checkpointing", action="store_true",
+                   help="activation checkpointing (remat)")
+    p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--save_interval", type=int, default=1)
+    p.add_argument("--save_iteration_interval", type=int, default=5000)
+    p.add_argument("--only_save_trainable", action="store_true")
+    p.add_argument("--cache_ann_on_disk", action="store_true")
+    p.add_argument("--lora_rank", type=int, default=0)
+    p.add_argument("--output_dir", default="./output")
+    p.add_argument("--resume", default="", help="'' | auto | ckpt dir")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--print_freq", type=int, default=10)
+    p.add_argument("--num_devices", type=int, default=None,
+                   help="use only the first N devices")
+    p.add_argument("--tiny_random_model", action="store_true")
+    return p
+
+
+def build_model(args):
+    from a3vlm_tpu.meta import MetaModel
+    from a3vlm_tpu.models import ens5 as ens5_mod
+
+    dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    if args.tiny_random_model:
+        cfg = ens5_mod.tiny_ens5_config()
+        model = MetaModel(
+            llama_type="llama_ens5",
+            tokenizer_path=args.tokenizer_path,
+            with_visual=True,
+            max_seq_len=args.max_words,
+            dtype=dtype,
+            model_cfg=cfg,
+            seed=args.seed,
+        )
+    elif args.pretrained_path:
+        model = MetaModel.from_pretrained(
+            args.pretrained_path,
+            llama_type=args.llama_type,
+            llama_config=args.llama_config,
+            tokenizer_path=args.tokenizer_path,
+            with_visual=True,
+            max_seq_len=args.max_words,
+            dtype=dtype,
+        )
+    else:
+        model = MetaModel(
+            llama_type=args.llama_type,
+            llama_config=args.llama_config,
+            tokenizer_path=args.tokenizer_path,
+            with_visual=True,
+            max_seq_len=args.max_words,
+            dtype=dtype,
+            seed=args.seed,
+        )
+    return model
+
+
+def main(argv=None):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from a3vlm_tpu.checkpoint.manager import (
+        CheckpointManager,
+        find_latest_checkpoint,
+    )
+    from a3vlm_tpu.data.dialog import FinetuneDialogDataset
+    from a3vlm_tpu.data.alpaca import FinetuneDataset
+    from a3vlm_tpu.data.loader import DataLoader
+    from a3vlm_tpu.data.sampler import FinetuneDistSampler
+    from a3vlm_tpu.data.transforms import get_transform
+    from a3vlm_tpu.models import ens5 as ens5_mod
+    from a3vlm_tpu.parallel import create_mesh, shard_params
+    from a3vlm_tpu.train import (
+        TrainState,
+        make_optimizer,
+        make_train_step,
+        next_token_loss,
+    )
+    from a3vlm_tpu.train.engine import train_one_epoch
+    from a3vlm_tpu.train.lr_sched import make_epoch_schedule
+    from a3vlm_tpu.utils.logging import JsonlLogger, TensorBoardLogger
+
+    args = get_args_parser().parse_args(argv)
+    print(f"args: {args}")
+
+    devices = jax.devices()
+    if args.num_devices:
+        devices = devices[: args.num_devices]
+    mesh = create_mesh(args.model_parallel_size, devices=devices)
+    dp_size = mesh.shape["data"]
+    print(f"mesh: data={dp_size} model={args.model_parallel_size}")
+
+    model = build_model(args)
+    cfg = model.cfg
+
+    # -- data ---------------------------------------------------------------
+    transform = get_transform(
+        args.image_transform,
+        cfg.image_size if hasattr(cfg, "image_size") else args.input_size,
+    )
+    ds_cls = FinetuneDialogDataset if args.dialog else FinetuneDataset
+    dataset = ds_cls(
+        args.data_config,
+        transform=transform,
+        max_words=args.max_words,
+        image_words=model.get_image_words(),
+        tokenizer=model.tokenizer,
+        cache_on_disk=args.cache_ann_on_disk,
+    )
+    # one controller process drives the whole mesh: the sampler runs with a
+    # single logical replica and the global batch is sharded over "data"
+    global_bs = args.batch_size * dp_size
+    sampler = FinetuneDistSampler(
+        dataset, num_replicas=1, rank=0, batch_size=global_bs,
+        acc_grad=args.accum_iter, seed=args.seed,
+    )
+    loader = DataLoader(
+        dataset, sampler, batch_size=global_bs, accum_steps=args.accum_iter
+    )
+    updates_per_epoch = max(len(loader), 1)
+
+    # -- optimizer / train step ----------------------------------------------
+    trainable = model.get_trainable_params()
+    schedule = make_epoch_schedule(
+        lr=args.lr, min_lr=args.min_lr, warmup_epochs=args.warmup_epochs,
+        epochs=args.epochs, updates_per_epoch=updates_per_epoch,
+    )
+    optimizer = make_optimizer(
+        schedule,
+        max_grad_norm=args.clip_grad,
+        weight_decay=args.weight_decay,
+        trainable_mask=trainable,
+    )
+
+    is_ens = model.llama_type.startswith("llama_ens5")
+    remat = args.checkpointing
+
+    def loss_fn(params, batch):
+        if is_ens:
+            logits = ens5_mod.forward(
+                params, cfg, batch["examples"], image=batch.get("image"),
+                remat=remat,
+            )
+        else:
+            from a3vlm_tpu.models import llama as llama_mod
+
+            logits = llama_mod.forward_train(
+                params, cfg, batch["examples"], remat=remat
+            )
+        return next_token_loss(
+            logits, batch["labels"], vocab_size=model.true_vocab
+        )
+
+    train_step = jax.jit(
+        make_train_step(loss_fn, optimizer, accum_steps=args.accum_iter),
+        donate_argnums=0,
+    )
+
+    # -- placement ------------------------------------------------------------
+    from a3vlm_tpu.models import llama as llama_mod
+
+    specs = (
+        ens5_mod.ens5_partition_specs(cfg, model.params)
+        if is_ens
+        else llama_mod.llama_partition_specs(cfg)
+    )
+    params = shard_params(model.params, mesh, specs)
+
+    ckpt_mgr = CheckpointManager(args.output_dir)
+    tb = TensorBoardLogger(str(Path(args.output_dir) / "tb"))
+    jsonl = JsonlLogger(args.output_dir)
+
+    start_epoch, start_iter = 0, 0
+    resume_dir = None
+    if args.resume == "auto":
+        resume_dir = find_latest_checkpoint(args.output_dir)
+    elif args.resume:
+        resume_dir = args.resume
+
+    with mesh:
+        state = jax.jit(lambda p: TrainState.create(p, optimizer))(params)
+        if resume_dir:
+            print(f"resuming from {resume_dir}")
+            state = state._replace(
+                params=ckpt_mgr.restore_params(resume_dir, state.params)
+            )
+            extra = ckpt_mgr.restore_train_state(
+                resume_dir,
+                jax.tree_util.tree_map(
+                    lambda x: jax.ShapeDtypeStruct(
+                        np.shape(x), np.asarray(x).dtype
+                    ),
+                    state.opt_state,
+                ),
+            )
+            if "opt_state" in extra:
+                state = state._replace(opt_state=extra["opt_state"])
+            start_epoch = extra.get("epoch", 0)
+            start_iter = extra.get("iter", 0)
+            if start_iter == 0:
+                start_epoch += 1
+
+        def shard_batch(batch):
+            def put(x):
+                spec = (
+                    P(None, "data") if x.ndim >= 2 and args.accum_iter > 1
+                    else P("data")
+                )
+                ndim_prefix = 2 if args.accum_iter > 1 else 1
+                full = P(*spec, *([None] * (x.ndim - ndim_prefix)))
+                return jax.device_put(x, NamedSharding(mesh, full))
+
+            return {k: put(v) for k, v in batch.items()}
+
+        def save_fn(state, epoch, it=None):
+            ckpt_mgr.save(
+                epoch,
+                it,
+                params=state.params,
+                opt_state=state.opt_state,
+                step=state.step,
+                dataset_state={"epoch": epoch, "start_iter": it or 0},
+                tokenizer=model.tokenizer,
+                llama_type=model.llama_type,
+                llama_config={"max_seq_len": args.max_words},
+                trainable_mask=trainable if args.only_save_trainable else None,
+            )
+
+        for epoch in range(start_epoch, args.epochs):
+            sampler.set_epoch(epoch, start_iter if epoch == start_epoch else 0)
+
+            def stepper(st, batch):
+                return train_step(st, shard_batch(batch))
+
+            state, stats = train_one_epoch(
+                stepper,
+                state,
+                loader,
+                epoch,
+                lr=args.lr,
+                min_lr=args.min_lr,
+                warmup_epochs=args.warmup_epochs,
+                epochs=args.epochs,
+                print_freq=args.print_freq,
+                tb_logger=tb,
+                save_fn=save_fn,
+                save_iteration_interval=args.save_iteration_interval,
+            )
+            if (epoch + 1) % args.save_interval == 0 or (
+                epoch + 1 == args.epochs
+            ):
+                save_fn(state, epoch)
+            jsonl.write({"epoch": epoch, **stats})
+    print("training done")
+    return state
+
+
+if __name__ == "__main__":
+    main()

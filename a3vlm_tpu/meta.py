@@ -51,9 +51,13 @@ class MetaModel:
         self.with_visual = with_visual
         self.tokenizer = tokenizer or Tokenizer(tokenizer_path)
 
-        overrides = dict(
-            max_seq_len=max_seq_len, vocab_size=self.tokenizer.n_words
-        )
+        # pad the embedding/head vocab to a lane multiple so the TP split of
+        # the column-parallel lm head divides evenly on any mesh (the
+        # reference relies on 32000 % mp == 0; arbitrary tokenizers don't).
+        # padded logits are masked out of losses and sampling (true_vocab).
+        self.true_vocab = self.tokenizer.n_words
+        padded_vocab = -(-self.true_vocab // 128) * 128
+        overrides = dict(max_seq_len=max_seq_len, vocab_size=padded_vocab)
         if llama_type in ("llama", "falcon"):
             args = (
                 model_args_from_json(llama_config or [], **overrides)
@@ -78,10 +82,10 @@ class MetaModel:
                     else ModelArgs(**overrides)
                 )
                 cfg = ens5_mod.Ens5Config(llama=args)
-            if cfg.llama.vocab_size <= 0:
+            # vocab always comes from the tokenizer (meta.py:62-66), padded
+            if cfg.llama.vocab_size != padded_vocab:
                 cfg = dataclasses.replace(
-                    cfg,
-                    llama=cfg.llama.replace(vocab_size=self.tokenizer.n_words),
+                    cfg, llama=cfg.llama.replace(vocab_size=padded_vocab)
                 )
             self.cfg = cfg
             self.args = cfg.llama
@@ -214,7 +218,9 @@ class MetaModel:
                 jnp.asarray(examples),
                 image_tokens=image_tokens,
             )
-        return next_token_loss(logits, jnp.asarray(labels))
+        return next_token_loss(
+            logits, jnp.asarray(labels), vocab_size=self.true_vocab
+        )
 
     def _get_generator(self) -> Generator:
         if self._generator is None:
@@ -224,7 +230,8 @@ class MetaModel:
                 else self.params["llama"]
             )
             self._generator = Generator(
-                params, self.args, self.tokenizer, image_words=self.image_words
+                params, self.args, self.tokenizer,
+                image_words=self.image_words, vocab_limit=self.true_vocab,
             )
         return self._generator
 
@@ -295,7 +302,11 @@ class MetaModel:
 
         for cur_pos in range(len(prompt_tokens), total_len):
             rng, sub = jax.random.split(rng)
-            next_token = int(sample_token(sub, logits, temperature, top_p)[0])
+            next_token = int(
+                sample_token(
+                    sub, logits[:, : self.true_vocab], temperature, top_p
+                )[0]
+            )
             if next_token == tok.eos_id:
                 break
             generated.append(next_token)
@@ -336,7 +347,7 @@ class MetaModel:
         logits = llama_mod.forward_train(
             params, self.args, jnp.asarray(toks), image_tokens=image_tokens
         )
-        logits = np.asarray(logits.astype(jnp.float32))
+        logits = np.asarray(logits.astype(jnp.float32))[..., : self.true_vocab]
         return [l[:n] for l, n in zip(logits, lens)]
 
     def evaluate_examples(

@@ -136,6 +136,19 @@ def init_ens5_params(
     }
 
 
+def ens5_partition_specs(cfg: Ens5Config, params: Params) -> Params:
+    """TP PartitionSpecs: the decoder gets the fairscale-equivalent splits;
+    vision towers and projectors are replicated (they are not TP-sharded in
+    the reference either — their parallelism is the crop-batch sharding)."""
+    specs = {
+        k: jax.tree_util.tree_map(lambda _: P(), v)
+        for k, v in params.items()
+        if k != "llama"
+    }
+    specs["llama"] = llama.llama_partition_specs(cfg.llama)
+    return specs
+
+
 FROZEN_PREFIXES = ("clip", "blip2_vision", "qformer", "convnext", "dinov2")
 
 

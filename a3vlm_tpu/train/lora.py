@@ -1,0 +1,84 @@
+"""LoRA adapters for the decoder (reference model/accessory/model/peft.py):
+``out = W x + B(A x)`` with A trunc-normal(0.02)-initialized, B zeros, no
+extra scaling (peft.py:23-55 — the reference applies the delta unscaled).
+
+TPU-native formulation: instead of subclassed linear layers, LoRA is a
+separate parameter pytree; ``merge_lora`` folds ``W + (A @ B)`` into the
+dense weights inside jit (XLA fuses the rank-r update into the weight load,
+and the merged matmul hits the MXU at full tile efficiency — cheaper than a
+second skinny matmul chain at train shapes). The TP sharding of A/B follows
+the reference's Lora{Column,Row}ParallelLinear placement (peft.py:58-268):
+B column-sharded for column-parallel weights, A row-sharded for
+row-parallel ones.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+DEFAULT_TARGETS = ("wq", "wk", "wv", "wo", "w1", "w2", "w3")
+
+
+def init_lora_params(
+    key: jax.Array,
+    llama_params: Any,
+    rank: int = 16,
+    targets: tuple[str, ...] = DEFAULT_TARGETS,
+    dtype=jnp.float32,
+) -> Any:
+    """LoRA tree mirroring the layers/{attention,feed_forward}/{w}/weight
+    structure with {"a": [L, in, r], "b": [L, r, out]} leaves."""
+    init = jax.nn.initializers.truncated_normal(0.02)
+    keys = iter(jax.random.split(key, 64))
+    lora: dict = {"layers": {}}
+    for group in ("attention", "feed_forward"):
+        for name, wp in llama_params["layers"][group].items():
+            if name not in targets:
+                continue
+            L, in_dim, out_dim = wp["weight"].shape
+            lora["layers"].setdefault(group, {})[name] = {
+                "a": init(next(keys), (L, in_dim, rank), dtype),
+                "b": jnp.zeros((L, rank, out_dim), dtype),
+            }
+    return lora
+
+
+def lora_partition_specs(lora: Any) -> Any:
+    """B shards like the base weight's output dim for column-parallel
+    weights; A shards the input dim for row-parallel (peft.py:132,238)."""
+    col = {"a": P(None, None, None), "b": P(None, None, "model")}
+    row = {"a": P(None, "model", None), "b": P(None, None, None)}
+    spec: dict = {"layers": {}}
+    for group, items in lora["layers"].items():
+        spec["layers"][group] = {
+            name: (row if name in ("wo", "w2") else col) for name in items
+        }
+    return spec
+
+
+def merge_lora(llama_params: Any, lora: Any) -> Any:
+    """W_eff = W + A @ B, returned as a new params tree (jit-friendly)."""
+    merged = dict(llama_params)
+    layers = dict(llama_params["layers"])
+    for group, items in lora["layers"].items():
+        new_group = dict(layers[group])
+        for name, ab in items.items():
+            w = layers[group][name]["weight"]
+            delta = jnp.einsum(
+                "lir,lro->lio", ab["a"].astype(w.dtype), ab["b"].astype(w.dtype)
+            )
+            new_group[name] = {"weight": w + delta}
+        layers[group] = new_group
+    merged["layers"] = layers
+    return merged
+
+
+def merge_lora_into_model(params: Any, lora: Any, llama_key: str = "llama"):
+    """For wrapped models (ens5): merge into the decoder subtree."""
+    out = dict(params)
+    out[llama_key] = merge_lora(params[llama_key], lora)
+    return out

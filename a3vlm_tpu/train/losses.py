@@ -21,7 +21,11 @@ import jax.numpy as jnp
 def next_token_loss(
     logits: jnp.ndarray,  # [B, S, V] (text positions)
     labels: jnp.ndarray,  # [B, S] int, 0 = ignore
+    vocab_size: int | None = None,  # true vocab when V is lane-padded
 ) -> jnp.ndarray:
+    if vocab_size is not None and vocab_size < logits.shape[-1]:
+        pad_mask = jnp.arange(logits.shape[-1]) >= vocab_size
+        logits = jnp.where(pad_mask, -1e30, logits)
     logits = logits[:, :-1, :]
     labels = labels[:, 1:]
     valid = labels != 0

@@ -68,7 +68,9 @@ def test_generate_rejects_str(tiny_meta):
 def test_compute_logits_and_evaluate(tiny_meta):
     logits = tiny_meta.compute_logits(["Say hi", "Say hi again longer"])
     assert len(logits) == 2
-    assert logits[0].shape[-1] == tiny_meta.args.vocab_size
+    # logits are trimmed to the TRUE vocab (the padded lanes are internal)
+    assert logits[0].shape[-1] == tiny_meta.true_vocab
+    assert tiny_meta.args.vocab_size % 128 == 0
     assert logits[0].shape[0] < logits[1].shape[0]
 
     res = tiny_meta.evaluate_examples(
