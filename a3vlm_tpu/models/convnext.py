@@ -39,7 +39,9 @@ def init_convnext_params(
     key: jax.Array, cfg: ConvNeXtConfig, dtype=jnp.float32
 ) -> Params:
     init = jax.nn.initializers.truncated_normal(0.02)
-    keys = iter(jax.random.split(key, 1024))
+    import numpy as _np
+
+    keys = iter(_np.asarray(jax.random.split(key, 1024)))
 
     def conv(shape):
         return {"kernel": init(next(keys), shape, dtype),

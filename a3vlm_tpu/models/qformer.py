@@ -55,7 +55,9 @@ def _dense(key, shape, dtype):
 def init_qformer_params(
     key: jax.Array, cfg: QFormerConfig, dtype=jnp.float32
 ) -> Params:
-    keys = iter(jax.random.split(key, 1024))
+    import numpy as _np
+
+    keys = iter(_np.asarray(jax.random.split(key, 1024)))
     H, E = cfg.hidden, cfg.encoder_width
 
     def ln():

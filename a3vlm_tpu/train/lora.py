@@ -33,7 +33,9 @@ def init_lora_params(
     """LoRA tree mirroring the layers/{attention,feed_forward}/{w}/weight
     structure with {"a": [L, in, r], "b": [L, r, out]} leaves."""
     init = jax.nn.initializers.truncated_normal(0.02)
-    keys = iter(jax.random.split(key, 64))
+    import numpy as _np
+
+    keys = iter(_np.asarray(jax.random.split(key, 64)))
     lora: dict = {"layers": {}}
     for group in ("attention", "feed_forward"):
         for name, wp in llama_params["layers"][group].items():
