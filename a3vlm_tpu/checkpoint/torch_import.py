@@ -432,6 +432,54 @@ def import_llama_consolidated(
     }
 
 
+def import_internlm2_hf(
+    sd: Mapping[str, np.ndarray], n_layers: int, n_heads: int,
+    n_kv_heads: int,
+) -> Params:
+    """HF InternLM2ForCausalLM -> our llama-structured decoder params.
+
+    InternLM2 fuses qkv as grouped ``wqkv`` with layout
+    [kv_heads, q_per_kv + 2, head_dim, hidden] where the first q_per_kv rows
+    of each group are query heads, then one key and one value head. Rotary is
+    HF half-split, so q/k get the interleave permutation after unfusing."""
+    q_per_kv = n_heads // n_kv_heads
+    layers = []
+    for i in range(n_layers):
+        p = f"model.layers.{i}"
+        wqkv = sd[f"{p}.attention.wqkv.weight"]  # [(2+q)*kv*hd, hidden]
+        hidden = wqkv.shape[1]
+        hd = wqkv.shape[0] // (n_kv_heads * (q_per_kv + 2))
+        grouped = wqkv.reshape(n_kv_heads, q_per_kv + 2, hd, hidden)
+        wq = grouped[:, :q_per_kv].reshape(n_heads * hd, hidden)
+        wk = grouped[:, -2].reshape(n_kv_heads * hd, hidden)
+        wv = grouped[:, -1].reshape(n_kv_heads * hd, hidden)
+        layers.append(
+            {
+                "attention": {
+                    "wq": {"weight": _hf_rope_unpermute(wq.T, n_heads)},
+                    "wk": {"weight": _hf_rope_unpermute(wk.T, n_kv_heads)},
+                    "wv": {"weight": wv.T},
+                    "wo": {"weight": sd[f"{p}.attention.wo.weight"].T},
+                },
+                "feed_forward": {
+                    "w1": {"weight": sd[f"{p}.feed_forward.w1.weight"].T},
+                    "w2": {"weight": sd[f"{p}.feed_forward.w2.weight"].T},
+                    "w3": {"weight": sd[f"{p}.feed_forward.w3.weight"].T},
+                },
+                "attention_norm": {
+                    "weight": sd[f"{p}.attention_norm.weight"]
+                },
+                "ffn_norm": {"weight": sd[f"{p}.ffn_norm.weight"]},
+            }
+        )
+    return {
+        "tok_embeddings": {"weight": sd["model.tok_embeddings.weight"]},
+        "layers": _stack(layers),
+        "norm": {"weight": sd["model.norm.weight"]},
+        "output": {"weight": sd["output.weight"].T},
+    }
+
+
 FORMAT_FILENAME_PATTERNS = {
     "meta_ori": re.compile(r"^consolidated\.(\d{2})\.pth$"),
     "consolidated": re.compile(r"^consolidated\.(\d{2})-of-(\d{2})\.model\.pth$"),

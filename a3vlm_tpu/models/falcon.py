@@ -1,0 +1,262 @@
+"""Falcon decoder (``llama_type="falcon"``, reference
+model/accessory/model/LLM/falcon.py): text-only (image_words = 0, :302),
+new-decoder architecture — parallel attention + MLP sharing the residual,
+with separate ln_attn / ln_mlp LayerNorms (:228-276), GQA/multi-query
+attention, GELU 4x MLP, and **half-split** rotary (falcon.py:47-57 pairs
+x[i] with x[i + d/2], unlike LLaMA's interleaved pairs).
+
+Same TPU-native structure as models/llama: scan-stacked layers, explicit KV
+cache, sharding via PartitionSpecs."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from a3vlm_tpu.ops.attention import attention
+from a3vlm_tpu.ops.norms import layer_norm
+from a3vlm_tpu.ops.rope import precompute_freqs_cis
+
+Params = dict[str, Any]
+
+
+@dataclass(frozen=True)
+class FalconArgs:
+    num_layers: int = 80
+    hidden_size: int = 14848
+    num_attention_heads: int = 232
+    num_kv_heads: Optional[int] = 8
+    bias: bool = False
+    multi_query: bool = False
+    new_decoder_architecture: bool = True
+    parallel_attn: bool = True
+    layer_norm_epsilon: float = 1e-5
+    vocab_size: int = -1
+    rope_theta: float = 10000.0
+    max_batch_size: int = 32
+    max_seq_len: int = 2048
+    rope_scaling: Optional[float] = None
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+    @property
+    def kv_heads(self) -> int:
+        if self.multi_query:
+            return 1
+        return self.num_kv_heads or self.num_attention_heads
+
+
+def apply_rotary_half_split(x: jnp.ndarray, freqs_cis: jnp.ndarray):
+    """Falcon rotary: pair (x[i], x[i + d/2]) (falcon.py:47-57)."""
+    cos = freqs_cis[..., 0][None, :, None, :]
+    sin = freqs_cis[..., 1][None, :, None, :]
+    d2 = x.shape[-1] // 2
+    xf = x.astype(jnp.float32)
+    x1, x2 = xf[..., :d2], xf[..., d2:]
+    out = jnp.concatenate(
+        [x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1
+    )
+    return out.astype(x.dtype)
+
+
+def init_falcon_params(
+    key: jax.Array, args: FalconArgs, dtype=jnp.float32
+) -> Params:
+    D, L = args.hidden_size, args.num_layers
+    H, Hkv, hd = args.num_attention_heads, args.kv_heads, args.head_dim
+    init = jax.nn.initializers.truncated_normal(0.02)
+    import numpy as _np
+
+    keys = iter(_np.asarray(jax.random.split(key, 16)))
+
+    def lin(shape):
+        k = next(keys)
+        return jnp.stack(
+            [init(kk, shape, dtype) for kk in jax.random.split(k, L)]
+        )
+
+    def ln_l():
+        return {
+            "weight": jnp.ones((L, D), dtype),
+            "bias": jnp.zeros((L, D), dtype),
+        }
+
+    return {
+        "word_embeddings": {"weight": init(next(keys), (args.vocab_size, D), dtype)},
+        "layers": {
+            "attention": {
+                "wq": {"weight": lin((D, H * hd))},
+                "wk": {"weight": lin((D, Hkv * hd))},
+                "wv": {"weight": lin((D, Hkv * hd))},
+                "wo": {"weight": lin((H * hd, D))},
+            },
+            "mlp": {
+                "dense_h_to_4h": {"weight": lin((D, 4 * D))},
+                "dense_4h_to_h": {"weight": lin((4 * D, D))},
+            },
+            "ln_attn": ln_l(),
+            "ln_mlp": ln_l(),
+        },
+        "ln_f": {"weight": jnp.ones((D,), dtype), "bias": jnp.zeros((D,), dtype)},
+        "output": {"weight": init(next(keys), (D, args.vocab_size), dtype)},
+    }
+
+
+def falcon_partition_specs(args: FalconArgs) -> Params:
+    col = P(None, None, "model")
+    row = P(None, "model", None)
+    ln = {"weight": P(None, None), "bias": P(None, None)}
+    return {
+        "word_embeddings": {"weight": P(None, "model")},
+        "layers": {
+            "attention": {
+                "wq": {"weight": col},
+                "wk": {"weight": col},
+                "wv": {"weight": col},
+                "wo": {"weight": row},
+            },
+            "mlp": {
+                "dense_h_to_4h": {"weight": col},
+                "dense_4h_to_h": {"weight": row},
+            },
+            "ln_attn": ln,
+            "ln_mlp": ln,
+        },
+        "ln_f": {"weight": P(None), "bias": P(None)},
+        "output": {"weight": P(None, "model")},
+    }
+
+
+class FalconKVCache(NamedTuple):
+    k: jnp.ndarray
+    v: jnp.ndarray
+
+    @classmethod
+    def create(cls, args: FalconArgs, batch, max_seq_len=None, dtype=jnp.bfloat16):
+        shape = (
+            args.num_layers, batch, max_seq_len or args.max_seq_len,
+            args.kv_heads, args.head_dim,
+        )
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def _block(h, lp, args: FalconArgs, freqs_cis, mask, cache_k, cache_v,
+           write_pos, kv_valid_len, attend_cache):
+    B, S, D = h.shape
+    H, Hkv, hd = args.num_attention_heads, args.kv_heads, args.head_dim
+    eps = args.layer_norm_epsilon
+
+    attn_in = layer_norm(h, lp["ln_attn"]["weight"], lp["ln_attn"]["bias"], eps)
+    mlp_in = layer_norm(h, lp["ln_mlp"]["weight"], lp["ln_mlp"]["bias"], eps)
+
+    att = lp["attention"]
+    xq = (attn_in @ att["wq"]["weight"]).reshape(B, S, H, hd)
+    xk = (attn_in @ att["wk"]["weight"]).reshape(B, S, Hkv, hd)
+    xv = (attn_in @ att["wv"]["weight"]).reshape(B, S, Hkv, hd)
+    xq = apply_rotary_half_split(xq, freqs_cis)
+    xk = apply_rotary_half_split(xk, freqs_cis)
+
+    if cache_k is not None:
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, xk.astype(cache_k.dtype), (0, write_pos, 0, 0)
+        )
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, xv.astype(cache_v.dtype), (0, write_pos, 0, 0)
+        )
+    if cache_k is not None and attend_cache:
+        keys, values = cache_k.astype(xq.dtype), cache_v.astype(xq.dtype)
+    else:
+        keys, values = xk, xv
+        kv_valid_len = None
+
+    attn_out = attention(xq, keys, values, mask=mask, kv_valid_len=kv_valid_len)
+    attn_out = attn_out.reshape(B, S, H * hd) @ att["wo"]["weight"]
+
+    mlp = lp["mlp"]
+    mlp_out = jax.nn.gelu(
+        mlp_in @ mlp["dense_h_to_4h"]["weight"], approximate=False
+    )
+    mlp_out = mlp_out @ mlp["dense_4h_to_h"]["weight"]
+
+    # parallel attn + mlp share the residual (falcon.py:268-276)
+    return h + attn_out + mlp_out, (cache_k, cache_v)
+
+
+def _freqs(args: FalconArgs, positions):
+    table = precompute_freqs_cis(
+        args.head_dim, args.max_seq_len * 2, theta=args.rope_theta,
+        scaling=args.rope_scaling,
+    )
+    return table[positions]
+
+
+def forward_train(params: Params, args: FalconArgs, examples: jnp.ndarray,
+                  remat: bool = False, impl: str = "auto") -> jnp.ndarray:
+    h = jnp.take(params["word_embeddings"]["weight"], examples, axis=0)
+    freqs_cis = _freqs(args, jnp.arange(h.shape[1]))
+
+    def body(hc, lp):
+        out, _ = _block(
+            hc, lp, args, freqs_cis, "causal", None, None, 0, None, True
+        )
+        return out, None
+
+    if remat:
+        body = jax.checkpoint(body, prevent_cse=False)
+    h, _ = jax.lax.scan(body, h, params["layers"])
+    h = layer_norm(
+        h, params["ln_f"]["weight"], params["ln_f"]["bias"],
+        args.layer_norm_epsilon,
+    )
+    return h @ params["output"]["weight"]
+
+
+def prefill(params, args: FalconArgs, cache: FalconKVCache, tokens):
+    h = jnp.take(params["word_embeddings"]["weight"], tokens, axis=0)
+    S = h.shape[1]
+    freqs_cis = _freqs(args, jnp.arange(S))
+
+    def body(hc, xs):
+        lp, k_l, v_l = xs
+        out, (k, v) = _block(
+            hc, lp, args, freqs_cis, "causal", k_l, v_l, 0, None, False
+        )
+        return out, (k, v)
+
+    h, (k, v) = jax.lax.scan(body, h, (params["layers"], cache.k, cache.v))
+    h = layer_norm(
+        h, params["ln_f"]["weight"], params["ln_f"]["bias"],
+        args.layer_norm_epsilon,
+    )
+    logits = h[:, -1, :] @ params["output"]["weight"]
+    return logits.astype(jnp.float32), FalconKVCache(k, v), S
+
+
+def decode_step(params, args: FalconArgs, cache: FalconKVCache, token,
+                seq_pos):
+    B = token.shape[0]
+    seq_pos = jnp.asarray(seq_pos, jnp.int32)
+    h = jnp.take(params["word_embeddings"]["weight"], token, axis=0)
+    freqs_cis = _freqs(args, seq_pos[None])
+    kv_valid = jnp.full((B,), seq_pos + 1, jnp.int32)
+
+    def body(hc, xs):
+        lp, k_l, v_l = xs
+        out, (k, v) = _block(
+            hc, lp, args, freqs_cis, None, k_l, v_l, seq_pos, kv_valid, True
+        )
+        return out, (k, v)
+
+    h, (k, v) = jax.lax.scan(body, h, (params["layers"], cache.k, cache.v))
+    h = layer_norm(
+        h, params["ln_f"]["weight"], params["ln_f"]["bias"],
+        args.layer_norm_epsilon,
+    )
+    logits = h[:, -1, :] @ params["output"]["weight"]
+    return logits.astype(jnp.float32), FalconKVCache(k, v)

@@ -1,0 +1,241 @@
+"""Tests for the remaining model families (ens5_2images, internlm_ems5_light,
+falcon) and weight-only quantization."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from a3vlm_tpu.models import ens5_2images as e2
+from a3vlm_tpu.models import falcon as F
+from a3vlm_tpu.models import internlm_ems5_light as IL
+from a3vlm_tpu.models import llama
+
+
+# -- ens5_2images -------------------------------------------------------------
+
+
+def test_ens5_2images_layout():
+    cfg = e2.tiny_config()
+    params = e2.init_params(jax.random.PRNGKey(0), cfg)
+    B = 1
+    img = jax.random.normal(
+        jax.random.PRNGKey(1), (B, cfg.image_size, cfg.image_size, 3)
+    )
+    dep = jax.random.normal(
+        jax.random.PRNGKey(2), (B, cfg.image_size, cfg.image_size, 3)
+    )
+    toks = e2.build_image_tokens(params, cfg, img, dep)
+    assert toks.shape == (B, 2 * cfg.image_words, cfg.llama.dim)
+    # rgb half starts with start_img; depth half with start_depth_img
+    np.testing.assert_allclose(
+        np.asarray(toks[0, 0]), np.asarray(params["start_img"][0, 0]),
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(toks[0, cfg.image_words]),
+        np.asarray(params["start_depth_img"][0, 0]),
+        atol=1e-6,
+    )
+    logits = e2.forward(
+        params, cfg, jnp.ones((B, 5), jnp.int32), image=img, depth_image=dep
+    )
+    assert logits.shape == (B, 5, cfg.llama.vocab_size)
+    # real config doubles the words: 1455 * 2 = 2910
+    assert e2.image_words(e2.Ens5Config()) == 2910
+
+
+# -- internlm -------------------------------------------------------------------
+
+
+def test_internlm_token_layout_and_forward():
+    cfg = IL.tiny_config()
+    params = IL.init_params(jax.random.PRNGKey(0), cfg)
+    img = jax.random.normal(
+        jax.random.PRNGKey(1), (2, cfg.image_size, cfg.image_size, 3)
+    )
+    toks = IL.build_image_tokens(params, cfg, img)
+    assert toks.shape == (2, cfg.image_words, cfg.llama.dim)
+    logits = IL.forward(params, cfg, jnp.ones((2, 6), jnp.int32), image=img)
+    assert logits.shape == (2, 6, cfg.llama.vocab_size)
+    # real config: (257+2)*5 = 1295 words, ens dim 4608
+    real = IL.InternlmEns5Config()
+    assert real.image_words == 1295
+    assert real.ens_dim == 3072 + 1536
+    assert real.llama.ffn_hidden_dim == 14336
+
+
+def test_internlm2_importer_matches_hf():
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+
+    # build a tiny InternLM2-like fused wqkv state dict by fusing a known
+    # unfused model, then check the unfuser inverts it
+    from a3vlm_tpu.checkpoint import torch_import as ti
+
+    rng = np.random.default_rng(0)
+    n_heads, n_kv, hd, hidden, L, V = 4, 2, 8, 32, 2, 64
+    q_per_kv = n_heads // n_kv
+    sd = {}
+    want_q, want_k, want_v = [], [], []
+    for i in range(L):
+        # per-group fused layout [kv, q_per_kv + 2, hd, hidden]
+        grouped = rng.standard_normal(
+            (n_kv, q_per_kv + 2, hd, hidden)
+        ).astype(np.float32)
+        sd[f"model.layers.{i}.attention.wqkv.weight"] = grouped.reshape(
+            -1, hidden
+        )
+        want_q.append(grouped[:, :q_per_kv].reshape(n_heads * hd, hidden))
+        want_k.append(grouped[:, -2].reshape(n_kv * hd, hidden))
+        want_v.append(grouped[:, -1].reshape(n_kv * hd, hidden))
+        sd[f"model.layers.{i}.attention.wo.weight"] = rng.standard_normal(
+            (hidden, n_heads * hd)
+        ).astype(np.float32)
+        for w in ("w1", "w2", "w3"):
+            shape = (48, hidden) if w != "w2" else (hidden, 48)
+            sd[f"model.layers.{i}.feed_forward.{w}.weight"] = (
+                rng.standard_normal(shape).astype(np.float32)
+            )
+        sd[f"model.layers.{i}.attention_norm.weight"] = np.ones(
+            hidden, np.float32
+        )
+        sd[f"model.layers.{i}.ffn_norm.weight"] = np.ones(hidden, np.float32)
+    sd["model.tok_embeddings.weight"] = rng.standard_normal(
+        (V, hidden)
+    ).astype(np.float32)
+    sd["model.norm.weight"] = np.ones(hidden, np.float32)
+    sd["output.weight"] = rng.standard_normal((V, hidden)).astype(np.float32)
+
+    params = ti.import_internlm2_hf(
+        sd, n_layers=L, n_heads=n_heads, n_kv_heads=n_kv
+    )
+    # v is not permuted: direct match
+    np.testing.assert_allclose(
+        params["layers"]["attention"]["wv"]["weight"][0],
+        want_v[0].T,
+        atol=1e-6,
+    )
+    # q/k are rope-unpermuted; verify by re-permuting back
+    from a3vlm_tpu.checkpoint.export import _hf_rope_permute
+
+    got_q = _hf_rope_permute(
+        params["layers"]["attention"]["wq"]["weight"][0], n_heads
+    )
+    np.testing.assert_allclose(got_q, want_q[0].T, atol=1e-6)
+
+
+# -- falcon -----------------------------------------------------------------------
+
+
+TINY_FALCON = F.FalconArgs(
+    num_layers=2, hidden_size=64, num_attention_heads=4, num_kv_heads=2,
+    vocab_size=96, max_seq_len=64,
+)
+
+
+def test_falcon_forward_and_decode_consistency():
+    params = F.init_falcon_params(jax.random.PRNGKey(0), TINY_FALCON)
+    B, S = 2, 10
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (B, S), 1, 90)
+    full = F.forward_train(params, TINY_FALCON, tokens)
+    assert full.shape == (B, S, 96)
+
+    cache = F.FalconKVCache.create(TINY_FALCON, B, dtype=jnp.float32)
+    P = 4
+    logits, cache, _ = F.prefill(params, TINY_FALCON, cache, tokens[:, :P])
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(full[:, P - 1]), atol=2e-3
+    )
+    for pos in range(P, S):
+        logits, cache = F.decode_step(
+            params, TINY_FALCON, cache, tokens[:, pos : pos + 1],
+            jnp.int32(pos),
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(full[:, pos]), atol=2e-3
+        )
+
+
+def test_falcon_rotary_half_split_differs_from_interleaved():
+    from a3vlm_tpu.ops.rope import apply_rotary_emb, precompute_freqs_cis
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 2, 8))
+    fc = precompute_freqs_cis(8, 4)
+    half = F.apply_rotary_half_split(x, fc)
+    inter, _ = apply_rotary_emb(x, x, fc)
+    assert not np.allclose(np.asarray(half), np.asarray(inter))
+    # position 0 is identity in both
+    np.testing.assert_allclose(
+        np.asarray(half[:, 0]), np.asarray(x[:, 0]), atol=1e-6
+    )
+
+
+def test_falcon_tp_sharded(devices8):
+    from a3vlm_tpu.parallel import create_mesh, shard_params
+
+    params = F.init_falcon_params(jax.random.PRNGKey(0), TINY_FALCON)
+    tokens = jnp.ones((2, 8), jnp.int32)
+    want = F.forward_train(params, TINY_FALCON, tokens)
+    mesh = create_mesh(model_parallel_size=2)
+    sharded = shard_params(
+        params, mesh, F.falcon_partition_specs(TINY_FALCON)
+    )
+    with mesh:
+        got = jax.jit(lambda p, t: F.forward_train(p, TINY_FALCON, t))(
+            sharded, tokens
+        )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3)
+
+
+# -- quant --------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_quant_roundtrip_accuracy(bits):
+    from a3vlm_tpu.quant import dequantize_params, quantize_params
+
+    rng = np.random.default_rng(0)
+    params = {"layers": {"w": {"weight": rng.standard_normal((64, 32)).astype(np.float32)}}}
+    q = quantize_params(params, bits=bits)
+    deq = dequantize_params(q, dtype=jnp.float32)
+    w, w2 = params["layers"]["w"]["weight"], np.asarray(deq["layers"]["w"]["weight"])
+    rel = np.abs(w - w2).max() / np.abs(w).max()
+    assert rel < (0.02 if bits == 8 else 0.12)
+
+
+def test_quant_blocklist_and_memory():
+    from a3vlm_tpu.quant import (
+        dequantize_params,
+        quantize_params,
+        quantized_size_bytes,
+    )
+
+    args = llama.ModelArgs if False else None  # noqa: F841
+    from a3vlm_tpu.config import ModelArgs
+
+    tiny = ModelArgs(
+        dim=64, n_layers=2, n_heads=4, n_kv_heads=4, vocab_size=128,
+        multiple_of=16, max_seq_len=32,
+    )
+    params = {"llama": llama.init_llama_params(jax.random.PRNGKey(0), tiny),
+              "clip": {"w": jnp.ones((8, 8))}}
+    q = quantize_params(params, bits=8, blocklist=("clip",))
+    # blocklisted tower untouched
+    assert isinstance(q["clip"]["w"], jnp.ndarray)
+    assert "q" in q["llama"]["layers"]["attention"]["wq"]["weight"]
+    # memory shrinks ~4x for the quantized subtree
+    import jax as _jax
+
+    orig = sum(
+        np.asarray(x).nbytes
+        for x in _jax.tree_util.tree_leaves(params["llama"])
+    )
+    quant = quantized_size_bytes(q["llama"])
+    assert quant < orig / 2.5
+
+    # forward still runs through dequant
+    deq = dequantize_params(q, dtype=jnp.float32)
+    logits = llama.forward_train(deq["llama"], tiny, jnp.ones((1, 4), jnp.int32))
+    assert np.isfinite(np.asarray(logits)).all()
