@@ -1,0 +1,190 @@
+"""Grounding-task bank generation (reference data_gen/
+openai_grounding_tasks.py + openai_description.py):
+
+- ``link_semantics_from_urdf``: link semantics (+open/closed variants) from
+  semantics.txt + the URDF (openai_grounding_tasks.py:17-60).
+- ``generate_template_tasks``: an OFFLINE template-based generator producing
+  the same bank schema the GPT-4 prompt asks for ({category: {task_name:
+  {description, actions}}}) using the action-primitive vocabulary — this
+  replaces the network-bound GPT-4 call in zero-egress environments.
+- ``generate_openai_tasks``: the API-backed path, gated on the optional
+  ``openai`` package + key (kept for parity; same output schema).
+
+Banks are saved keyed ``{Category}_{joint}_{link}_...json`` so the labeler's
+loader (datagen/labeler._load_grounding_tasks) finds them.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional
+
+from a3vlm_tpu.codecs.vocab import ACTION_PRIMITIVES, JOINT_TYPES_MAPPING
+
+
+def link_semantics_from_urdf(semantics_file: str, urdf_file: str,
+                             open_close_parts=None):
+    """[(link_name, joint_type, semantic, has_status), ...]"""
+    from a3vlm_tpu.datagen.urdf import URDF
+
+    out = []
+    robot = URDF.load(urdf_file)
+    actuated_children = {j.child for j in robot.actuated_joints}
+    with open(semantics_file) as f:
+        for line in f:
+            parts = line.strip().split(" ")
+            if len(parts) != 3:
+                continue
+            link_name, joint_type, semantic = parts
+            has_status = bool(
+                open_close_parts and semantic in open_close_parts
+            ) and link_name in actuated_children
+            out.append((link_name, joint_type, semantic, has_status))
+    return out
+
+
+# joint-type -> plausible action primitives for template generation
+_ACTIONS_BY_JOINT = {
+    "hinge": ["flap_open", "flap_close", "rotate"],
+    "slider": ["slide_open", "slide_close", "slide_in", "slide_out"],
+    "slider+": ["slide_open", "slide_close"],
+    "free": ["pick", "place", "rotate"],
+}
+
+_TASK_TEMPLATES = [
+    ("open_task", "Open the {semantic} of the {category}.",
+     ["{open_action}[{ref}]", "StatusComplete"]),
+    ("close_task", "Close the {semantic} of the {category}.",
+     ["{close_action}[{ref}]", "StatusComplete"]),
+    ("inspect_task", "Check inside the {category} by operating its "
+     "{semantic}.",
+     ["{open_action}[{ref}]", "{close_action}[{ref}]", "StatusComplete"]),
+    ("wipe_task", "Clean the {semantic} of the {category}.",
+     ["wipe[{ref}]", "StatusComplete"]),
+]
+
+
+def generate_template_tasks(category: str, link_semantics) -> dict:
+    """{category: {task_name: {description, actions}}} using
+    status-qualified link references (the actions mention
+    ``{status}_{semantic}`` names the labeler substitutes boxes for)."""
+    tasks: dict = {}
+    for link_name, joint_type, semantic, has_status in link_semantics:
+        if joint_type not in ("hinge", "slider", "slider+"):
+            continue
+        acts = _ACTIONS_BY_JOINT.get(joint_type, ["press"])
+        open_action = acts[0]
+        close_action = acts[1] if len(acts) > 1 else acts[0]
+        refs = (
+            [f"closed_{semantic}", f"opened_{semantic}"]
+            if has_status
+            else [semantic]
+        )
+        for ref in refs:
+            for name, desc, action_tpl in _TASK_TEMPLATES:
+                task_name = f"{name}_{ref}"
+                tasks[task_name] = {
+                    "description": desc.format(
+                        semantic=semantic, category=category
+                    ),
+                    "actions": [
+                        a.format(
+                            ref=ref, open_action=open_action,
+                            close_action=close_action,
+                        )
+                        for a in action_tpl
+                    ],
+                }
+    return {category: tasks}
+
+
+def bank_filename(category: str, link_semantics) -> str:
+    """Matches the labeler's ``{Category}_{joint}_{link}_...json`` key."""
+    names = []
+    for _, joint_type, semantic, _ in link_semantics:
+        s = f"{JOINT_TYPES_MAPPING[joint_type]}_{semantic}"
+        if s not in names:
+            names.append(s)
+    idx = "".join(n + "_" for n in sorted(set(names)))
+    return f"{category}_{idx}.json"
+
+
+def generate_bank_for_object(
+    data_dir: str, data_name: str, out_folder: str,
+    category: Optional[str] = None,
+) -> Optional[str]:
+    from a3vlm_tpu.codecs.vocab import OPEN_CLOSE_STATUS
+
+    obj = os.path.join(data_dir, data_name)
+    semantics = os.path.join(obj, "semantics.txt")
+    urdf = os.path.join(obj, "mobility.urdf")
+    if not (os.path.isfile(semantics) and os.path.isfile(urdf)):
+        return None
+    if category is None:
+        meta = os.path.join(obj, "meta.json")
+        with open(meta) as f:
+            category = json.load(f).get("model_cat", "Unknown")
+    links = link_semantics_from_urdf(
+        semantics, urdf, OPEN_CLOSE_STATUS.get(category)
+    )
+    bank = generate_template_tasks(category, links)
+    if not bank[category]:
+        return None
+    os.makedirs(out_folder, exist_ok=True)
+    path = os.path.join(out_folder, bank_filename(category, links))
+    # merge with an existing bank (history merge, openai_grounding_tasks
+    # .py:63-151)
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = json.load(f)
+        existing.setdefault(category, {}).update(bank[category])
+        bank = existing
+    with open(path, "w") as f:
+        json.dump(bank, f, indent=2)
+    return path
+
+
+def generate_openai_tasks(*args, **kwargs):  # pragma: no cover
+    """GPT-4-backed generation (openai_grounding_tasks.py). Requires the
+    optional openai package + network; zero-egress environments use
+    generate_template_tasks instead."""
+    try:
+        import openai  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "openai package unavailable; use generate_template_tasks for "
+            "offline grounding-task banks"
+        ) from e
+    raise NotImplementedError(
+        "plug your GPT-4 prompt here; the offline template generator covers "
+        "the pipeline contract"
+    )
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser("generate grounding task banks (offline)")
+    p.add_argument("--data_dir", required=True)
+    p.add_argument("--out_folder", default="./grounding_tasks")
+    p.add_argument("--data_name", default="all")
+    args = p.parse_args(argv)
+    names = (
+        [args.data_name]
+        if args.data_name != "all"
+        else sorted(
+            d
+            for d in os.listdir(args.data_dir)
+            if os.path.isdir(os.path.join(args.data_dir, d))
+        )
+    )
+    n = 0
+    for name in names:
+        if generate_bank_for_object(args.data_dir, name, args.out_folder):
+            n += 1
+    print(f"generated banks for {n}/{len(names)} objects")
+
+
+if __name__ == "__main__":
+    main()

@@ -156,9 +156,24 @@ def main(argv=None):
     parser.add_argument("--temperature", type=float, default=0.1)
     parser.add_argument("--top_p", type=float, default=0.75)
     parser.add_argument("--max_samples", type=int, default=None)
+    parser.add_argument("--quant", action="store_true",
+                        help="int4 weight-only quantized decoder (the "
+                        "eval_affordance_with_quant.py:327-342 path)")
+    parser.add_argument("--quant_bits", type=int, default=4, choices=[4, 8])
+    parser.add_argument("--dataset_registry", default=None,
+                        help="JSON of {name: task_json_path} (the "
+                        "ds_collections registry, "
+                        "eval_affordance_with_quant.py:58-72); --dataset "
+                        "then names an entry")
     parser.add_argument("--tiny_random_model", action="store_true",
                         help="use a tiny random-weight model (smoke/demo)")
     args = parser.parse_args(argv)
+
+    if args.dataset_registry:
+        with open(args.dataset_registry) as f:
+            registry = json.load(f)
+        if args.dataset in registry:
+            args.dataset = registry[args.dataset]
 
     from a3vlm_tpu.meta import MetaModel
 
@@ -184,6 +199,9 @@ def main(argv=None):
             max_seq_len=args.max_seq_len,
         )
         input_size = args.input_size
+
+    if args.quant:
+        model.quantize(bits=args.quant_bits)
 
     os.makedirs(args.output_dir, exist_ok=True)
     results_file = str(

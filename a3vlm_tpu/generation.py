@@ -54,6 +54,7 @@ def _prefill_bucket(min_prompt: int) -> int:
         "stop_tokens",
         "impl",
         "vocab_limit",
+        "params_transform",
     ),
     donate_argnames=("cache",),
 )
@@ -72,7 +73,12 @@ def _generate_loop(
     stop_tokens: tuple[tuple[int, ...], ...],
     impl: str = "auto",
     vocab_limit: Optional[int] = None,
+    params_transform=None,
 ):
+    if params_transform is not None:
+        # e.g. quant.dequantize_params: runs INSIDE jit so XLA fuses the
+        # int8/int4 dequant into the matmuls (weights stay quantized in HBM)
+        params = params_transform(params)
     B, P = prefill_tokens.shape
     image_words = 0 if image_tokens is None else image_tokens.shape[1]
 
@@ -146,13 +152,14 @@ class Generator:
 
     def __init__(
         self, params, args: ModelArgs, tokenizer, image_words: int = 0,
-        vocab_limit: Optional[int] = None,
+        vocab_limit: Optional[int] = None, params_transform=None,
     ):
         self.params = params
         self.args = args
         self.tokenizer = tokenizer
         self.image_words = image_words
         self.vocab_limit = vocab_limit
+        self.params_transform = params_transform
 
     def generate(
         self,
@@ -222,6 +229,7 @@ class Generator:
             stop_tokens=stop_tokens,
             impl=impl,
             vocab_limit=self.vocab_limit,
+            params_transform=self.params_transform,
         )
         out_tokens = np.asarray(out_tokens)
         stop_pos = np.asarray(stop_pos)

@@ -103,6 +103,7 @@ class MetaModel:
         self.params = params
         self._generator: Optional[Generator] = None
         self._encode_image_jit = None
+        self._params_transform = None  # set by quantize()
 
     # -- loading ------------------------------------------------------------
 
@@ -184,12 +185,24 @@ class MetaModel:
                     )
                 )
         if quant:
-            from a3vlm_tpu.quant import quantize_params
-
-            model.params = quantize_params(
-                model.params, blocklist=model.get_quant_blocklist()
-            )
+            model.quantize()
         return model
+
+    def quantize(self, bits: int = 4) -> None:
+        """Post-hoc weight-only quantization of the decoder (the NF4 eval
+        path, eval_affordance_with_quant.py:327-342). Vision towers and
+        projectors stay dense (quant blocklist)."""
+        from a3vlm_tpu.quant import dequantize_params, quantize_params
+
+        if self.llama_type == "llama":
+            self.params = quantize_params(self.params, bits=bits)
+        else:
+            self.params = dict(self.params)
+            self.params["llama"] = quantize_params(
+                self.params["llama"], bits=bits
+            )
+        self._params_transform = dequantize_params
+        self._generator = None
 
     # -- API ------------------------------------------------------------------
 
@@ -204,20 +217,21 @@ class MetaModel:
             )
         return self._encode_image_jit(self.params, jnp.asarray(images))
 
+    def _decoder_params(self):
+        p = self.params if self.llama_type == "llama" else self.params["llama"]
+        if self._params_transform is not None:
+            p = self._params_transform(p)
+        return p
+
     def forward(self, examples, labels, images=None):
         """Training loss (meta.py:234-263): CE(ignore 0), logits shifted."""
         image_tokens = self.encode_images(images)
-        if self.llama_type == "llama":
-            logits = llama_mod.forward_train(
-                self.params, self.args, jnp.asarray(examples)
-            )
-        else:
-            logits = llama_mod.forward_train(
-                self.params["llama"],
-                self.args,
-                jnp.asarray(examples),
-                image_tokens=image_tokens,
-            )
+        logits = llama_mod.forward_train(
+            self._decoder_params(),
+            self.args,
+            jnp.asarray(examples),
+            image_tokens=image_tokens,
+        )
         return next_token_loss(
             logits, jnp.asarray(labels), vocab_size=self.true_vocab
         )
@@ -232,6 +246,7 @@ class MetaModel:
             self._generator = Generator(
                 params, self.args, self.tokenizer,
                 image_words=self.image_words, vocab_limit=self.true_vocab,
+                params_transform=self._params_transform,
             )
         return self._generator
 
@@ -280,9 +295,7 @@ class MetaModel:
         prompt_tokens = prompt_tokens[-(max_seq_len - max_gen_len):]
         total_len = min(max_seq_len, max_gen_len + len(prompt_tokens))
 
-        params = (
-            self.params if self.llama_type == "llama" else self.params["llama"]
-        )
+        params = self._decoder_params()
         W = 0 if image_tokens is None else image_tokens.shape[1]
         cache = llama_mod.KVCache.create(
             args, 1, max_seq_len=total_len + W,
@@ -341,11 +354,9 @@ class MetaModel:
         for i, e in enumerate(examples):
             toks[i, : len(e)] = e
         image_tokens = self.encode_images(images)
-        params = (
-            self.params if self.llama_type == "llama" else self.params["llama"]
-        )
         logits = llama_mod.forward_train(
-            params, self.args, jnp.asarray(toks), image_tokens=image_tokens
+            self._decoder_params(), self.args, jnp.asarray(toks),
+            image_tokens=image_tokens,
         )
         logits = np.asarray(logits.astype(jnp.float32))[..., : self.true_vocab]
         return [l[:n] for l, n in zip(logits, lens)]

@@ -17,7 +17,7 @@ A quantized leaf is a dict {"q": int8, "scale": f32, "bits": ...} that
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -26,14 +26,41 @@ import numpy as np
 GROUP_SIZE = 64  # int4 quant group along the input dim
 
 
-def _quantize_leaf_int8(w: np.ndarray):
+class QuantizedWeight:
+    """Pytree node: (q, scale) as children, (bits, group, in_dim) static."""
+
+    def __init__(self, q, scale, bits: int, group: int = 0, in_dim: int = 0):
+        self.q = q
+        self.scale = scale
+        self.bits = bits
+        self.group = group
+        self.in_dim = in_dim
+
+    def tree_flatten(self):
+        return (self.q, self.scale), (self.bits, self.group, self.in_dim)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], *aux)
+
+
+jax.tree_util.register_pytree_node(
+    QuantizedWeight,
+    lambda qw: qw.tree_flatten(),
+    QuantizedWeight.tree_unflatten,
+)
+
+
+def _quantize_leaf_int8(w: np.ndarray) -> QuantizedWeight:
     scale = np.max(np.abs(w), axis=tuple(range(w.ndim - 1)), keepdims=True)
     scale = np.maximum(scale, 1e-8) / 127.0
     q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
-    return {"q": q, "scale": scale.astype(np.float32), "bits": 8}
+    return QuantizedWeight(
+        jnp.asarray(q), jnp.asarray(scale.astype(np.float32)), bits=8
+    )
 
 
-def _quantize_leaf_int4(w: np.ndarray):
+def _quantize_leaf_int4(w: np.ndarray) -> QuantizedWeight:
     """Group-wise symmetric int4 over the second-to-last dim; nibbles packed
     along that dim (two rows per byte)."""
     *lead, in_dim, out_dim = w.shape
@@ -49,21 +76,16 @@ def _quantize_leaf_int4(w: np.ndarray):
     lo = q[..., 0::2, :] & 0x0F
     hi = (q[..., 1::2, :] & 0x0F) << 4
     packed = (lo | hi).astype(np.int8)
-    return {
-        "q": packed,
-        "scale": scale.astype(np.float32),
-        "bits": 4,
-        "group": g,
-        "in_dim": in_dim,
-    }
+    return QuantizedWeight(
+        jnp.asarray(packed), jnp.asarray(scale.astype(np.float32)),
+        bits=4, group=g, in_dim=in_dim,
+    )
 
 
-def _dequantize_leaf(leaf, dtype=jnp.bfloat16):
-    if leaf["bits"] == 8:
-        return (
-            leaf["q"].astype(jnp.float32) * leaf["scale"]
-        ).astype(dtype)
-    packed = leaf["q"]
+def _dequantize_leaf(leaf: QuantizedWeight, dtype=jnp.bfloat16):
+    if leaf.bits == 8:
+        return (leaf.q.astype(jnp.float32) * leaf.scale).astype(dtype)
+    packed = leaf.q
     lo = (packed & 0x0F).astype(jnp.int8)
     hi = ((packed >> 4) & 0x0F).astype(jnp.int8)
     # sign-extend 4-bit two's complement
@@ -71,15 +93,14 @@ def _dequantize_leaf(leaf, dtype=jnp.bfloat16):
     hi = jnp.where(hi > 7, hi - 16, hi)
     *lead, half, out_dim = packed.shape
     q = jnp.stack([lo, hi], axis=-2).reshape(*lead, 2 * half, out_dim)
-    g = leaf["group"]
-    in_dim = leaf["in_dim"]
+    g, in_dim = leaf.group, leaf.in_dim
     qg = q.reshape(*lead, in_dim // g, g, out_dim).astype(jnp.float32)
-    w = qg * leaf["scale"]
+    w = qg * leaf.scale
     return w.reshape(*lead, in_dim, out_dim).astype(dtype)
 
 
 def _is_quantized_leaf(x) -> bool:
-    return isinstance(x, dict) and "q" in x and "bits" in x
+    return isinstance(x, QuantizedWeight)
 
 
 def quantize_params(
@@ -96,17 +117,9 @@ def quantize_params(
             x = np.asarray(x)
             if x.ndim < 2:
                 return jnp.asarray(x)
-            if bits == 8:
-                leaf = _quantize_leaf_int8(x)
-            else:
-                if x.shape[-2] % 2:
-                    leaf = _quantize_leaf_int8(x)  # odd dims: fall back
-                else:
-                    leaf = _quantize_leaf_int4(x)
-            return {
-                k: jnp.asarray(v) if isinstance(v, np.ndarray) else v
-                for k, v in leaf.items()
-            }
+            if bits == 8 or x.shape[-2] % 2:
+                return _quantize_leaf_int8(x)
+            return _quantize_leaf_int4(x)
 
         return jax.tree_util.tree_map(leaf_fn, tree)
 
@@ -123,16 +136,11 @@ def dequantize_params(qparams: Any, dtype=jnp.bfloat16) -> Any:
     """Reconstitute dense weights (call inside jit so XLA fuses the dequant
     into consumers)."""
 
-    def walk(node):
-        if _is_quantized_leaf(node):
-            return _dequantize_leaf(node, dtype)
-        if isinstance(node, dict):
-            return {k: walk(v) for k, v in node.items()}
-        if isinstance(node, (list, tuple)):
-            return type(node)(walk(v) for v in node)
-        return node
-
-    return walk(qparams)
+    return jax.tree_util.tree_map(
+        lambda x: _dequantize_leaf(x, dtype) if _is_quantized_leaf(x) else x,
+        qparams,
+        is_leaf=_is_quantized_leaf,
+    )
 
 
 def quantized_size_bytes(qparams: Any) -> int:

@@ -99,6 +99,31 @@ def test_greedy_stream_matches_batch(tiny_meta):
     assert stream.strip() == batch.strip()
 
 
+def test_quantized_generate(tiny_tokenizer_dir):
+    """int4 weight-only quantized decoder generates (the reference's NF4
+    eval path); greedy output matches the dense model closely at tiny
+    scale is NOT required — just validity + determinism."""
+    cfg = ens5_mod.tiny_ens5_config()
+    m = MetaModel(
+        llama_type="llama_ens5",
+        tokenizer_path=tiny_tokenizer_dir,
+        with_visual=True,
+        max_seq_len=384,
+        model_cfg=cfg,
+    )
+    m.quantize(bits=4)
+    out1 = m.generate(["hello"], max_gen_len=4, temperature=0.0)
+    out2 = m.generate(["hello"], max_gen_len=4, temperature=0.0)
+    assert out1 == out2
+    assert isinstance(out1[0], str)
+    from a3vlm_tpu.quant import QuantizedWeight
+
+    assert isinstance(
+        m.params["llama"]["layers"]["attention"]["wq"]["weight"],
+        QuantizedWeight,
+    )
+
+
 def test_eval_cli_end_to_end(tmp_path, tiny_tokenizer_dir):
     """The parity-gate flow: demo-format task JSON -> eval CLI -> results
     JSON with the reference record schema (eval_affordance_v2.py:386-401)."""

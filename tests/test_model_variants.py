@@ -221,10 +221,14 @@ def test_quant_blocklist_and_memory():
     )
     params = {"llama": llama.init_llama_params(jax.random.PRNGKey(0), tiny),
               "clip": {"w": jnp.ones((8, 8))}}
+    from a3vlm_tpu.quant import QuantizedWeight
+
     q = quantize_params(params, bits=8, blocklist=("clip",))
     # blocklisted tower untouched
     assert isinstance(q["clip"]["w"], jnp.ndarray)
-    assert "q" in q["llama"]["layers"]["attention"]["wq"]["weight"]
+    assert isinstance(
+        q["llama"]["layers"]["attention"]["wq"]["weight"], QuantizedWeight
+    )
     # memory shrinks ~4x for the quantized subtree
     import jax as _jax
 

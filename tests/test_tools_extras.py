@@ -1,0 +1,342 @@
+"""Tests for tools CLIs, streaming datasets, datagen utils/extras, and the
+two-stage demo builder + grounding banks + visualizer."""
+
+import json
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+import jax
+
+
+# -- tools ---------------------------------------------------------------------
+
+
+def test_convert_weights_to_hf_cli(tmp_path):
+    torch = pytest.importorskip("torch")
+    from transformers import LlamaConfig, LlamaForCausalLM
+
+    from a3vlm_tpu.checkpoint.export import export_consolidated
+    from a3vlm_tpu.config import ModelArgs
+    from a3vlm_tpu.models import llama
+    from a3vlm_tpu.tools.convert_weights_to_hf import convert
+
+    tiny = ModelArgs(dim=32, n_layers=2, n_heads=4, n_kv_heads=4,
+                     vocab_size=64, multiple_of=8, max_seq_len=32)
+    params = llama.init_llama_params(jax.random.PRNGKey(0), tiny)
+    ckpt = tmp_path / "ckpt"
+    export_consolidated(params, str(ckpt), mp_size=2)
+
+    out = convert([str(ckpt)], str(tmp_path / "hf"), n_layers=2, n_heads=4)
+    cfg = json.load(open(tmp_path / "hf" / "config.json"))
+    hf = LlamaForCausalLM(LlamaConfig(
+        vocab_size=cfg["vocab_size"], hidden_size=cfg["hidden_size"],
+        intermediate_size=cfg["intermediate_size"],
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        tie_word_embeddings=False, attention_bias=False,
+    ))
+    sd = torch.load(out, weights_only=True)
+    hf.load_state_dict(sd, strict=True)
+    # logits parity with the source params
+    import jax.numpy as jnp
+
+    tokens = np.array([[1, 5, 9]], np.int64)
+    with torch.no_grad():
+        want = hf(torch.from_numpy(tokens)).logits.numpy()
+    got = np.asarray(
+        llama.forward_train(params, tiny, jnp.asarray(tokens, jnp.int32))
+    )
+    np.testing.assert_allclose(got, want, atol=3e-4)
+
+
+def test_weight_operate_roundtrip(tmp_path):
+    torch = pytest.importorskip("torch")
+    from a3vlm_tpu.tools.weight_operate import operate
+
+    base_dir = tmp_path / "base"
+    ft_dir = tmp_path / "ft"
+    base_dir.mkdir()
+    ft_dir.mkdir()
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((4, 4)).astype(np.float32)
+    fn = "consolidated.00-of-01.model.pth"
+    torch.save({"model": {"llma.x.weight": torch.from_numpy(w)}},
+               base_dir / fn)
+    torch.save({"model": {"llma.x.weight": torch.from_numpy(w + 1.0)}},
+               ft_dir / fn)
+
+    operate(str(base_dir), str(ft_dir), str(tmp_path / "diff"), "extract")
+    diff = torch.load(
+        tmp_path / "diff" / "consolidated.00-of-01.model-diff.pth",
+        weights_only=True,
+    )
+    np.testing.assert_allclose(
+        diff["model"]["llma.x.weight"].numpy(), np.ones((4, 4)), atol=1e-6
+    )
+    operate(str(base_dir), str(tmp_path / "diff"), str(tmp_path / "restored"),
+            "apply")
+    restored = torch.load(
+        tmp_path / "restored" / fn, weights_only=True
+    )
+    np.testing.assert_allclose(
+        restored["model"]["llma.x.weight"].numpy(), w + 1.0, atol=1e-6
+    )
+
+
+def test_generate_packed_data_and_stream(tmp_path, tiny_tokenizer):
+    from a3vlm_tpu.data.falcon_stream import (
+        FalconPackedDataset,
+        FalconStreamDataset,
+    )
+    from a3vlm_tpu.tools.generate_packed_data import pack_file
+
+    text = tmp_path / "docs.txt"
+    text.write_text("\n".join(["Hi my darling " * 5] * 20))
+    out = tmp_path / "packed.pkl"
+    n = pack_file(str(text), str(out), tiny_tokenizer, block_size=32)
+    assert n > 0
+    with open(out, "rb") as f:
+        blocks = pickle.load(f)
+    assert all(len(b) == 32 for b in blocks)
+
+    ds = FalconPackedDataset([str(out)])
+    rows = list(ds)
+    assert len(rows) == n and rows[0].shape == (32,)
+
+    # resume from mid-state skips consumed rows
+    ds2 = FalconPackedDataset([str(out)])
+    ds2.set_state({"file_idx": 0, "row_idx": 2})
+    rows2 = list(ds2)
+    assert len(rows2) == n - 2
+    np.testing.assert_array_equal(rows2[0], rows[2])
+
+    # streaming (jsonl) variant with 2-process sharding
+    jl = tmp_path / "docs.jsonl"
+    jl.write_text(
+        "\n".join(json.dumps({"content": "Hi my darling " * 3}) for _ in range(6))
+    )
+    s0 = FalconStreamDataset([str(jl), str(text)], tiny_tokenizer,
+                             seq_len=16, process_rank=0, num_processes=2)
+    s1 = FalconStreamDataset([str(jl), str(text)], tiny_tokenizer,
+                             seq_len=16, process_rank=1, num_processes=2)
+    assert [f for _, f in s0.own_files()] != [f for _, f in s1.own_files()]
+    assert next(iter(s0)).shape == (16,)
+
+
+def test_data_conversion_recipes():
+    from a3vlm_tpu.tools.data_conversion import (
+        gorilla_to_alpaca,
+        llava_to_single_turn,
+    )
+
+    recs = [
+        {
+            "image": "x.png",
+            "conversations": [
+                {"from": "human", "value": "<image> what?"},
+                {"from": "gpt", "value": "a box"},
+                {"from": "human", "value": "sure?"},
+                {"from": "gpt", "value": "yes"},
+            ],
+        }
+    ]
+    out = llava_to_single_turn(recs)
+    assert len(out) == 2
+    assert out[0] == {"instruction": "what?", "input": "", "output": "a box",
+                      "image": "x.png"}
+
+    g = gorilla_to_alpaca(
+        [{"code": "###Instruction: call api ###Output: x",
+          "api_call": "api.call()"}]
+    )
+    assert g[0]["instruction"] == "call api"
+    assert g[0]["output"] == "api.call()"
+
+
+# -- datagen utils -----------------------------------------------------------------
+
+
+def test_rotated_box_iou():
+    from a3vlm_tpu.datagen.utils import rotated_box_iou
+
+    same = rotated_box_iou([50, 50, 20, 10, 0], [50, 50, 20, 10, 0])
+    assert same == pytest.approx(1.0, abs=1e-3)
+    # identical box rotated 90deg: w x h swaps -> IoU = 10*10/ (2*200-100)
+    rot = rotated_box_iou([50, 50, 20, 10, 0], [50, 50, 20, 10, 90])
+    assert rot == pytest.approx(100 / 300, abs=0.02)
+    assert rotated_box_iou([0, 0, 10, 10, 0], [100, 100, 10, 10, 0]) == 0.0
+
+
+def test_intersect_line_bbox():
+    from a3vlm_tpu.datagen.utils import intersect_line_bbox
+
+    hit = intersect_line_bbox([0, 0], [1, 0], [10, 0, 4, 4])
+    assert hit is not None and hit[0] == pytest.approx(8.0)
+    assert intersect_line_bbox([0, 10], [1, 0], [10, 0, 4, 4]) is None
+
+
+def test_depth_colorize_and_ply(tmp_path):
+    from a3vlm_tpu.datagen.utils import convert_depth_to_color, read_ply_ascii
+
+    depth = np.zeros((8, 8), np.uint16)
+    depth[2:6, 2:6] = 1000
+    color = convert_depth_to_color(depth)
+    assert color.shape == (8, 8, 3)
+    assert (color[0, 0] == 0).all()
+
+    from a3vlm_tpu.datagen.point_render import _save_ply
+
+    pts = np.random.default_rng(0).standard_normal((5, 3))
+    _save_ply(str(tmp_path / "x.ply"), pts, np.zeros((5, 3)),
+              np.full((5, 3), 128.0))
+    back = read_ply_ascii(str(tmp_path / "x.ply"))
+    assert back.shape == (5, 9)
+    np.testing.assert_allclose(back[:, :3], pts, atol=1e-4)
+
+
+# -- demo builder --------------------------------------------------------------------
+
+
+def test_two_stage_demo_builder(tmp_path):
+    from a3vlm_tpu.datagen.create_demo_json import (
+        create_json_step1,
+        create_json_step2,
+        parse_boxes_from_answer,
+    )
+
+    root = tmp_path
+    img_dir = root / "eval_prepare" / "obj1"
+    img_dir.mkdir(parents=True)
+    from PIL import Image
+
+    Image.new("RGB", (32, 32)).save(img_dir / "color.png")
+    step1 = create_json_step1(str(root))
+    tasks = json.load(open(step1))
+    assert len(tasks) == 1
+    assert tasks[0]["conversations"][0]["value"].startswith(
+        "Detect all manipulable"
+    )
+
+    # fake a stage-1 result with two 8-point boxes
+    one_box = "[" + ",".join(["[10.00,20.00,30.00]"] * 8) + "]"
+    results = [{"image": tasks[0]["image"],
+                "answer": f"<box>door</box>{one_box},<box>lid</box>{one_box}"}]
+    res_file = root / "step1.json"
+    res_file.write_text(json.dumps(results))
+    step2 = create_json_step2(str(res_file), str(root / "step2.json"))
+    t2 = json.load(open(step2))
+    assert len(t2) == 2
+    assert "3D axis" in t2[0]["conversations"][0]["value"]
+    assert len(parse_boxes_from_answer(results[0]["answer"])) == 2
+
+
+# -- grounding banks ----------------------------------------------------------------
+
+
+def test_grounding_bank_generation_and_labeler_key(tmp_path):
+    from a3vlm_tpu.datagen.grounding_tasks import generate_bank_for_object
+
+    obj = tmp_path / "obj" / "101"
+    obj.mkdir(parents=True)
+    (obj / "mobility.urdf").write_text(
+        '<robot name="b"><link name="link_0"/><link name="link_1"/>'
+        '<joint name="j" type="revolute"><parent link="link_0"/>'
+        '<child link="link_1"/><axis xyz="1 0 0"/>'
+        '<limit lower="0" upper="1"/></joint></robot>'
+    )
+    (obj / "semantics.txt").write_text(
+        "link_0 heavy box_body\nlink_1 hinge rotation_lid\n"
+    )
+    (obj / "meta.json").write_text(json.dumps({"model_cat": "Box"}))
+    path = generate_bank_for_object(
+        str(tmp_path / "obj"), "101", str(tmp_path / "banks")
+    )
+    assert path is not None
+    bank = json.load(open(path))
+    assert "Box" in bank and len(bank["Box"]) > 0
+    task = next(iter(bank["Box"].values()))
+    assert {"description", "actions"} <= set(task)
+    assert any("closed_rotation_lid" in a for t in bank["Box"].values()
+               for a in t["actions"])
+
+    # the labeler must find the bank by its idx_str key
+    from a3vlm_tpu.datagen.labeler import PartNetLabeler
+
+    labeler = PartNetLabeler(str(tmp_path / "banks"))
+    labeler.semantic_data = [
+        {"link_name": "link_0", "joint_type": "heavy",
+         "semantic": "box_body"},
+        {"link_name": "link_1", "joint_type": "hinge",
+         "semantic": "rotation_lid"},
+    ]
+    labeler.object_cato = "Box"
+    found = labeler._load_grounding_tasks()
+    assert found is not None and len(found) > 0
+
+
+# -- visualizer --------------------------------------------------------------------
+
+
+def test_annotation_visualizer(tmp_path):
+    from PIL import Image
+
+    from a3vlm_tpu.datagen.annotation_visualizer import visualize_task_file
+
+    img = tmp_path / "img.png"
+    Image.new("RGB", (64, 64), (10, 10, 10)).save(img)
+    one_box = "[" + ",".join(["[50.00,50.00,40.00]"] * 8) + "]"
+    tasks = [
+        {"image": str(img), "conversations": [
+            {"from": "human", "value": "q"},
+            {"from": "gpt", "value": "<axis>revolute</axis>"
+             "[10.00,10.00,50.00,90.00,90.00,50.00]"}]},
+        {"image": str(img), "conversations": [
+            {"from": "human", "value": "q"},
+            {"from": "gpt", "value": one_box}]},
+        {"image": str(img), "conversations": [
+            {"from": "human", "value": "q"},
+            {"from": "gpt", "value": "[0.50,0.50,0.30,0.20,0.00]"}]},
+    ]
+    tf = tmp_path / "tasks.json"
+    tf.write_text(json.dumps(tasks))
+    written = visualize_task_file(str(tf), str(tmp_path / "vis"),
+                                  sample_num=3)
+    assert len(written) == 3
+    for w in written:
+        assert os.path.getsize(w) > 0
+
+
+def test_colorize_seg_and_csv_index(tmp_path):
+    import cv2
+
+    from a3vlm_tpu.datagen.texture_aug import (
+        colorize_seg_ade,
+        construct_dataset_index,
+    )
+
+    mask = np.zeros((16, 16), np.uint8)
+    mask[4:8] = 1
+    mask[8:12] = 2
+    seg = colorize_seg_ade(mask)
+    assert seg.shape == (16, 16, 3)
+    assert not (seg[5, 5] == seg[9, 9]).all()
+
+    obj = tmp_path / "render" / "101"
+    (obj / "depth_images").mkdir(parents=True)
+    (obj / "mask").mkdir()
+    (obj / "meta.json").write_text(json.dumps({"model_cat": "Box"}))
+    cv2.imwrite(str(obj / "depth_images" / "000000.png"), mask)
+    cv2.imwrite(str(obj / "mask" / "000000.png"), mask)
+    prompts = tmp_path / "prompts.json"
+    prompts.write_text(json.dumps({"Box": ["a wooden box", "a metal box"]}))
+    n = construct_dataset_index(
+        str(tmp_path / "render"), str(prompts), str(tmp_path / "index.csv")
+    )
+    assert n == 1
+    import csv as _csv
+
+    rows = list(_csv.DictReader(open(tmp_path / "index.csv")))
+    assert rows[0]["category"] == "Box"
+    assert "box" in rows[0]["prompt"]
