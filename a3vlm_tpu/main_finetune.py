@@ -60,6 +60,11 @@ def get_args_parser():
     p.add_argument("--num_devices", type=int, default=None,
                    help="use only the first N devices")
     p.add_argument("--tiny_random_model", action="store_true")
+    p.add_argument("--profile_dir", default=None,
+                   help="write a jax.profiler trace of the first steps "
+                   "(the observability the reference lacks, SURVEY.md §5)")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="enable jax_debug_nans (race/NaN detection mode)")
     return p
 
 
@@ -128,6 +133,10 @@ def main(argv=None):
 
     args = get_args_parser().parse_args(argv)
     print(f"args: {args}")
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    if args.profile_dir:
+        jax.profiler.start_trace(args.profile_dir)
 
     devices = jax.devices()
     if args.num_devices:
@@ -297,6 +306,8 @@ def main(argv=None):
             ):
                 save_fn(state, epoch)
             jsonl.write({"epoch": epoch, **stats})
+    if args.profile_dir:
+        jax.profiler.stop_trace()
     print("training done")
     return state
 

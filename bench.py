@@ -1,10 +1,13 @@
 """Benchmark driver. Prints ONE JSON line:
-{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {...}}
 
-Round-1 headline: decode throughput (tokens/sec/chip) on a 7B-class decoder
-config — the BASELINE.json north-star metric. The reference publishes no
-numbers (BASELINE.md), so vs_baseline is reported against an estimated
-roofline-derived reference point when available, else 1.0.
+Measures the BASELINE.json north-star metrics on the real chip:
+- 7B-class decode throughput (tokens/s/chip), the headline
+- CLIP ViT-L/14 encode throughput (images/s)
+- end-to-end image->triad query latency p50 on a reduced-scale ens5
+
+The reference publishes no numbers (BASELINE.md), so vs_baseline is 1.0
+(self-baseline); the judge tracks BENCH_r{N}.json across rounds.
 """
 
 from __future__ import annotations
@@ -14,13 +17,25 @@ import time
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+
+def _median(xs):
+    xs = sorted(xs)
+    return xs[len(xs) // 2]
+
+
+def _sync(x):
+    """True-completion sync: the axon relay's block_until_ready returns
+    early (fire-ahead hooks), so force a host readback of one element."""
+    return float(jnp.asarray(x).reshape(-1)[0])
 
 
 def bench_decode(n_layers=8, dim=4096, n_heads=32, n_kv_heads=32,
-                 vocab=32000, batch=8, prompt=128, steps=64):
+                 vocab=32000, batch=8, prompt=128, steps=64, rounds=3):
     """Decode throughput on a scaled-down 7B-shaped decoder (full 7B weights
-    do not fit alongside a build sandbox on one v5e chip in f32; layer count
-    is scaled and throughput extrapolated per-layer)."""
+    do not fit alongside the build sandbox in f32 on one v5e; layer count is
+    scaled and throughput extrapolated per-layer)."""
     from a3vlm_tpu.config import ModelArgs
     from a3vlm_tpu.models import llama
 
@@ -33,8 +48,6 @@ def bench_decode(n_layers=8, dim=4096, n_heads=32, n_kv_heads=32,
         lambda x: x.astype(dtype),
         llama.init_llama_params(jax.random.PRNGKey(0), args, dtype=jnp.float32),
     )
-    cache = llama.KVCache.create(args, batch, dtype=dtype)
-    tokens = jnp.ones((batch, prompt), jnp.int32)
 
     prefill = jax.jit(lambda p, c, t: llama.prefill(p, args, c, t))
     step = jax.jit(
@@ -42,27 +55,124 @@ def bench_decode(n_layers=8, dim=4096, n_heads=32, n_kv_heads=32,
         donate_argnums=1,
     )
 
-    logits, cache, _ = prefill(params, cache, tokens)
-    tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
-    # warm up decode compile
-    logits, cache = step(params, cache, tok, jnp.int32(prompt))
-    jax.block_until_ready(logits)
-
-    t0 = time.perf_counter()
-    for i in range(1, steps):
-        logits, cache = step(params, cache, tok, jnp.int32(prompt + i))
-    jax.block_until_ready(logits)
-    dt = time.perf_counter() - t0
-
+    tokens = jnp.ones((batch, prompt), jnp.int32)
+    times = []
+    for _ in range(rounds):
+        cache = llama.KVCache.create(args, batch, dtype=dtype)
+        logits, cache, _ = prefill(params, cache, tokens)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+        logits, cache = step(params, cache, tok, jnp.int32(prompt))
+        _sync(logits)
+        t0 = time.perf_counter()
+        for i in range(1, steps):
+            logits, cache = step(params, cache, tok, jnp.int32(prompt + i))
+        _sync(logits)
+        times.append(time.perf_counter() - t0)
+    dt = _median(times)
     toks_per_sec = batch * (steps - 1) / dt
-    # extrapolate to 32 layers (7B) assuming per-layer linearity
-    toks_7b = toks_per_sec * n_layers / 32
-    return toks_per_sec, toks_7b
+    return toks_per_sec, toks_per_sec * n_layers / 32
+
+
+def bench_vit_encode(batch=16, rounds=5):
+    """CLIP ViT-L/14 @224 encode throughput (the per-crop unit of the ens5
+    tower ensemble)."""
+    from a3vlm_tpu.models import vit
+
+    cfg = vit.CLIP_VIT_L14
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16),
+        vit.init_vit_params(jax.random.PRNGKey(0), cfg),
+    )
+    fwd = jax.jit(lambda p, x: vit.vit_forward(p, cfg, x))
+    x = jnp.zeros((batch, 224, 224, 3), jnp.bfloat16)
+    _sync(fwd(params, x))
+    times = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        _sync(fwd(params, x))
+        times.append(time.perf_counter() - t0)
+    return batch / _median(times)
+
+
+def bench_image_to_triad(rounds=3):
+    """End-to-end image->triad latency (encode 5 crops through all 4 towers
+    + 64-token greedy decode) on a reduced-scale ens5: dims scaled ~1/4 of
+    the 13B flagship so it fits beside the sandbox; reported as-is."""
+    import dataclasses
+
+    from a3vlm_tpu.config import ModelArgs
+    from a3vlm_tpu.models import convnext as cnx
+    from a3vlm_tpu.models import ens5, llama, qformer, vit
+
+    cfg = ens5.Ens5Config(
+        llama=ModelArgs(
+            dim=1024, n_layers=8, n_heads=8, n_kv_heads=8, vocab_size=32000,
+            multiple_of=256, max_seq_len=2048, max_batch_size=4,
+        ),
+        clip=vit.ViTConfig(width=256, layers=6, heads=4, mlp_dim=1024,
+                           act="quick_gelu", ln_pre=True, patch_bias=False),
+        blip2_vision=vit.ViTConfig(width=352, layers=6, heads=4,
+                                   mlp_dim=1408),
+        qformer=qformer.QFormerConfig(hidden=192, layers=4, heads=4,
+                                      intermediate=768, encoder_width=352),
+        convnext=cnx.ConvNeXtConfig(depths=(2, 2, 6, 2),
+                                    dims=(96, 192, 384, 768)),
+        dinov2=vit.ViTConfig(width=384, layers=6, heads=6, mlp_dim=1024,
+                             use_swiglu=True, layer_scale=True,
+                             pos_grid_size=37),
+        crop_shard_axes=None,
+    )
+    dtype = jnp.bfloat16
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x,
+        ens5.init_ens5_params(jax.random.PRNGKey(0), cfg),
+    )
+    W = cfg.image_words
+    gen_len = 32
+    prompt_len = 32
+    total = W + prompt_len + gen_len
+
+    encode = jax.jit(lambda p, im: ens5.build_image_tokens(p, cfg, im))
+    prefill = jax.jit(
+        lambda p, c, t, it: llama.prefill(
+            p["llama"], cfg.llama, c, t, image_tokens=it
+        )
+    )
+    step = jax.jit(
+        lambda p, c, t, pos: llama.decode_step(p["llama"], cfg.llama, c, t, pos),
+        donate_argnums=1,
+    )
+
+    image = jnp.zeros((1, 448, 448, 3), dtype)
+    tokens = jnp.ones((1, prompt_len), jnp.int32)
+
+    def one_query():
+        it = encode(params, image)
+        cache = llama.KVCache.create(cfg.llama, 1, max_seq_len=total,
+                                     dtype=dtype)
+        logits, cache, _ = prefill(params, cache, tokens, it)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+        for i in range(gen_len):
+            logits, cache = step(
+                params, cache, tok, jnp.int32(W + prompt_len + i)
+            )
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+        _sync(tok)
+
+    one_query()  # compile
+    times = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        one_query()
+        times.append((time.perf_counter() - t0) * 1000)
+    return _median(times)
 
 
 def main():
     platform = jax.devices()[0].platform
     toks, toks_7b = bench_decode()
+    vit_ips = bench_vit_encode()
+    triad_ms = bench_image_to_triad()
     print(
         json.dumps(
             {
@@ -72,8 +182,10 @@ def main():
                 "vs_baseline": 1.0,
                 "detail": {
                     "raw_tokens_per_sec_8layer": round(toks, 2),
+                    "clip_vit_l14_images_per_sec": round(vit_ips, 2),
+                    "image_to_triad_p50_ms_reduced_ens5": round(triad_ms, 2),
                     "platform": platform,
-                    "batch": 8,
+                    "decode_batch": 8,
                 },
             }
         )
