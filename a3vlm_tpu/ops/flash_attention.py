@@ -44,6 +44,8 @@ def _flash_kernel(
     block_k: int,
     sq: int,
     skv: int,
+    sq_actual: int,
+    skv_actual: int,
 ):
     qi = pl.program_id(2)
     ki = pl.program_id(3)
@@ -55,9 +57,10 @@ def _flash_kernel(
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    # right-aligned causal: q row (global) r attends kv col c iff
-    # r - sq >= c - skv  <=>  c <= r + (skv - sq)
-    offset = skv - sq
+    # right-aligned causal over the ACTUAL (pre-padding) lengths: q row r
+    # attends kv col c iff r - sq_actual >= c - skv_actual; padded kv columns
+    # (c >= skv_actual) are masked for every row
+    offset = skv_actual - sq_actual
     q_start = qi * block_q
     k_start = ki * block_k
     if causal:
@@ -81,6 +84,8 @@ def _flash_kernel(
             rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
             cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
             allowed = (q_start + rows + offset) >= (k_start + cols)
+            if skv_actual != skv:
+                allowed &= (k_start + cols) < skv_actual
             s = jnp.where(allowed, s, _NEG_INF)
 
         m_prev = m_scr[:, :1]  # [block_q, 1]
@@ -108,7 +113,11 @@ def _flash_kernel(
         o_ref[0, 0] = (acc_scr[:] / l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("causal", "block_q", "block_k"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "block_q", "block_k", "sq_actual",
+                     "skv_actual"),
+)
 def flash_attention_bhsd(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -116,8 +125,12 @@ def flash_attention_bhsd(
     causal: bool = True,
     block_q: int = 256,
     block_k: int = 256,
+    sq_actual: int | None = None,
+    skv_actual: int | None = None,
 ) -> jnp.ndarray:
-    """q: [B, Hq, Sq, D]; k, v: [B, Hkv, Skv, D] -> [B, Hq, Sq, D]."""
+    """q: [B, Hq, Sq, D]; k, v: [B, Hkv, Skv, D] -> [B, Hq, Sq, D].
+    ``sq_actual``/``skv_actual``: real lengths when the inputs are
+    right-padded to block multiples."""
     B, Hq, Sq, D = q.shape
     _, Hkv, Skv, _ = k.shape
     assert Hq % Hkv == 0
@@ -139,6 +152,8 @@ def flash_attention_bhsd(
         block_k=block_k,
         sq=Sq,
         skv=Skv,
+        sq_actual=sq_actual or Sq,
+        skv_actual=skv_actual or Skv,
     )
 
     return pl.pallas_call(
@@ -190,12 +205,40 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     causal: bool = True,
+    block_q: int = 256,
+    block_k: int = 256,
 ) -> jnp.ndarray:
-    """Convenience wrapper taking model-layout [B, S, H, D] tensors."""
+    """Convenience wrapper taking model-layout [B, S, H, D] tensors.
+
+    Sequences that do not divide the block sizes are RIGHT-padded; the
+    kernel masks with the actual lengths (padded kv columns never attended,
+    padded q rows sliced away)."""
+    B, Sq, H, D = q.shape
+    Skv = k.shape[1]
+    bq = min(block_q, max(Sq, 1))
+    bk = min(block_k, max(Skv, 1))
+    pad_q = (-Sq) % bq
+    pad_k = (-Skv) % bk
+    if (pad_q or pad_k) and not causal:
+        # non-causal path has no masking hook wired; fall back
+        from a3vlm_tpu.ops.attention import sdpa_reference
+
+        return sdpa_reference(q, k, v, mask=None)
+    if pad_q or pad_k:
+        q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0), (0, 0)))
     out = flash_attention_bhsd(
         q.transpose(0, 2, 1, 3),
         k.transpose(0, 2, 1, 3),
         v.transpose(0, 2, 1, 3),
         causal=causal,
+        block_q=bq,
+        block_k=bk,
+        sq_actual=Sq,
+        skv_actual=Skv,
     )
-    return out.transpose(0, 2, 1, 3)
+    out = out.transpose(0, 2, 1, 3)
+    if pad_q:
+        out = out[:, :Sq]
+    return out
