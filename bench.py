@@ -109,7 +109,7 @@ def bench_vit_encode(batch=16, rounds=5):
         # 4 chained passes per dispatch to amortize relay RPC overhead
         out = vit.vit_forward(p, cfg, x)
         for _ in range(3):
-            out = vit.vit_forward(p, cfg, x + out[:, :1, :1] * 0)
+            out = vit.vit_forward(p, cfg, x + (out.mean() * 0))
         return out
 
     x = jnp.zeros((batch, 224, 224, 3), jnp.bfloat16)
