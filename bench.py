@@ -35,7 +35,7 @@ def _sync(x):
 
 
 def bench_decode(n_layers=8, dim=4096, n_heads=32, n_kv_heads=32,
-                 vocab=32000, batch=8, prompt=128, steps=64, rounds=3):
+                 vocab=32000, batch=16, prompt=128, steps=64, rounds=3):
     """Decode throughput on a scaled-down 7B-shaped decoder (full 7B weights
     do not fit alongside the build sandbox in f32 on one v5e; layer count is
     scaled and throughput extrapolated per-layer). The whole greedy decode
@@ -204,7 +204,7 @@ def main():
                     "clip_vit_l14_images_per_sec": round(vit_ips, 2),
                     "image_to_triad_p50_ms_reduced_ens5": round(triad_ms, 2),
                     "platform": platform,
-                    "decode_batch": 8,
+                    "decode_batch": 16,
                 },
             }
         )
