@@ -166,24 +166,41 @@ class MetaModel:
             else:
                 merged = sd
         if merged:
-            decoder = import_llama_consolidated(
-                merged, n_layers=model.args.n_layers
+            from a3vlm_tpu.checkpoint.ens5_import import (
+                has_ens5_towers,
+                import_ens5_consolidated,
             )
-            decoder = jax.tree_util.tree_map(
-                lambda x: jnp.asarray(x, dtype), decoder
-            )
-            if model.llama_type == "llama":
-                model.params = decoder
-            else:
-                model.params = dict(model.params)
-                model.params["llama"] = decoder
-                # projectors + image tags, when present in the checkpoint
-                extra = _import_ens5_extras(merged)
-                model.params.update(
-                    jax.tree_util.tree_map(
-                        lambda x: jnp.asarray(x, dtype), extra
+
+            def to_dev(tree):
+                return jax.tree_util.tree_map(
+                    lambda x: jnp.asarray(x, dtype)
+                    if np.asarray(x).dtype.kind == "f"
+                    else jnp.asarray(x),
+                    tree,
+                )
+
+            if model.llama_type.startswith("llama_ens5") and has_ens5_towers(
+                merged
+            ):
+                # the full released checkpoint: decoder + all four torch-
+                # library tower trees + projectors/tags in one state dict
+                model.params = to_dev(
+                    import_ens5_consolidated(merged, model.cfg)
+                )
+            elif model.llama_type == "llama":
+                model.params = to_dev(
+                    import_llama_consolidated(
+                        merged, n_layers=model.args.n_layers
                     )
                 )
+            else:
+                decoder = import_llama_consolidated(
+                    merged, n_layers=model.args.n_layers
+                )
+                model.params = dict(model.params)
+                model.params["llama"] = to_dev(decoder)
+                # projectors + image tags, when present in the checkpoint
+                model.params.update(to_dev(_import_ens5_extras(merged)))
         if quant:
             model.quantize()
         return model
