@@ -113,19 +113,20 @@ def attention(
     llama_ens5.py:142-148, generalized — our kernel also covers the
     right-aligned unequal-length case flash_attn could not), XLA otherwise.
     """
-    use_flash = (
-        impl == "flash"
-        or (
-            impl == "auto"
-            and _tpu_available()
-            and isinstance(mask, str)
-            and mask == "causal"
-            and kv_valid_len is None
-            and q.shape[1] >= 128
-        )
+    # measured on v5e: the Pallas kernel wins for causal sequences >= ~512
+    # (26 TF/s vs 11 TF/s XLA at S=2048, 1024x1024 blocks with bf16 matmul
+    # inputs); XLA's fused attention wins at ViT-scale short non-causal
+    # sequences (257 tokens), so only causal dispatches to the kernel.
+    is_causal = isinstance(mask, str) and mask == "causal"
+    use_flash = impl == "flash" or (
+        impl == "auto"
+        and _tpu_available()
+        and kv_valid_len is None
+        and q.shape[1] >= 512
+        and is_causal
     )
     if use_flash:
         from a3vlm_tpu.ops.flash_attention import flash_attention
 
-        return flash_attention(q, k, v, causal=True)
+        return flash_attention(q, k, v, causal=is_causal)
     return sdpa_reference(q, k, v, mask=mask, kv_valid_len=kv_valid_len)

@@ -71,19 +71,25 @@ def _flash_kernel(
 
     @pl.when(block_visible)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32) * sm_scale  # [block_q, D]
-        k = k_ref[0, 0].astype(jnp.float32)  # [block_k, D]
+        # keep matmul inputs in their native (bf16) dtype for full MXU rate;
+        # accumulate in f32 via preferred_element_type
+        q = q_ref[0, 0]  # [block_q, D]
+        k = k_ref[0, 0]  # [block_k, D]
         s = jax.lax.dot_general(
             q,
             k,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # [block_q, block_k]
+        ) * sm_scale  # [block_q, block_k] f32
 
-        if causal:
+        if causal or skv_actual != skv:
             rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
             cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-            allowed = (q_start + rows + offset) >= (k_start + cols)
+            allowed = (
+                (q_start + rows + offset) >= (k_start + cols)
+                if causal
+                else rows >= 0
+            )
             if skv_actual != skv:
                 allowed &= (k_start + cols) < skv_actual
             s = jnp.where(allowed, s, _NEG_INF)
@@ -96,8 +102,8 @@ def _flash_kernel(
 
         l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
         pv = jax.lax.dot_general(
-            p,
-            v_ref[0, 0].astype(jnp.float32),
+            p.astype(v_ref.dtype),  # bf16 p for full MXU rate
+            v_ref[0, 0],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # [block_q, D]
@@ -123,8 +129,8 @@ def flash_attention_bhsd(
     k: jnp.ndarray,
     v: jnp.ndarray,
     causal: bool = True,
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: int = 1024,
+    block_k: int = 1024,
     sq_actual: int | None = None,
     skv_actual: int | None = None,
 ) -> jnp.ndarray:
@@ -205,8 +211,8 @@ def flash_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     causal: bool = True,
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: int = 1024,
+    block_k: int = 1024,
 ) -> jnp.ndarray:
     """Convenience wrapper taking model-layout [B, S, H, D] tensors.
 
@@ -219,11 +225,6 @@ def flash_attention(
     bk = min(block_k, max(Skv, 1))
     pad_q = (-Sq) % bq
     pad_k = (-Skv) % bk
-    if (pad_q or pad_k) and not causal:
-        # non-causal path has no masking hook wired; fall back
-        from a3vlm_tpu.ops.attention import sdpa_reference
-
-        return sdpa_reference(q, k, v, mask=None)
     if pad_q or pad_k:
         q = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0), (0, 0)))
         k = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0), (0, 0)))

@@ -73,3 +73,15 @@ def test_flash_padded_unequal_lengths():
     got = fa.flash_attention(q, k, v, causal=True, block_q=128, block_k=128)
     want = sdpa_reference(q, k, v, "causal")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3)
+
+
+def test_flash_noncausal_padded():
+    """Non-causal (ViT-style) attention with non-block-multiple lengths —
+    padded kv columns must be masked."""
+    B, S, H, D = 2, 257, 4, 32
+    q = _rand((B, S, H, D), 12)
+    k = _rand((B, S, H, D), 13)
+    v = _rand((B, S, H, D), 14)
+    got = fa.flash_attention(q, k, v, causal=False, block_q=128, block_k=128)
+    want = sdpa_reference(q, k, v, mask=None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3)
