@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import functools
 from dataclasses import dataclass, field
-from typing import Iterable, Optional, Sequence
+from typing import Callable, Iterable, NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -35,6 +35,57 @@ from a3vlm_tpu.ops.sampling import sample_token
 class GenerationResult:
     tokens: np.ndarray  # [B, total_len]
     stop_pos: np.ndarray  # [B]
+
+
+class GenOps(NamedTuple):
+    """Decoder-family generation hooks (static under jit — use module-level
+    functions). Defaults are the llama core; falcon provides its own."""
+
+    create_cache: Callable  # (args, batch, max_seq_len, dtype) -> cache
+    prefill: Callable  # (params, args, cache, tokens, image_tokens, impl)
+    decode_step: Callable  # (params, args, cache, token, seq_pos, impl)
+
+
+def _llama_create_cache(args, batch, max_seq_len, dtype):
+    return llama.KVCache.create(args, batch, max_seq_len=max_seq_len,
+                                dtype=dtype)
+
+
+def _llama_prefill(params, args, cache, tokens, image_tokens, impl):
+    return llama.prefill(params, args, cache, tokens,
+                         image_tokens=image_tokens, impl=impl)
+
+
+def _llama_decode_step(params, args, cache, token, seq_pos, impl):
+    return llama.decode_step(params, args, cache, token, seq_pos, impl=impl)
+
+
+LLAMA_GEN_OPS = GenOps(_llama_create_cache, _llama_prefill, _llama_decode_step)
+
+
+def _falcon_create_cache(args, batch, max_seq_len, dtype):
+    from a3vlm_tpu.models import falcon
+
+    return falcon.FalconKVCache.create(args, batch, max_seq_len=max_seq_len,
+                                       dtype=dtype)
+
+
+def _falcon_prefill(params, args, cache, tokens, image_tokens, impl):
+    from a3vlm_tpu.models import falcon
+
+    assert image_tokens is None, "falcon is text-only (falcon.py:302)"
+    return falcon.prefill(params, args, cache, tokens)
+
+
+def _falcon_decode_step(params, args, cache, token, seq_pos, impl):
+    from a3vlm_tpu.models import falcon
+
+    return falcon.decode_step(params, args, cache, token, seq_pos)
+
+
+FALCON_GEN_OPS = GenOps(
+    _falcon_create_cache, _falcon_prefill, _falcon_decode_step
+)
 
 
 def _prefill_bucket(min_prompt: int) -> int:
@@ -55,6 +106,7 @@ def _prefill_bucket(min_prompt: int) -> int:
         "impl",
         "vocab_limit",
         "params_transform",
+        "ops",
     ),
     donate_argnames=("cache",),
 )
@@ -74,6 +126,7 @@ def _generate_loop(
     impl: str = "auto",
     vocab_limit: Optional[int] = None,
     params_transform=None,
+    ops: GenOps = LLAMA_GEN_OPS,
 ):
     if params_transform is not None:
         # e.g. quant.dequantize_params: runs INSIDE jit so XLA fuses the
@@ -90,8 +143,8 @@ def _generate_loop(
             )
         return lg
 
-    logits, cache, _ = llama.prefill(
-        params, args, cache, prefill_tokens, image_tokens=image_tokens, impl=impl
+    logits, cache, _ = ops.prefill(
+        params, args, cache, prefill_tokens, image_tokens, impl
     )
     logits = mask_pad_vocab(logits)
 
@@ -129,13 +182,9 @@ def _generate_loop(
             stop_pos = jnp.where(new_stop, cur_pos + 1 - L, stop_pos)
             stopped = stopped | new_stop
 
-        logits, cache = llama.decode_step(
-            params,
-            args,
-            cache,
-            next_token[:, None],
-            cur_pos + image_words,
-            impl=impl,
+        logits, cache = ops.decode_step(
+            params, args, cache, next_token[:, None],
+            cur_pos + image_words, impl,
         )
         logits = mask_pad_vocab(logits)
         return (cur_pos + 1, tokens, cache, stopped, stop_pos, logits, rng)
@@ -153,6 +202,7 @@ class Generator:
     def __init__(
         self, params, args: ModelArgs, tokenizer, image_words: int = 0,
         vocab_limit: Optional[int] = None, params_transform=None,
+        ops: GenOps = LLAMA_GEN_OPS,
     ):
         self.params = params
         self.args = args
@@ -160,6 +210,7 @@ class Generator:
         self.image_words = image_words
         self.vocab_limit = vocab_limit
         self.params_transform = params_transform
+        self.ops = ops
 
     def generate(
         self,
@@ -205,12 +256,11 @@ class Generator:
 
         P = _prefill_bucket(min_prompt)
         cache_len = total_len + (0 if image_tokens is None else self.image_words)
-        cache = llama.KVCache.create(
+        cache = self.ops.create_cache(
             args,
             bsz,
-            max_seq_len=cache_len,
-            dtype=jnp.bfloat16
-            if jax.devices()[0].platform == "tpu"
+            cache_len,
+            jnp.bfloat16 if jax.devices()[0].platform == "tpu"
             else jnp.float32,
         )
 
@@ -230,6 +280,7 @@ class Generator:
             impl=impl,
             vocab_limit=self.vocab_limit,
             params_transform=self.params_transform,
+            ops=self.ops,
         )
         out_tokens = np.asarray(out_tokens)
         stop_pos = np.asarray(stop_pos)

@@ -58,7 +58,8 @@ class MetaModel:
         self.true_vocab = self.tokenizer.n_words
         padded_vocab = -(-self.true_vocab // 128) * 128
         overrides = dict(max_seq_len=max_seq_len, vocab_size=padded_vocab)
-        if llama_type in ("llama", "falcon"):
+        self._gen_ops = None  # default llama ops
+        if llama_type == "llama":
             args = (
                 model_args_from_json(llama_config or [], **overrides)
                 if llama_config
@@ -70,6 +71,38 @@ class MetaModel:
             self.image_words = 0
             if params is None:
                 params = llama_mod.init_llama_params(
+                    jax.random.PRNGKey(seed), args, dtype
+                )
+        elif llama_type == "falcon":
+            from a3vlm_tpu.generation import FALCON_GEN_OPS
+            from a3vlm_tpu.models import falcon as falcon_mod
+
+            if model_cfg is not None:
+                args = model_cfg
+            else:
+                import json as _json
+
+                cfg_dict = {}
+                for p in llama_config or []:
+                    with open(p) as f:
+                        cfg_dict.update(_json.load(f))
+                fields = {
+                    f.name
+                    for f in dataclasses.fields(falcon_mod.FalconArgs)
+                }
+                args = falcon_mod.FalconArgs(
+                    **{k: v for k, v in cfg_dict.items() if k in fields},
+                )
+            args = dataclasses.replace(
+                args, vocab_size=padded_vocab, max_seq_len=max_seq_len
+            )
+            self.cfg = args
+            self.args = args
+            self._mod = falcon_mod
+            self.image_words = 0
+            self._gen_ops = FALCON_GEN_OPS
+            if params is None:
+                params = falcon_mod.init_falcon_params(
                     jax.random.PRNGKey(seed), args, dtype
                 )
         elif llama_type in ("llama_ens5", "llama_ens5_2images"):
@@ -92,9 +125,32 @@ class MetaModel:
             self._mod = ens5_mod
             self.image_words = cfg.image_words if with_visual else 0
             if llama_type == "llama_ens5_2images":
+                from a3vlm_tpu.models import ens5_2images as e2_mod
+
+                self._mod = e2_mod
                 self.image_words *= 2  # RGB + depth (llama_ens5_2images:335)
-            if params is None:
+                if params is None:
+                    params = e2_mod.init_params(
+                        jax.random.PRNGKey(seed), cfg, dtype
+                    )
+            elif params is None:
                 params = ens5_mod.init_ens5_params(
+                    jax.random.PRNGKey(seed), cfg, dtype
+                )
+        elif llama_type == "internlm_ems5_light":
+            from a3vlm_tpu.models import internlm_ems5_light as il_mod
+
+            cfg = model_cfg or il_mod.InternlmEns5Config()
+            if cfg.llama.vocab_size != padded_vocab:
+                cfg = dataclasses.replace(
+                    cfg, llama=cfg.llama.replace(vocab_size=padded_vocab)
+                )
+            self.cfg = cfg
+            self.args = cfg.llama
+            self._mod = il_mod
+            self.image_words = cfg.image_words if with_visual else 0
+            if params is None:
+                params = il_mod.init_params(
                     jax.random.PRNGKey(seed), cfg, dtype
                 )
         else:
@@ -223,26 +279,53 @@ class MetaModel:
 
     # -- API ------------------------------------------------------------------
 
-    def encode_images(self, images) -> Optional[jnp.ndarray]:
+    def encode_images(self, images, depth_images=None) -> Optional[jnp.ndarray]:
         if images is None:
             return None
+        if self.llama_type == "llama_ens5_2images":
+            assert depth_images is not None, (
+                "llama_ens5_2images requires depth images "
+                "(llama_ens5_2images.py:518-547)"
+            )
+            if self._encode_image_jit is None:
+                cfg = self.cfg
+                mod = self._mod
+                self._encode_image_jit = jax.jit(
+                    lambda p, im, dm: mod.build_image_tokens(p, cfg, im, dm)
+                )
+            return self._encode_image_jit(
+                self.params, jnp.asarray(images), jnp.asarray(depth_images)
+            )
         if self._encode_image_jit is None:
             cfg = self.cfg
-
+            mod = self._mod
             self._encode_image_jit = jax.jit(
-                lambda p, im: ens5_mod.build_image_tokens(p, cfg, im)
+                lambda p, im: mod.build_image_tokens(p, cfg, im)
             )
         return self._encode_image_jit(self.params, jnp.asarray(images))
 
     def _decoder_params(self):
-        p = self.params if self.llama_type == "llama" else self.params["llama"]
+        p = (
+            self.params
+            if self.llama_type in ("llama", "falcon")
+            else self.params["llama"]
+        )
         if self._params_transform is not None:
             p = self._params_transform(p)
         return p
 
-    def forward(self, examples, labels, images=None):
+    def forward(self, examples, labels, images=None, depth_images=None):
         """Training loss (meta.py:234-263): CE(ignore 0), logits shifted."""
-        image_tokens = self.encode_images(images)
+        if self.llama_type == "falcon":
+            from a3vlm_tpu.models import falcon as falcon_mod
+
+            logits = falcon_mod.forward_train(
+                self._decoder_params(), self.args, jnp.asarray(examples)
+            )
+            return next_token_loss(
+                logits, jnp.asarray(labels), vocab_size=self.true_vocab
+            )
+        image_tokens = self.encode_images(images, depth_images)
         logits = llama_mod.forward_train(
             self._decoder_params(),
             self.args,
@@ -257,13 +340,16 @@ class MetaModel:
         if self._generator is None:
             params = (
                 self.params
-                if self.llama_type == "llama"
+                if self.llama_type in ("llama", "falcon")
                 else self.params["llama"]
             )
+            kw = {}
+            if self._gen_ops is not None:
+                kw["ops"] = self._gen_ops
             self._generator = Generator(
                 params, self.args, self.tokenizer,
                 image_words=self.image_words, vocab_limit=self.true_vocab,
-                params_transform=self._params_transform,
+                params_transform=self._params_transform, **kw,
             )
         return self._generator
 
@@ -271,13 +357,14 @@ class MetaModel:
         self,
         prompts: List[str],
         images=None,
+        depth_images=None,
         max_gen_len: int = 512,
         temperature: float = 0.0,
         top_p: float = 0.95,
         additional_stop_symbols: Iterable[str] = (),
         seed: int = 0,
     ) -> List[str]:
-        image_tokens = self.encode_images(images)
+        image_tokens = self.encode_images(images, depth_images)
         return self._get_generator().generate(
             prompts,
             image_tokens=image_tokens,
@@ -314,17 +401,18 @@ class MetaModel:
 
         params = self._decoder_params()
         W = 0 if image_tokens is None else image_tokens.shape[1]
-        cache = llama_mod.KVCache.create(
-            args, 1, max_seq_len=total_len + W,
-            dtype=jnp.bfloat16
-            if jax.devices()[0].platform == "tpu"
+        from a3vlm_tpu.generation import LLAMA_GEN_OPS
+
+        ops = self._gen_ops or LLAMA_GEN_OPS
+        cache = ops.create_cache(
+            args, 1, total_len + W,
+            jnp.bfloat16 if jax.devices()[0].platform == "tpu"
             else jnp.float32,
         )
-        tokens = list(prompt_tokens)
-        logits, cache, _ = llama_mod.prefill(
+        logits, cache, _ = ops.prefill(
             params, args, cache,
             jnp.asarray([prompt_tokens], jnp.int32),
-            image_tokens=image_tokens,
+            image_tokens, "auto",
         )
         rng = jax.random.PRNGKey(0)
         generated: list[int] = []
@@ -347,10 +435,10 @@ class MetaModel:
                     yield {"text": text[:stop_pos], "end_of_content": True}
                     return
             yield {"text": text, "end_of_content": False}
-            logits, cache = llama_mod.decode_step(
+            logits, cache = ops.decode_step(
                 params, args, cache,
                 jnp.asarray([[next_token]], jnp.int32),
-                jnp.int32(cur_pos + W),
+                jnp.int32(cur_pos + W), "auto",
             )
         yield {"text": tok.decode(generated), "end_of_content": True}
 
@@ -370,11 +458,18 @@ class MetaModel:
         toks = np.zeros((B, L), np.int32)
         for i, e in enumerate(examples):
             toks[i, : len(e)] = e
-        image_tokens = self.encode_images(images)
-        logits = llama_mod.forward_train(
-            self._decoder_params(), self.args, jnp.asarray(toks),
-            image_tokens=image_tokens,
-        )
+        if self.llama_type == "falcon":
+            from a3vlm_tpu.models import falcon as falcon_mod
+
+            logits = falcon_mod.forward_train(
+                self._decoder_params(), self.args, jnp.asarray(toks)
+            )
+        else:
+            image_tokens = self.encode_images(images)
+            logits = llama_mod.forward_train(
+                self._decoder_params(), self.args, jnp.asarray(toks),
+                image_tokens=image_tokens,
+            )
         logits = np.asarray(logits.astype(jnp.float32))[..., : self.true_vocab]
         return [l[:n] for l, n in zip(logits, lens)]
 
