@@ -75,12 +75,19 @@ class VQADataset:
         annotation = item["conversations"][1]["value"] if len(
             item["conversations"]
         ) > 1 else ""
+        path = item["image"]
         try:
-            img = Image.open(item["image"]).convert("RGB")
+            if path.endswith(".npy"):
+                # point-cloud item (eval_affordance_with_quant.py:174-189):
+                # project the cloud to a simple depth-colored image so the
+                # image-conditioned models can consume it
+                image = self._render_point_cloud(path)
+            else:
+                img = Image.open(path).convert("RGB")
+                image = padded_resize(img, self.input_size)
         except Exception:
             # corrupt-image resampling (:146-155)
             return self[(idx + 1) % len(self)]
-        image = padded_resize(img, self.input_size)
 
         conv = conv_templates["v1"]()
         conv.load_qas([[question, None]])
@@ -92,6 +99,21 @@ class VQADataset:
             "annotation": annotation,
             "image_path": item["image"],
         }
+
+
+    def _render_point_cloud(self, path: str) -> np.ndarray:
+        from a3vlm_tpu.data.transforms import CLIP_MEAN, CLIP_STD, pc_norm
+
+        pc = pc_norm(np.load(path))
+        s = self.input_size
+        img = np.zeros((s, s, 3), np.float32)
+        xy = ((pc[:, :2] * 0.5 + 0.5) * (s - 1)).astype(int)
+        colors = (
+            pc[:, 3:6] + 0.5 if pc.shape[1] >= 6
+            else np.tile((pc[:, 2:3] * 0.5 + 0.5), (1, 3))
+        )
+        img[xy[:, 1], xy[:, 0]] = np.clip(colors, 0, 1)
+        return (img - CLIP_MEAN) / CLIP_STD
 
 
 def _question_of(item):

@@ -170,3 +170,28 @@ def test_eval_cli_end_to_end(tmp_path, tiny_tokenizer_dir):
             "fail",
         }
         assert isinstance(rec["fail"], bool)
+
+
+def test_vqa_dataset_npy_point_cloud(tmp_path):
+    """Point-cloud task items (.npy image paths) render to a valid
+    conditioning image (eval_affordance_with_quant.py:174-189 support)."""
+    import numpy as np
+
+    from a3vlm_tpu.eval_affordance import VQADataset
+
+    rng = np.random.default_rng(0)
+    pc = rng.uniform(-1, 1, (500, 6)).astype(np.float32)
+    pc[:, 3:] = rng.uniform(0, 1, (500, 3))
+    npy = tmp_path / "cloud.npy"
+    np.save(npy, pc)
+    task_json = tmp_path / "pc_tasks.json"
+    task_json.write_text(json.dumps([
+        {"image": str(npy), "conversations": [
+            {"from": "human", "value": "Detect all manipulable object parts"},
+            {"from": "gpt", "value": ""}]}
+    ]))
+    ds = VQADataset(str(task_json), input_size=64)
+    item = ds[0]
+    assert item["image"].shape == (64, 64, 3)
+    assert np.isfinite(item["image"]).all()
+    assert np.abs(item["image"]).sum() > 0
