@@ -197,17 +197,26 @@ class FinetuneDialogDataset:
             out["point_cloud"] = np.asarray(point_cloud, np.float32)
         return out
 
-    def __getitem__(self, index: int):
+    def __getitem__(self, index: int, _depth: int = 0):
         try:
             return self.get_item_func(index)
         except Exception as e:
             if not isinstance(e, LabelAllZeroError):
                 warnings.warn(f"item {index} errored: {e!r}")
-            # deterministic neighbor fallback within the group (:275-290)
+            # deterministic neighbor fallback within the group (:275-290),
+            # bounded so a fully-broken group raises instead of recursing
+            # forever (e.g. every item truncated past its labels)
             for indices in self.group_indices.values():
                 if indices[0] <= index <= indices[-1]:
+                    if _depth >= len(indices):
+                        raise RuntimeError(
+                            f"every item in the group containing index "
+                            f"{index} fails to load (last error: {e!r}); "
+                            f"check max_words vs prompt length and the "
+                            f"tokenizer's segment alignment"
+                        ) from e
                     new_index = (
                         indices[-1] if index == indices[0] else index - 1
                     )
-                    return self[new_index]
+                    return self.__getitem__(new_index, _depth + 1)
             raise

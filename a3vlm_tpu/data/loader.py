@@ -63,11 +63,14 @@ class DataLoader:
             return
         q: Queue = Queue(maxsize=self.prefetch)
         sentinel = object()
+        error: list[BaseException] = []
 
         def worker():
             try:
                 for b in self._produce():
                     q.put(b)
+            except BaseException as e:  # propagate into the consumer
+                error.append(e)
             finally:
                 q.put(sentinel)
 
@@ -76,5 +79,7 @@ class DataLoader:
         while True:
             b = q.get()
             if b is sentinel:
+                if error:
+                    raise error[0]
                 break
             yield b
