@@ -206,6 +206,7 @@ def flash_attention_bhsd(
     )(q, k, v)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def flash_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -218,7 +219,17 @@ def flash_attention(
 
     Sequences that do not divide the block sizes are RIGHT-padded; the
     kernel masks with the actual lengths (padded kv columns never attended,
-    padded q rows sliced away)."""
+    padded q rows sliced away).
+
+    Differentiable: the backward pass recomputes attention with the XLA
+    reference and differentiates that (numerically identical math; the
+    fused Pallas backward kernel is a planned upgrade — the XLA backward
+    materializes the score matrix, so training memory is bounded by
+    remat granularity)."""
+    return _flash_attention_fwd_impl(q, k, v, causal, block_q, block_k)
+
+
+def _flash_attention_fwd_impl(q, k, v, causal, block_q, block_k):
     B, Sq, H, D = q.shape
     Skv = k.shape[1]
     bq = min(block_q, max(Sq, 1))
@@ -243,3 +254,20 @@ def flash_attention(
     if pad_q:
         out = out[:, :Sq]
     return out
+
+
+def _flash_fwd(q, k, v, causal, block_q, block_k):
+    out = _flash_attention_fwd_impl(q, k, v, causal, block_q, block_k)
+    return out, (q, k, v)
+
+
+def _flash_bwd(causal, block_q, block_k, residuals, g):
+    from a3vlm_tpu.ops.attention import sdpa_reference
+
+    q, k, v = residuals
+    mask = "causal" if causal else None
+    _, vjp = jax.vjp(lambda q, k, v: sdpa_reference(q, k, v, mask), q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_flash_fwd, _flash_bwd)

@@ -85,3 +85,23 @@ def test_flash_noncausal_padded():
     got = fa.flash_attention(q, k, v, causal=False, block_q=128, block_k=128)
     want = sdpa_reference(q, k, v, mask=None)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3)
+
+
+def test_flash_gradient_matches_xla():
+    """The custom VJP (flash forward, XLA-recompute backward) matches full
+    XLA gradients."""
+    B, S, H, D = 1, 256, 2, 32
+    q = _rand((B, S, H, D), 20)
+    k = _rand((B, S, H, D), 21)
+    v = _rand((B, S, H, D), 22)
+
+    def loss_flash(q, k, v):
+        return (fa.flash_attention(q, k, v, True, 128, 128) ** 2).sum()
+
+    def loss_xla(q, k, v):
+        return (sdpa_reference(q, k, v, "causal") ** 2).sum()
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
