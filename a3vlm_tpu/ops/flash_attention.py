@@ -34,6 +34,7 @@ def _flash_kernel(
     k_ref,
     v_ref,
     o_ref,
+    lse_ref,
     m_scr,
     l_scr,
     acc_scr,
@@ -117,12 +118,19 @@ def _flash_kernel(
         # guard fully-masked rows (can only happen with pathological inputs)
         l = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc_scr[:] / l).astype(o_ref.dtype)
+        if lse_ref is not None:
+            lse = (m_scr[:, :1] + jnp.log(l))  # [block_q, 1]
+            lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref[0, 0].shape)
+
+
+def _no_lse_kernel_adapter(kernel, q_ref, k_ref, v_ref, o_ref, *scratch):
+    kernel(q_ref, k_ref, v_ref, o_ref, None, *scratch)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "block_q", "block_k", "sq_actual",
-                     "skv_actual"),
+                     "skv_actual", "return_lse"),
 )
 def flash_attention_bhsd(
     q: jnp.ndarray,
@@ -133,7 +141,8 @@ def flash_attention_bhsd(
     block_k: int = 1024,
     sq_actual: int | None = None,
     skv_actual: int | None = None,
-) -> jnp.ndarray:
+    return_lse: bool = False,
+):
     """q: [B, Hq, Sq, D]; k, v: [B, Hkv, Skv, D] -> [B, Hq, Sq, D].
     ``sq_actual``/``skv_actual``: real lengths when the inputs are
     right-padded to block multiples."""
@@ -161,8 +170,30 @@ def flash_attention_bhsd(
         sq_actual=sq_actual or Sq,
         skv_actual=skv_actual or Skv,
     )
+    if not return_lse:
+        kernel = functools.partial(_no_lse_kernel_adapter, kernel)
 
-    return pl.pallas_call(
+    out_shape = [jax.ShapeDtypeStruct(q.shape, q.dtype)]
+    out_specs = [
+        pl.BlockSpec(
+            (1, 1, block_q, D),
+            lambda b, h, qi, ki: (b, h, qi, 0),
+            memory_space=pltpu.VMEM,
+        )
+    ]
+    if return_lse:
+        # trailing tile of 8 so the block shape satisfies the TPU layout
+        # rule (last two dims divisible by (8, 128) or equal to the array)
+        out_shape.append(jax.ShapeDtypeStruct((B, Hq, Sq, 8), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec(
+                (1, 1, block_q, 8),
+                lambda b, h, qi, ki: (b, h, qi, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+
+    result = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -182,12 +213,8 @@ def flash_attention_bhsd(
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=pl.BlockSpec(
-            (1, 1, block_q, D),
-            lambda b, h, qi, ki: (b, h, qi, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((block_q, 128), jnp.float32),  # running max
             pltpu.VMEM((block_q, 128), jnp.float32),  # running sum
@@ -204,6 +231,7 @@ def flash_attention_bhsd(
             transcendentals=int(B * Hq * Sq * Skv),
         ),
     )(q, k, v)
+    return tuple(result) if return_lse else result[0]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -256,18 +284,278 @@ def _flash_attention_fwd_impl(q, k, v, causal, block_q, block_k):
     return out
 
 
+
+
+# ---------------------------------------------------------------------------
+# backward kernels
+# ---------------------------------------------------------------------------
+
+
+def _flash_bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr, *,
+    sm_scale, causal, block_q, block_k, sq_actual, skv_actual, skv,
+):
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    offset = skv_actual - sq_actual
+    q_start = qi * block_q
+    k_start = ki * block_k
+    if causal:
+        block_visible = k_start <= q_start + block_q - 1 + offset
+    else:
+        block_visible = ki >= 0
+
+    @pl.when(block_visible)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        if causal or skv_actual != skv:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            allowed = (
+                (q_start + rows + offset) >= (k_start + cols)
+                if causal else rows >= 0
+            )
+            if skv_actual != skv:
+                allowed &= (k_start + cols) < skv_actual
+            s = jnp.where(allowed, s, _NEG_INF)
+        p = jnp.exp(s - lse_ref[0, 0][:, :1])
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_ref[0, 0][:, :1]) * sm_scale
+        dq_scr[:] += jax.lax.dot_general(
+            ds.astype(k.dtype), k,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    dk_scr, dv_scr, *,
+    sm_scale, causal, block_q, block_k, sq_actual, skv_actual, skv,
+):
+    ki = pl.program_id(2)
+    qi = pl.program_id(3)
+    nq = pl.num_programs(3)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    offset = skv_actual - sq_actual
+    q_start = qi * block_q
+    k_start = ki * block_k
+    if causal:
+        # this kv block gets gradient only from q rows that can see it
+        block_visible = q_start + block_q - 1 + offset >= k_start
+    else:
+        block_visible = qi >= 0
+
+    @pl.when(block_visible)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * sm_scale
+        if causal or skv_actual != skv:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            allowed = (
+                (q_start + rows + offset) >= (k_start + cols)
+                if causal else rows >= 0
+            )
+            if skv_actual != skv:
+                allowed &= (k_start + cols) < skv_actual
+            s = jnp.where(allowed, s, _NEG_INF)
+        p = jnp.exp(s - lse_ref[0, 0][:, :1])  # [bq, bk]
+        p_lowp = p.astype(do.dtype)
+        dv_scr[:] += jax.lax.dot_general(
+            p_lowp, do, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(
+            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_ref[0, 0][:, :1]) * sm_scale
+        dk_scr[:] += jax.lax.dot_general(
+            ds.astype(q.dtype), q,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(qi == nq - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("causal", "block_q", "block_k", "sq_actual",
+                     "skv_actual"),
+)
+def _flash_backward_bhsd(
+    q, k, v, do, lse, delta, causal, block_q, block_k, sq_actual, skv_actual
+):
+    """All inputs [B, H*, S*, D] (+ lse/delta [B, Hq, Sq, 8]); returns
+    (dq [B,Hq,Sq,D], dk_per_qhead [B,Hq,Skv,D], dv_per_qhead) — GQA group
+    reduction happens in the caller."""
+    B, Hq, Sq, D = q.shape
+    Skv = k.shape[2]
+    group = Hq // k.shape[1]
+    nq, nk = Sq // block_q, Skv // block_k
+
+    common = dict(
+        sm_scale=D ** -0.5, causal=causal, block_q=block_q, block_k=block_k,
+        sq_actual=sq_actual, skv_actual=skv_actual, skv=Skv,
+    )
+    q_spec = pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0),
+                          memory_space=pltpu.VMEM)
+    kv_spec_q = pl.BlockSpec(
+        (1, 1, block_k, D),
+        lambda b, h, i, j, g=group: (b, h // g, j, 0),
+        memory_space=pltpu.VMEM,
+    )
+    row_spec = pl.BlockSpec(
+        (1, 1, block_q, 8), lambda b, h, i, j: (b, h, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, **common),
+        grid=(B, Hq, nq, nk),
+        in_specs=[q_spec, kv_spec_q, kv_spec_q, q_spec, row_spec, row_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, D), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+    )(q, k, v, do, lse, delta)
+
+    # dk/dv: grid over kv blocks, q innermost
+    q_spec_t = pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, j, 0),
+                            memory_space=pltpu.VMEM)
+    kv_spec_t = pl.BlockSpec(
+        (1, 1, block_k, D),
+        lambda b, h, i, j, g=group: (b, h // g, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kv_out_spec = pl.BlockSpec(
+        (1, 1, block_k, D), lambda b, h, i, j: (b, h, i, 0),
+        memory_space=pltpu.VMEM,
+    )
+    row_spec_t = pl.BlockSpec(
+        (1, 1, block_q, 8), lambda b, h, i, j: (b, h, j, 0),
+        memory_space=pltpu.VMEM,
+    )
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, **common),
+        grid=(B, Hq, nk, nq),
+        in_specs=[q_spec_t, kv_spec_t, kv_spec_t, q_spec_t, row_spec_t,
+                  row_spec_t],
+        out_specs=[kv_out_spec, kv_out_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, Hq, Skv, D), q.dtype),
+            jax.ShapeDtypeStruct((B, Hq, Skv, D), q.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, D), jnp.float32),
+            pltpu.VMEM((block_k, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+    )(q, k, v, do, lse, delta)
+    return dq, dk, dv
+
+
 def _flash_fwd(q, k, v, causal, block_q, block_k):
-    out = _flash_attention_fwd_impl(q, k, v, causal, block_q, block_k)
-    return out, (q, k, v)
+    B, Sq, H, D = q.shape
+    Skv = k.shape[1]
+    bq = min(block_q, max(Sq, 1))
+    bk = min(block_k, max(Skv, 1))
+    pad_q = (-Sq) % bq
+    pad_k = (-Skv) % bk
+    qp = jnp.pad(q, ((0, 0), (0, pad_q), (0, 0), (0, 0))) if pad_q else q
+    kp = jnp.pad(k, ((0, 0), (0, pad_k), (0, 0), (0, 0))) if pad_k else k
+    vp = jnp.pad(v, ((0, 0), (0, pad_k), (0, 0), (0, 0))) if pad_k else v
+    out, lse = flash_attention_bhsd(
+        qp.transpose(0, 2, 1, 3), kp.transpose(0, 2, 1, 3),
+        vp.transpose(0, 2, 1, 3), causal=causal, block_q=bq, block_k=bk,
+        sq_actual=Sq, skv_actual=Skv, return_lse=True,
+    )
+    out = out.transpose(0, 2, 1, 3)
+    if pad_q:
+        out = out[:, :Sq]
+    return out, (q, k, v, out, lse)
 
 
 def _flash_bwd(causal, block_q, block_k, residuals, g):
-    from a3vlm_tpu.ops.attention import sdpa_reference
+    """Pallas backward: dq / dk / dv kernels over the saved lse."""
+    q, k, v, out, lse_padded = residuals
+    B, Sq, Hq, D = q.shape
+    Skv, Hkv = k.shape[1], k.shape[2]
+    group = Hq // Hkv
+    bq = min(block_q, max(Sq, 1))
+    bk = min(block_k, max(Skv, 1))
+    pad_q = (-Sq) % bq
+    pad_k = (-Skv) % bk
 
-    q, k, v = residuals
-    mask = "causal" if causal else None
-    _, vjp = jax.vjp(lambda q, k, v: sdpa_reference(q, k, v, mask), q, k, v)
-    return vjp(g)
+    delta = jnp.sum(
+        g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    ).transpose(0, 2, 1)  # [B, Hq, Sq]
+    if pad_q:
+        delta = jnp.pad(delta, ((0, 0), (0, 0), (0, pad_q)))
+    delta = jnp.broadcast_to(delta[..., None], (*delta.shape, 8))
+    # lse from the forward is already padded-length; padded rows carry
+    # garbage but their do is zero-padded below, so contributions vanish
+
+    def padT(x, pad, axis1=1):
+        if pad:
+            cfg = [(0, 0)] * x.ndim
+            cfg[axis1] = (0, pad)
+            x = jnp.pad(x, cfg)
+        return x.transpose(0, 2, 1, 3)
+
+    dq, dk_h, dv_h = _flash_backward_bhsd(
+        padT(q, pad_q), padT(k, pad_k), padT(v, pad_k), padT(g, pad_q),
+        lse_padded, delta, causal, bq, bk, Sq, Skv,
+    )
+    dq = dq.transpose(0, 2, 1, 3)[:, :Sq]
+    # GQA: sum grads over the q-head group for each kv head
+    dk = dk_h.reshape(B, Hkv, group, Skv + pad_k, D).sum(2)
+    dv = dv_h.reshape(B, Hkv, group, Skv + pad_k, D).sum(2)
+    dk = dk.transpose(0, 2, 1, 3)[:, :Skv].astype(k.dtype)
+    dv = dv.transpose(0, 2, 1, 3)[:, :Skv].astype(v.dtype)
+    return dq.astype(q.dtype), dk, dv
 
 
 flash_attention.defvjp(_flash_fwd, _flash_bwd)

@@ -105,3 +105,27 @@ def test_flash_gradient_matches_xla():
     g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_flash, g_xla):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+
+@pytest.mark.parametrize("hq,hkv,sq,skv", [
+    (4, 2, 256, 256),      # GQA
+    (2, 2, 200, 200),      # padded
+    (2, 2, 128, 384),      # right-aligned unequal
+    (2, 1, 100, 300),      # GQA + padded + unequal
+])
+def test_flash_gradient_variants(hq, hkv, sq, skv):
+    B, D = 1, 32
+    q = _rand((B, sq, hq, D), 30)
+    k = _rand((B, skv, hkv, D), 31)
+    v = _rand((B, skv, hkv, D), 32)
+
+    def loss_flash(q, k, v):
+        return (fa.flash_attention(q, k, v, True, 128, 128) ** 2).sum()
+
+    def loss_xla(q, k, v):
+        return (sdpa_reference(q, k, v, "causal") ** 2).sum()
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_xla = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_xla):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
