@@ -176,6 +176,16 @@ def main(argv=None):
 
     # -- optimizer / train step ----------------------------------------------
     trainable = model.get_trainable_params()
+    compute_dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    if args.precision == "bf16":
+        # fp32 master weights for trainables, bf16 frozen towers; the
+        # forward casts to bf16 (reference recipe: bf16 autocast over fp32
+        # trainables, tensor_type.py:60-66 + engine_finetune.py:44-48)
+        from a3vlm_tpu.utils.tensor_type import mixed_precision_policy
+
+        model.params = mixed_precision_policy(
+            model.params, trainable, compute_dtype=jnp.bfloat16
+        )
     schedule = make_epoch_schedule(
         lr=args.lr, min_lr=args.min_lr, warmup_epochs=args.warmup_epochs,
         epochs=args.epochs, updates_per_epoch=updates_per_epoch,
@@ -191,6 +201,14 @@ def main(argv=None):
     remat = args.checkpointing
 
     def loss_fn(params, batch):
+        if compute_dtype != jnp.float32:
+            # bf16 compute over fp32 masters (autocast)
+            params = jax.tree_util.tree_map(
+                lambda p: p.astype(compute_dtype)
+                if hasattr(p, "dtype") and p.dtype == jnp.float32
+                else p,
+                params,
+            )
         if is_ens:
             logits = ens5_mod.forward(
                 params, cfg, batch["examples"], image=batch.get("image"),

@@ -203,3 +203,37 @@ def test_finetune_cli_end_to_end(tmp_path, tiny_tokenizer_dir, devices8):
     # resume: runs epoch 1
     state2 = main_finetune.main(argv + ["--resume", "auto", "--epochs", "2"])
     assert int(state2.step) >= int(state.step)
+
+
+def test_mixed_precision_master_weights(tmp_path, tiny_tokenizer_dir, devices8):
+    """--precision bf16 keeps fp32 masters for trainables (optimizer
+    moments fp32) while frozen towers are bf16."""
+    import json as _json
+
+    from PIL import Image as _Image
+
+    from a3vlm_tpu import main_finetune
+
+    img_path = tmp_path / "img.png"
+    _Image.new("RGB", (64, 48), (10, 200, 30)).save(img_path)
+    records = [
+        {"image": str(img_path), "conversations": [
+            {"from": "human", "value": f"Where is door {i}?"},
+            {"from": "gpt", "value": f"door {i} here"}]}
+        for i in range(8)
+    ]
+    (tmp_path / "tasks.json").write_text(_json.dumps(records))
+    (tmp_path / "data.yaml").write_text(
+        f"META:\n - path: {tmp_path/'tasks.json'}\n   type: image_text\n"
+    )
+    state = main_finetune.main([
+        "--tokenizer_path", tiny_tokenizer_dir,
+        "--data_config", str(tmp_path / "data.yaml"),
+        "--dialog", "--tiny_random_model", "--batch_size", "2",
+        "--epochs", "1", "--warmup_epochs", "0", "--lr", "1e-4",
+        "--max_words", "256", "--precision", "bf16", "--num_devices", "1",
+        "--output_dir", str(tmp_path / "out"), "--print_freq", "10",
+    ])
+    # trainable decoder weights are fp32 masters; frozen clip tower bf16
+    assert state.params["llama"]["norm"]["weight"].dtype == jnp.float32
+    assert state.params["clip"]["class_embedding"].dtype == jnp.bfloat16
