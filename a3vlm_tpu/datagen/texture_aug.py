@@ -44,6 +44,46 @@ def colorize_seg_ade(mask: np.ndarray) -> np.ndarray:
     return out
 
 
+_MATERIALS = [
+    "wooden", "brushed metal", "white plastic", "matte black",
+    "stainless steel", "painted red", "glossy ceramic", "worn vintage",
+]
+_CONTEXTS = [
+    "in a bright kitchen", "in a modern living room", "in a workshop",
+    "studio product photo", "in an office", "on a wooden floor",
+]
+
+
+def generate_texture_prompts(category: str, n: int = 8, seed: int = 0):
+    """Offline texture-prompt generation — the zero-egress replacement for
+    the GPT-4 prompt generator (openai_description.py:20-106). Produces the
+    same {category: [prompt, ...]} bank format construct_dataset_index
+    consumes; the API-backed path can be swapped in where network exists."""
+    import random as _random
+
+    rng = _random.Random(seed + hash(category) % 10_000)
+    prompts = []
+    seen = set()
+    while len(prompts) < n:
+        p = (
+            f"a {rng.choice(_MATERIALS)} {category.lower()} "
+            f"{rng.choice(_CONTEXTS)}, photorealistic, detailed texture"
+        )
+        if p not in seen:  # dedup vs history (openai_description.py:95-100)
+            seen.add(p)
+            prompts.append(p)
+    return prompts
+
+
+def generate_prompt_bank(categories, out_json: str, n: int = 8) -> str:
+    import json as _json
+
+    bank = {c: generate_texture_prompts(c, n) for c in categories}
+    with open(out_json, "w") as f:
+        _json.dump(bank, f, indent=2)
+    return out_json
+
+
 def construct_dataset_index(
     render_dir: str,
     prompts_json: str,

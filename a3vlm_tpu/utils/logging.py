@@ -158,6 +158,40 @@ class JsonlLogger:
             f.write(json.dumps(record) + "\n")
 
 
+def print_param_status(params, trainable_mask=None, max_rows: int = 0):
+    """Parameter inventory dump (util/misc.py:641-658): name, shape, dtype,
+    trainable flag, and totals."""
+    import jax
+    import numpy as np
+
+    leaves = jax.tree_util.tree_leaves_with_path(params)
+    mask_leaves = (
+        jax.tree_util.tree_leaves(trainable_mask)
+        if trainable_mask is not None
+        else [True] * len(leaves)
+    )
+    total = 0
+    trainable_total = 0
+    for i, ((path, leaf), t) in enumerate(zip(leaves, mask_leaves)):
+        n = int(np.prod(np.shape(leaf))) if np.ndim(leaf) else 1
+        total += n
+        if t:
+            trainable_total += n
+        if max_rows and i < max_rows:
+            name = "/".join(
+                str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+            )
+            print(
+                f"  {name}: shape={np.shape(leaf)} "
+                f"dtype={getattr(leaf, 'dtype', '?')} trainable={bool(t)}"
+            )
+    print(
+        f"parameters: {total:,} total, {trainable_total:,} trainable "
+        f"({100 * trainable_total / max(total, 1):.1f}%)"
+    )
+    return total, trainable_total
+
+
 class TensorBoardLogger:
     """SummaryWriter facade; no-op if tensorboard is unavailable."""
 
