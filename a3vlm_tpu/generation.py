@@ -47,8 +47,10 @@ class GenOps(NamedTuple):
 
 
 def _llama_create_cache(args, batch, max_seq_len, dtype):
+    # layered (per-layer buffer) cache: in-place decode updates (llama.py
+    # KVCache docstring; ~2.2x faster decode than the stacked layout)
     return llama.KVCache.create(args, batch, max_seq_len=max_seq_len,
-                                dtype=dtype)
+                                dtype=dtype, layered=True)
 
 
 def _llama_prefill(params, args, cache, tokens, image_tokens, impl):

@@ -37,24 +37,41 @@ Params = dict[str, Any]
 
 
 class KVCache(NamedTuple):
-    """[n_layers, batch, max_seq, n_kv_heads, head_dim] each."""
+    """Either stacked arrays [n_layers, batch, max_seq, n_kv_heads, head_dim]
+    (training/prefill-friendly, used with the layer scan) or — for decode —
+    TUPLES of per-layer [batch, max_seq, n_kv_heads, head_dim] buffers.
 
-    k: jnp.ndarray
-    v: jnp.ndarray
+    The layered form exists for speed: per-layer buffers let XLA perform the
+    per-step ``dynamic_update_slice`` in place, while a stacked cache flowing
+    through ``lax.scan`` ys is copied wholesale every step (measured 4.6 ->
+    2.0 ms/step on v5e for an 8-layer 1024-dim model with a 1551-slot
+    cache)."""
+
+    k: jnp.ndarray | tuple
+    v: jnp.ndarray | tuple
 
     @classmethod
     def create(
         cls, args: ModelArgs, batch_size: int, max_seq_len: int | None = None,
-        dtype=jnp.bfloat16,
+        dtype=jnp.bfloat16, layered: bool = False,
     ) -> "KVCache":
         shape = (
-            args.n_layers,
             batch_size,
             max_seq_len or args.max_seq_len,
             args.kv_heads,
             args.head_dim,
         )
-        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+        if layered:
+            return cls(
+                tuple(jnp.zeros(shape, dtype) for _ in range(args.n_layers)),
+                tuple(jnp.zeros(shape, dtype) for _ in range(args.n_layers)),
+            )
+        full = (args.n_layers, *shape)
+        return cls(jnp.zeros(full, dtype), jnp.zeros(full, dtype))
+
+    @property
+    def layered(self) -> bool:
+        return isinstance(self.k, tuple)
 
 
 # ---------------------------------------------------------------------------
@@ -283,6 +300,20 @@ def forward_hidden(
             body = jax.checkpoint(body, prevent_cse=False)
         h, _ = jax.lax.scan(body, h, params["layers"])
         return h, None
+
+    if cache.layered:
+        # unrolled layer loop over per-layer buffers: XLA updates each
+        # cache slot in place (the decode hot path)
+        new_k, new_v = [], []
+        for i in range(args.n_layers):
+            lp = jax.tree_util.tree_map(lambda x: x[i], params["layers"])
+            h, (k_new, v_new) = _block(
+                h, lp, args, freqs_cis, mask, cache.k[i], cache.v[i],
+                write_pos, kv_valid_len, impl, attend_cache=attend_cache,
+            )
+            new_k.append(k_new)
+            new_v.append(v_new)
+        return h, KVCache(tuple(new_k), tuple(new_v))
 
     def body_cache(hc, xs):
         lp, k_l, v_l = xs

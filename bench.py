@@ -55,7 +55,7 @@ def bench_decode(n_layers=8, dim=4096, n_heads=32, n_kv_heads=32,
 
     @jax.jit
     def prefill_and_decode(p, tokens):
-        cache = llama.KVCache.create(args, batch, dtype=dtype)
+        cache = llama.KVCache.create(args, batch, dtype=dtype, layered=True)
         logits, cache, _ = llama.prefill(p, args, cache, tokens)
         tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
 
@@ -160,7 +160,7 @@ def bench_image_to_triad(rounds=3, gen_len=32):
     def one_query(p, image, tokens):
         it = ens5.build_image_tokens(p, cfg, image)
         cache = llama.KVCache.create(cfg.llama, 1, max_seq_len=total,
-                                     dtype=dtype)
+                                     dtype=dtype, layered=True)
         logits, cache, _ = llama.prefill(
             p["llama"], cfg.llama, cache, tokens, image_tokens=it
         )

@@ -158,3 +158,26 @@ def test_dp_tp_mesh_forward(devices8):
             sharded, tokens
         )
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3)
+
+
+def test_layered_cache_matches_stacked(tiny_params):
+    """The per-layer (decode-optimized) cache layout produces identical
+    logits to the stacked scan layout."""
+    B, S = 2, 12
+    tokens = jax.random.randint(jax.random.PRNGKey(9), (B, S), 1, 100)
+    full_logits = llama.forward_train(tiny_params, TINY, tokens)
+
+    cache = llama.KVCache.create(TINY, B, dtype=jnp.float32, layered=True)
+    assert cache.layered and len(cache.k) == TINY.n_layers
+    P = 5
+    logits, cache, _ = llama.prefill(tiny_params, TINY, cache, tokens[:, :P])
+    np.testing.assert_allclose(
+        np.asarray(logits), np.asarray(full_logits[:, P - 1]), atol=2e-3
+    )
+    for pos in range(P, S):
+        logits, cache = llama.decode_step(
+            tiny_params, TINY, cache, tokens[:, pos : pos + 1], jnp.int32(pos)
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(full_logits[:, pos]), atol=2e-3
+        )
