@@ -69,7 +69,7 @@ def _falcon_create_cache(args, batch, max_seq_len, dtype):
     from a3vlm_tpu.models import falcon
 
     return falcon.FalconKVCache.create(args, batch, max_seq_len=max_seq_len,
-                                       dtype=dtype)
+                                       dtype=dtype, layered=True)
 
 
 def _falcon_prefill(params, args, cache, tokens, image_tokens, impl):

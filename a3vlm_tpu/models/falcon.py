@@ -134,16 +134,30 @@ def falcon_partition_specs(args: FalconArgs) -> Params:
 
 
 class FalconKVCache(NamedTuple):
-    k: jnp.ndarray
-    v: jnp.ndarray
+    """Stacked [L, B, S, Hkv, hd] arrays or per-layer tuples (layered=True,
+    the in-place decode layout — see models/llama.KVCache)."""
+
+    k: jnp.ndarray | tuple
+    v: jnp.ndarray | tuple
 
     @classmethod
-    def create(cls, args: FalconArgs, batch, max_seq_len=None, dtype=jnp.bfloat16):
+    def create(cls, args: FalconArgs, batch, max_seq_len=None,
+               dtype=jnp.bfloat16, layered: bool = False):
         shape = (
-            args.num_layers, batch, max_seq_len or args.max_seq_len,
+            batch, max_seq_len or args.max_seq_len,
             args.kv_heads, args.head_dim,
         )
-        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+        if layered:
+            return cls(
+                tuple(jnp.zeros(shape, dtype) for _ in range(args.num_layers)),
+                tuple(jnp.zeros(shape, dtype) for _ in range(args.num_layers)),
+            )
+        full = (args.num_layers, *shape)
+        return cls(jnp.zeros(full, dtype), jnp.zeros(full, dtype))
+
+    @property
+    def layered(self) -> bool:
+        return isinstance(self.k, tuple)
 
 
 def _block(h, lp, args: FalconArgs, freqs_cis, mask, cache_k, cache_v,
@@ -217,25 +231,45 @@ def forward_train(params: Params, args: FalconArgs, examples: jnp.ndarray,
     return h @ params["output"]["weight"]
 
 
+
+
+def _run_layers_cached(params, args, h, freqs_cis, mask, cache, write_pos,
+                       kv_valid_len, attend_cache):
+    if cache.layered:
+        new_k, new_v = [], []
+        for i in range(args.num_layers):
+            lp = jax.tree_util.tree_map(lambda x: x[i], params["layers"])
+            h, (k_new, v_new) = _block(
+                h, lp, args, freqs_cis, mask, cache.k[i], cache.v[i],
+                write_pos, kv_valid_len, attend_cache,
+            )
+            new_k.append(k_new)
+            new_v.append(v_new)
+        return h, FalconKVCache(tuple(new_k), tuple(new_v))
+
+    def body(hc, xs):
+        lp, k_l, v_l = xs
+        out, (k, v) = _block(hc, lp, args, freqs_cis, mask, k_l, v_l,
+                             write_pos, kv_valid_len, attend_cache)
+        return out, (k, v)
+
+    h, (k, v) = jax.lax.scan(body, h, (params["layers"], cache.k, cache.v))
+    return h, FalconKVCache(k, v)
+
+
 def prefill(params, args: FalconArgs, cache: FalconKVCache, tokens):
     h = jnp.take(params["word_embeddings"]["weight"], tokens, axis=0)
     S = h.shape[1]
     freqs_cis = _freqs(args, jnp.arange(S))
-
-    def body(hc, xs):
-        lp, k_l, v_l = xs
-        out, (k, v) = _block(
-            hc, lp, args, freqs_cis, "causal", k_l, v_l, 0, None, False
-        )
-        return out, (k, v)
-
-    h, (k, v) = jax.lax.scan(body, h, (params["layers"], cache.k, cache.v))
+    h, cache = _run_layers_cached(
+        params, args, h, freqs_cis, "causal", cache, 0, None, False
+    )
     h = layer_norm(
         h, params["ln_f"]["weight"], params["ln_f"]["bias"],
         args.layer_norm_epsilon,
     )
     logits = h[:, -1, :] @ params["output"]["weight"]
-    return logits.astype(jnp.float32), FalconKVCache(k, v), S
+    return logits.astype(jnp.float32), cache, S
 
 
 def decode_step(params, args: FalconArgs, cache: FalconKVCache, token,
@@ -245,18 +279,12 @@ def decode_step(params, args: FalconArgs, cache: FalconKVCache, token,
     h = jnp.take(params["word_embeddings"]["weight"], token, axis=0)
     freqs_cis = _freqs(args, seq_pos[None])
     kv_valid = jnp.full((B,), seq_pos + 1, jnp.int32)
-
-    def body(hc, xs):
-        lp, k_l, v_l = xs
-        out, (k, v) = _block(
-            hc, lp, args, freqs_cis, None, k_l, v_l, seq_pos, kv_valid, True
-        )
-        return out, (k, v)
-
-    h, (k, v) = jax.lax.scan(body, h, (params["layers"], cache.k, cache.v))
+    h, cache = _run_layers_cached(
+        params, args, h, freqs_cis, None, cache, seq_pos, kv_valid, True
+    )
     h = layer_norm(
         h, params["ln_f"]["weight"], params["ln_f"]["bias"],
         args.layer_norm_epsilon,
     )
     logits = h[:, -1, :] @ params["output"]["weight"]
-    return logits.astype(jnp.float32), FalconKVCache(k, v)
+    return logits.astype(jnp.float32), cache
