@@ -16,7 +16,7 @@ plus parsers for eval, and the VQA-task builder functions producing
 from __future__ import annotations
 
 import re
-from typing import Any, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -5,8 +5,6 @@ byte-compatible string formats of codecs.triad."""
 from __future__ import annotations
 
 import random
-from typing import Optional
-
 import numpy as np
 
 from a3vlm_tpu.codecs import vocab as V

@@ -12,7 +12,6 @@ from PIL import Image
 
 from a3vlm_tpu.data.annotations import (
     cache_dir_for,
-    collect_annotations,
     read_h5_cache,
     write_h5_cache,
 )

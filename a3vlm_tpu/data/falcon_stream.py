@@ -11,7 +11,7 @@ and falcon_packed.py): iterable token streams with file-level sharding over
 from __future__ import annotations
 
 import pickle
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 

@@ -12,7 +12,7 @@ import re
 
 import numpy as np
 
-from a3vlm_tpu.codecs.vocab import DET_ALL_BBOX_3D_INSTRUCT, REC_JOINT_3D_INSTRUCT
+from a3vlm_tpu.codecs.vocab import DET_ALL_BBOX_3D_INSTRUCT
 
 _TRIPLE_RE = re.compile(
     r"\[\s*(-?[\d.]+)\s*,\s*(-?[\d.]+)\s*,\s*(-?[\d.]+)\s*\]"

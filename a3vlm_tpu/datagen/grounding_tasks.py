@@ -20,7 +20,7 @@ import json
 import os
 from typing import Optional
 
-from a3vlm_tpu.codecs.vocab import ACTION_PRIMITIVES, JOINT_TYPES_MAPPING
+from a3vlm_tpu.codecs.vocab import JOINT_TYPES_MAPPING
 
 
 def link_semantics_from_urdf(semantics_file: str, urdf_file: str,

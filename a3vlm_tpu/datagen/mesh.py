@@ -8,7 +8,7 @@ colors), fan triangulation, transforms, concatenation, OBJ export.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional
 
 import numpy as np

@@ -14,7 +14,6 @@ Flag surface mirrors main_finetune.py:55-138; parallelism flags map as:
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 from pathlib import Path
 

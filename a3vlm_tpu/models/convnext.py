@@ -11,7 +11,7 @@ the stem is a 4x4/s4 conv + LN.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any
 
 import jax

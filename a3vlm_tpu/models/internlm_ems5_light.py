@@ -16,7 +16,7 @@ grouped ``wqkv`` layout (checkpoint/torch_import.import_internlm2_hf)."""
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Optional
 
 import jax

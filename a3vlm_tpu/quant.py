@@ -11,13 +11,14 @@ util/quant.py, rebuilt TPU-native):
   (vision towers + projectors, llama_ens5.py:541-550) stay dense, as do
   1-D params (norms/biases), matching util/quant.py:18-93's layer filter.
 
-A quantized leaf is a dict {"q": int8, "scale": f32, "bits": ...} that
-``dequantize_params`` turns back into dense weights inside jit.
+A quantized leaf is a ``QuantizedWeight`` pytree node ((q, scale) as
+children; (bits, group, in_dim) static aux) that ``dequantize_params`` turns
+back into dense weights inside jit.
 """
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp

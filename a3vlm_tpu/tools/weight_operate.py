@@ -5,7 +5,6 @@ from __future__ import annotations
 
 import argparse
 import os
-import re
 
 
 def operate(base_path: str, delta_path: str, output_path: str, op: str):

@@ -14,9 +14,6 @@ from __future__ import annotations
 import math
 from typing import Callable, Optional
 
-import jax
-import numpy as np
-
 from a3vlm_tpu.train.lr_sched import adjust_learning_rate_epoch
 from a3vlm_tpu.utils.logging import MetricLogger
 
