@@ -44,6 +44,9 @@ class GenOps(NamedTuple):
     create_cache: Callable  # (args, batch, max_seq_len, dtype) -> cache
     prefill: Callable  # (params, args, cache, tokens, image_tokens, impl)
     decode_step: Callable  # (params, args, cache, token, seq_pos, impl)
+    # (args, mesh, batch) -> pytree of PartitionSpec matching create_cache's
+    # output; used to shard the KV cache for multi-chip decode
+    cache_specs: Optional[Callable] = None
 
 
 def _llama_create_cache(args, batch, max_seq_len, dtype):
@@ -62,7 +65,10 @@ def _llama_decode_step(params, args, cache, token, seq_pos, impl):
     return llama.decode_step(params, args, cache, token, seq_pos, impl=impl)
 
 
-LLAMA_GEN_OPS = GenOps(_llama_create_cache, _llama_prefill, _llama_decode_step)
+LLAMA_GEN_OPS = GenOps(
+    _llama_create_cache, _llama_prefill, _llama_decode_step,
+    llama.decode_cache_specs,
+)
 
 
 def _falcon_create_cache(args, batch, max_seq_len, dtype):
@@ -85,8 +91,22 @@ def _falcon_decode_step(params, args, cache, token, seq_pos, impl):
     return falcon.decode_step(params, args, cache, token, seq_pos)
 
 
+def _falcon_cache_specs(args, mesh, batch):
+    from jax.sharding import PartitionSpec as P
+
+    axes = dict(mesh.shape)
+    b_ax = "data" if batch % axes.get("data", 1) == 0 else None
+    h_ax = "model" if args.kv_heads % axes.get("model", 1) == 0 else None
+    spec = P(b_ax, None, h_ax, None)
+    per_layer = tuple(spec for _ in range(args.num_layers))
+    from a3vlm_tpu.models.falcon import FalconKVCache
+
+    return FalconKVCache(per_layer, per_layer)
+
+
 FALCON_GEN_OPS = GenOps(
-    _falcon_create_cache, _falcon_prefill, _falcon_decode_step
+    _falcon_create_cache, _falcon_prefill, _falcon_decode_step,
+    _falcon_cache_specs,
 )
 
 
@@ -204,7 +224,7 @@ class Generator:
     def __init__(
         self, params, args: ModelArgs, tokenizer, image_words: int = 0,
         vocab_limit: Optional[int] = None, params_transform=None,
-        ops: GenOps = LLAMA_GEN_OPS,
+        ops: GenOps = LLAMA_GEN_OPS, mesh=None,
     ):
         self.params = params
         self.args = args
@@ -213,6 +233,36 @@ class Generator:
         self.vocab_limit = vocab_limit
         self.params_transform = params_transform
         self.ops = ops
+        # multi-chip serving (the reference's MP=2 TP-lockstep generation,
+        # eval_affordance_v2.py:330-384): with a mesh, the KV cache is
+        # sharded batch-on-"data" / kv-heads-on-"model" and the token
+        # buffers batch-on-"data"; XLA turns the per-layer TP matmuls into
+        # ICI collectives via the params' NamedShardings.
+        self.mesh = mesh
+
+    def _shard_cache(self, cache, batch):
+        if self.mesh is None or self.ops.cache_specs is None:
+            return cache
+        from jax.sharding import NamedSharding
+
+        specs = self.ops.cache_specs(self.args, self.mesh, batch)
+        return jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
+            cache, specs,
+        )
+
+    def _shard_batched(self, x):
+        """Place a [B, ...] host buffer on the mesh, batch over "data" when
+        it divides, replicated otherwise."""
+        x = jnp.asarray(x)
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        dp = dict(self.mesh.shape).get("data", 1)
+        b_ax = "data" if x.shape[0] % dp == 0 else None
+        spec = P(b_ax, *([None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(self.mesh, spec))
 
     def generate(
         self,
@@ -265,14 +315,17 @@ class Generator:
             jnp.bfloat16 if jax.devices()[0].platform == "tpu"
             else jnp.float32,
         )
+        cache = self._shard_cache(cache, bsz)
+        if image_tokens is not None:
+            image_tokens = self._shard_batched(image_tokens)
 
         out_tokens, stop_pos = _generate_loop(
             self.params,
             args,
             cache,
-            jnp.asarray(tokens),
-            jnp.asarray(mask),
-            jnp.asarray(tokens[:, :P]),
+            self._shard_batched(tokens),
+            self._shard_batched(mask),
+            self._shard_batched(tokens[:, :P]),
             image_tokens,
             jax.random.PRNGKey(seed),
             total_len=total_len,

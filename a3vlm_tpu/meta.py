@@ -157,6 +157,7 @@ class MetaModel:
             raise KeyError(f"unknown llama_type: {llama_type}")
 
         self.params = params
+        self.mesh = None  # set by ModelServer / callers for multi-chip decode
         self._generator: Optional[Generator] = None
         self._encode_image_jit = None
         self._params_transform = None  # set by quantize()
@@ -264,17 +265,22 @@ class MetaModel:
     def quantize(self, bits: int = 4) -> None:
         """Post-hoc weight-only quantization of the decoder (the NF4 eval
         path, eval_affordance_with_quant.py:327-342). Vision towers and
-        projectors stay dense (quant blocklist)."""
-        from a3vlm_tpu.quant import dequantize_params, quantize_params
+        projectors stay dense (quant blocklist).
 
-        if self.llama_type == "llama":
+        Weights stay packed in HBM and flow into the decoder's ``qmat``
+        linears: int8 dequant fuses into the dots; int4 dispatches to the
+        Pallas fused dequant-matmul kernel on TPU (ops/quant_matmul.py) —
+        the analogue of bitsandbytes' fused Linear4bit forward."""
+        from a3vlm_tpu.quant import quantize_params
+
+        if self.llama_type in ("llama", "falcon"):
             self.params = quantize_params(self.params, bits=bits)
         else:
             self.params = dict(self.params)
             self.params["llama"] = quantize_params(
                 self.params["llama"], bits=bits
             )
-        self._params_transform = dequantize_params
+        self._params_transform = None  # qmat consumes packed leaves directly
         self._generator = None
 
     # -- API ------------------------------------------------------------------
@@ -349,7 +355,8 @@ class MetaModel:
             self._generator = Generator(
                 params, self.args, self.tokenizer,
                 image_words=self.image_words, vocab_limit=self.true_vocab,
-                params_transform=self._params_transform, **kw,
+                params_transform=self._params_transform, mesh=self.mesh,
+                **kw,
             )
         return self._generator
 

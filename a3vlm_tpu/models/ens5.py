@@ -238,6 +238,13 @@ def encode_image(params: Params, cfg: Ens5Config, image: jnp.ndarray):
     q_feats = _apply_proj(q_feats, params["qformer_proj"])
     ens = _apply_proj(ens, params["visual_proj"])
     feats = jnp.concatenate([q_feats, ens], axis=1)  # [5B, 32+257, D]
+    if cfg.crop_shard_axes:
+        # fold the crop-sharded features back to batch-sharded BEFORE the
+        # token splice so SPMD does one explicit all-to-all here instead of
+        # an involuntary full rematerialization at the concatenate
+        feats = jax.lax.with_sharding_constraint(
+            feats, P(cfg.crop_shard_axes[0], None, None)
+        )
     return list(jnp.split(feats, 5, axis=0))  # 5 x [B, 289, D]
 
 

@@ -19,6 +19,7 @@ from jax.sharding import PartitionSpec as P
 
 from a3vlm_tpu.ops.attention import attention
 from a3vlm_tpu.ops.norms import layer_norm
+from a3vlm_tpu.ops.quant_matmul import qmat
 from a3vlm_tpu.ops.rope import precompute_freqs_cis
 
 Params = dict[str, Any]
@@ -170,9 +171,9 @@ def _block(h, lp, args: FalconArgs, freqs_cis, mask, cache_k, cache_v,
     mlp_in = layer_norm(h, lp["ln_mlp"]["weight"], lp["ln_mlp"]["bias"], eps)
 
     att = lp["attention"]
-    xq = (attn_in @ att["wq"]["weight"]).reshape(B, S, H, hd)
-    xk = (attn_in @ att["wk"]["weight"]).reshape(B, S, Hkv, hd)
-    xv = (attn_in @ att["wv"]["weight"]).reshape(B, S, Hkv, hd)
+    xq = qmat(attn_in, att["wq"]["weight"]).reshape(B, S, H, hd)
+    xk = qmat(attn_in, att["wk"]["weight"]).reshape(B, S, Hkv, hd)
+    xv = qmat(attn_in, att["wv"]["weight"]).reshape(B, S, Hkv, hd)
     xq = apply_rotary_half_split(xq, freqs_cis)
     xk = apply_rotary_half_split(xk, freqs_cis)
 
@@ -190,13 +191,13 @@ def _block(h, lp, args: FalconArgs, freqs_cis, mask, cache_k, cache_v,
         kv_valid_len = None
 
     attn_out = attention(xq, keys, values, mask=mask, kv_valid_len=kv_valid_len)
-    attn_out = attn_out.reshape(B, S, H * hd) @ att["wo"]["weight"]
+    attn_out = qmat(attn_out.reshape(B, S, H * hd), att["wo"]["weight"])
 
     mlp = lp["mlp"]
     mlp_out = jax.nn.gelu(
-        mlp_in @ mlp["dense_h_to_4h"]["weight"], approximate=False
+        qmat(mlp_in, mlp["dense_h_to_4h"]["weight"]), approximate=False
     )
-    mlp_out = mlp_out @ mlp["dense_4h_to_h"]["weight"]
+    mlp_out = qmat(mlp_out, mlp["dense_4h_to_h"]["weight"])
 
     # parallel attn + mlp share the residual (falcon.py:268-276)
     return h + attn_out + mlp_out, (cache_k, cache_v)
@@ -228,7 +229,7 @@ def forward_train(params: Params, args: FalconArgs, examples: jnp.ndarray,
         h, params["ln_f"]["weight"], params["ln_f"]["bias"],
         args.layer_norm_epsilon,
     )
-    return h @ params["output"]["weight"]
+    return qmat(h, params["output"]["weight"])
 
 
 
@@ -268,7 +269,7 @@ def prefill(params, args: FalconArgs, cache: FalconKVCache, tokens):
         h, params["ln_f"]["weight"], params["ln_f"]["bias"],
         args.layer_norm_epsilon,
     )
-    logits = h[:, -1, :] @ params["output"]["weight"]
+    logits = qmat(h[:, -1, :], params["output"]["weight"])
     return logits.astype(jnp.float32), cache, S
 
 
@@ -286,5 +287,5 @@ def decode_step(params, args: FalconArgs, cache: FalconKVCache, token,
         h, params["ln_f"]["weight"], params["ln_f"]["bias"],
         args.layer_norm_epsilon,
     )
-    logits = h[:, -1, :] @ params["output"]["weight"]
+    logits = qmat(h[:, -1, :], params["output"]["weight"])
     return logits.astype(jnp.float32), cache

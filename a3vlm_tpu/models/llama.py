@@ -31,6 +31,7 @@ from jax.sharding import PartitionSpec as P
 from a3vlm_tpu.config import ModelArgs
 from a3vlm_tpu.ops.attention import attention
 from a3vlm_tpu.ops.norms import rms_norm
+from a3vlm_tpu.ops.quant_matmul import qmat
 from a3vlm_tpu.ops.rope import apply_rotary_emb, precompute_freqs_cis
 
 Params = dict[str, Any]
@@ -159,6 +160,19 @@ def kv_cache_partition_spec() -> KVCache:
     return KVCache(s, s)
 
 
+def decode_cache_specs(args: ModelArgs, mesh, batch: int) -> KVCache:
+    """PartitionSpecs for a *layered* decode cache on ``mesh``: batch over
+    "data", KV heads over "model" (the serving layout — the reference serves
+    with the cache split per TP rank, llama_ens5.py:121-129 under MP=2,
+    scripts/a3vlm_infer.sh:36-43). Axes that don't divide stay unsharded."""
+    axes = dict(mesh.shape)
+    b_ax = "data" if batch % axes.get("data", 1) == 0 else None
+    h_ax = "model" if args.kv_heads % axes.get("model", 1) == 0 else None
+    spec = P(b_ax, None, h_ax, None)
+    per_layer = tuple(spec for _ in range(args.n_layers))
+    return KVCache(per_layer, per_layer)
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
@@ -184,9 +198,9 @@ def _attention_sublayer(
     B, S, _ = x.shape
     H, Hkv, hd = args.n_heads, args.kv_heads, args.head_dim
 
-    xq = (x @ lp["wq"]["weight"]).reshape(B, S, H, hd)
-    xk = (x @ lp["wk"]["weight"]).reshape(B, S, Hkv, hd)
-    xv = (x @ lp["wv"]["weight"]).reshape(B, S, Hkv, hd)
+    xq = qmat(x, lp["wq"]["weight"]).reshape(B, S, H, hd)
+    xk = qmat(x, lp["wk"]["weight"]).reshape(B, S, Hkv, hd)
+    xv = qmat(x, lp["wv"]["weight"]).reshape(B, S, Hkv, hd)
     xq, xk = apply_rotary_emb(xq, xk, freqs_cis)
 
     if cache_k is not None:
@@ -208,14 +222,14 @@ def _attention_sublayer(
     out = attention(
         xq, keys, values, mask=mask, kv_valid_len=kv_valid_len, impl=impl
     )
-    out = out.reshape(B, S, H * hd) @ lp["wo"]["weight"]
+    out = qmat(out.reshape(B, S, H * hd), lp["wo"]["weight"])
     return out, (cache_k, cache_v)
 
 
 def _ffn_sublayer(x: jnp.ndarray, lp: Params) -> jnp.ndarray:
-    gate = x @ lp["w1"]["weight"]
-    up = x @ lp["w3"]["weight"]
-    return (jax.nn.silu(gate) * up) @ lp["w2"]["weight"]
+    gate = qmat(x, lp["w1"]["weight"])
+    up = qmat(x, lp["w3"]["weight"])
+    return qmat(jax.nn.silu(gate) * up, lp["w2"]["weight"])
 
 
 def _block(
@@ -352,7 +366,7 @@ def forward_train(
         params, args, h, positions, "causal", remat=remat, impl=impl
     )
     h = rms_norm(h, params["norm"]["weight"], args.norm_eps)
-    return h[:, image_words:, :] @ params["output"]["weight"]
+    return qmat(h[:, image_words:, :], params["output"]["weight"])
 
 
 def prefill(
@@ -389,7 +403,7 @@ def prefill(
         impl=impl,
     )
     h = rms_norm(h, params["norm"]["weight"], args.norm_eps)
-    logits = h[:, -1, :] @ params["output"]["weight"]
+    logits = qmat(h[:, -1, :], params["output"]["weight"])
     return logits.astype(jnp.float32), cache, S
 
 
@@ -420,5 +434,5 @@ def decode_step(
         impl=impl,
     )
     h = rms_norm(h, params["norm"]["weight"], args.norm_eps)
-    logits = h[:, -1, :] @ params["output"]["weight"]
+    logits = qmat(h[:, -1, :], params["output"]["weight"])
     return logits.astype(jnp.float32), cache

@@ -1,12 +1,13 @@
 """Weight-only quantization (the reference's bitsandbytes NF4/int8 path,
 util/quant.py, rebuilt TPU-native):
 
-- symmetric per-output-channel int8, or group-wise int4 (packed two nibbles
-  per int8 byte) — the TPU-friendly analogues of ``Linear8bitLt`` /
-  ``Linear4bit``.
-- quantization wraps weights only; the matmul runs in the activation dtype
-  after an on-the-fly dequant that XLA fuses into the dot's operand load
-  (a Pallas fused dequant-matmul is the planned upgrade path).
+- symmetric per-output-channel int8, or group-wise int4 (split-half packed,
+  two nibbles per int8 byte) — the TPU-friendly analogues of
+  ``Linear8bitLt`` / ``Linear4bit``.
+- quantization wraps weights only; the matmul runs in the activation dtype.
+  int8 dequant is fused by XLA into the dot's operand load; int4 goes
+  through the Pallas fused dequant-matmul kernel (ops/quant_matmul.py) on
+  TPU — nibbles are unpacked in VMEM, weights never materialize in HBM.
 - blocklist semantics: subtrees named by the model's ``quant_blocklist``
   (vision towers + projectors, llama_ens5.py:541-550) stay dense, as do
   1-D params (norms/biases), matching util/quant.py:18-93's layer filter.
@@ -53,7 +54,9 @@ jax.tree_util.register_pytree_node(
 
 
 def _quantize_leaf_int8(w: np.ndarray) -> QuantizedWeight:
-    scale = np.max(np.abs(w), axis=tuple(range(w.ndim - 1)), keepdims=True)
+    # per-output-channel scale along the in_dim axis ONLY: leading (stacked
+    # layer) axes keep independent scales per layer
+    scale = np.max(np.abs(w), axis=-2, keepdims=True)
     scale = np.maximum(scale, 1e-8) / 127.0
     q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
     return QuantizedWeight(
@@ -61,43 +64,83 @@ def _quantize_leaf_int8(w: np.ndarray) -> QuantizedWeight:
     )
 
 
+KERNEL_K_ALIGN = 1024  # fused-kernel alignment: padded in_dim % 1024 == 0
+
+
+def int4_geometry(in_dim: int) -> tuple[int, int]:
+    """(padded_in_dim, group) the int4 packer uses for a weight with this
+    input dim — shared with fabricated/imported quantized params."""
+    pad_in = in_dim
+    if in_dim >= KERNEL_K_ALIGN:
+        pad_in = -(-in_dim // KERNEL_K_ALIGN) * KERNEL_K_ALIGN
+        # a 4096-aligned in_dim unlocks the kernel's fastest K block
+        # (BK=2048: measured 429 vs 238 GB/s on the 11008-deep ffn-down
+        # matmul) — take it when the extra zero rows cost <= 12.5%
+        pad4096 = -(-in_dim // 4096) * 4096
+        if pad4096 <= 1.125 * in_dim:
+            pad_in = max(pad_in, pad4096)
+    g = min(GROUP_SIZE, pad_in)
+    while pad_in % g or (pad_in // 2) % g:
+        g //= 2
+    return pad_in, g
+
+
 def _quantize_leaf_int4(w: np.ndarray) -> QuantizedWeight:
-    """Group-wise symmetric int4 over the second-to-last dim; nibbles packed
-    along that dim (two rows per byte)."""
+    """Group-wise symmetric int4 over the second-to-last dim, packed
+    SPLIT-HALF: byte row ``r`` holds row ``r`` in the low nibble and row
+    ``r + in/2`` in the high nibble. Unpacking is then two contiguous
+    half-matmuls (``x[:, :K/2] @ lo + x[:, K/2:] @ hi``) instead of an
+    even/odd interleave — the layout the Pallas fused dequant-matmul kernel
+    (ops/quant_matmul.py) consumes directly.
+
+    Large weights are zero-padded along in_dim so the kernel's K-blocking
+    and group scales align (see ``int4_geometry``; <=12.5% overhead)."""
     *lead, in_dim, out_dim = w.shape
     assert in_dim % 2 == 0, "int4 packing needs an even input dim"
-    g = min(GROUP_SIZE, in_dim)
-    while in_dim % g:
-        g //= 2
-    wg = w.reshape(*lead, in_dim // g, g, out_dim)
+    pad_in, g = int4_geometry(in_dim)
+    if pad_in != in_dim:
+        w = np.concatenate(
+            [w, np.zeros((*lead, pad_in - in_dim, out_dim), w.dtype)],
+            axis=-2,
+        )
+    wg = w.reshape(*lead, pad_in // g, g, out_dim)
     scale = np.max(np.abs(wg), axis=-2, keepdims=True)
     scale = np.maximum(scale, 1e-8) / 7.0
     q = np.clip(np.round(wg / scale), -7, 7).astype(np.int8)
-    q = q.reshape(*lead, in_dim, out_dim)
-    lo = q[..., 0::2, :] & 0x0F
-    hi = (q[..., 1::2, :] & 0x0F) << 4
+    q = q.reshape(*lead, pad_in, out_dim)
+    half = pad_in // 2
+    lo = q[..., :half, :] & 0x0F
+    hi = (q[..., half:, :] & 0x0F) << 4
     packed = (lo | hi).astype(np.int8)
     return QuantizedWeight(
-        jnp.asarray(packed), jnp.asarray(scale.astype(np.float32)),
+        jnp.asarray(packed),
+        jnp.asarray(scale.reshape(*lead, pad_in // g, out_dim)
+                    .astype(np.float32)),
         bits=4, group=g, in_dim=in_dim,
     )
+
+
+def unpack_int4(packed: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Split-half packed int4 bytes -> (lo, hi) sign-extended int8 halves."""
+    lo = (packed & 0x0F).astype(jnp.int8)
+    hi = ((packed >> 4) & 0x0F).astype(jnp.int8)
+    lo = jnp.where(lo > 7, lo - 16, lo)
+    hi = jnp.where(hi > 7, hi - 16, hi)
+    return lo, hi
 
 
 def _dequantize_leaf(leaf: QuantizedWeight, dtype=jnp.bfloat16):
     if leaf.bits == 8:
         return (leaf.q.astype(jnp.float32) * leaf.scale).astype(dtype)
     packed = leaf.q
-    lo = (packed & 0x0F).astype(jnp.int8)
-    hi = ((packed >> 4) & 0x0F).astype(jnp.int8)
-    # sign-extend 4-bit two's complement
-    lo = jnp.where(lo > 7, lo - 16, lo)
-    hi = jnp.where(hi > 7, hi - 16, hi)
+    lo, hi = unpack_int4(packed)
     *lead, half, out_dim = packed.shape
-    q = jnp.stack([lo, hi], axis=-2).reshape(*lead, 2 * half, out_dim)
+    q = jnp.concatenate([lo, hi], axis=-2)  # [*, pad_in, out]
     g, in_dim = leaf.group, leaf.in_dim
-    qg = q.reshape(*lead, in_dim // g, g, out_dim).astype(jnp.float32)
-    w = qg * leaf.scale
-    return w.reshape(*lead, in_dim, out_dim).astype(dtype)
+    qg = q.reshape(*lead, 2 * half // g, g, out_dim).astype(jnp.float32)
+    w = qg * leaf.scale[..., :, None, :]
+    w = w.reshape(*lead, 2 * half, out_dim)
+    return w[..., :in_dim, :].astype(dtype)
 
 
 def _is_quantized_leaf(x) -> bool:
@@ -109,27 +152,45 @@ def quantize_params(
     bits: int = 4,
     blocklist: Sequence[str] = (),
 ) -> Any:
-    """Quantize all >=2-D weight leaves outside blocklisted top-level
-    subtrees."""
+    """Quantize linear ``weight`` leaves outside blocklisted top-level
+    subtrees. Matches the reference's layer filter (util/quant.py:18-93,
+    which swaps *Linear* modules): embeddings, norms/layernorms, and biases
+    stay dense."""
     assert bits in (4, 8)
+    # embeddings stay dense: the reference's bnb quantize() swaps *Linear*
+    # modules only (util/quant.py:18-93) and the native qmat path gathers
+    # rows with jnp.take, which needs a dense table
+    dense_names = {"tok_embeddings", "word_embeddings"}
 
-    def quantize_tree(tree):
-        def leaf_fn(x):
+    def _keep_dense(names, leaf_name) -> bool:
+        if leaf_name != "weight":
+            return True  # biases, layer-scale gammas, ...
+        return any(
+            n in dense_names or "norm" in n or n.startswith("ln")
+            for n in names
+            if isinstance(n, str)
+        )
+
+    def quantize_tree(tree, root: str):
+        def leaf_fn(path, x):
             x = np.asarray(x)
-            if x.ndim < 2:
+            keys = [getattr(p, "key", None) for p in path]
+            leaf_name = keys[-1] if keys else None
+            names = [root] + keys[:-1]
+            if x.ndim < 2 or _keep_dense(names, leaf_name):
                 return jnp.asarray(x)
             if bits == 8 or x.shape[-2] % 2:
                 return _quantize_leaf_int8(x)
             return _quantize_leaf_int4(x)
 
-        return jax.tree_util.tree_map(leaf_fn, tree)
+        return jax.tree_util.tree_map_with_path(leaf_fn, tree)
 
     out = {}
     for key, sub in params.items():
         if key in blocklist:
             out[key] = sub
         else:
-            out[key] = quantize_tree(sub)
+            out[key] = quantize_tree(sub, key)
     return out
 
 

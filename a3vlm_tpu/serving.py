@@ -69,6 +69,7 @@ class ModelServer:
         else:
             return
         m.params = shard_params(m.params, self.mesh, specs)
+        m.mesh = self.mesh
         m._generator = None
 
     # -- API (multi_gpu_wrapper.py:260-320 surface) --------------------------

@@ -1,0 +1,130 @@
+"""Multi-chip DECODE parity: generation over a ("data","model") mesh must
+produce the same tokens as the single-device run — the serving configuration
+the reference uses (MP=2 TP-lockstep generation, eval_affordance_v2.py:330-384
++ scripts/a3vlm_infer.sh:36-43), here expressed as NamedShardings on the
+params, the KV cache (batch on "data", kv heads on "model"), and the token
+buffers."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from a3vlm_tpu.config import ModelArgs
+from a3vlm_tpu.generation import Generator
+from a3vlm_tpu.models import llama
+from a3vlm_tpu.parallel import create_mesh, shard_params
+
+
+def _tiny_args(vocab: int) -> ModelArgs:
+    return ModelArgs(
+        dim=64, n_layers=2, n_heads=4, n_kv_heads=4, vocab_size=vocab,
+        multiple_of=16, max_seq_len=128, max_batch_size=4,
+    )
+
+
+def _padded_vocab(tok) -> int:
+    return -(-tok.n_words // 128) * 128
+
+
+def test_mp2_generation_parity(devices8, tiny_tokenizer):
+    """Greedy generate on a (data=4, model=2) mesh == single-device tokens."""
+    tok = tiny_tokenizer
+    args = _tiny_args(_padded_vocab(tok))
+    params = llama.init_llama_params(jax.random.PRNGKey(3), args)
+
+    prompts = [
+        "### Human: detect all manipulable object parts",
+        "provide the joint's type",
+        "the answer is",
+        "rotated bounding box",
+    ]
+    kw = dict(max_gen_len=8, temperature=0.0)
+
+    base = Generator(params, args, tok, vocab_limit=tok.n_words)
+    ref = base.generate(prompts, **kw)
+
+    mesh = create_mesh(2, devices=devices8)
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+    sharded = shard_params(params, mesh, llama.llama_partition_specs(args))
+    gen = Generator(sharded, args, tok, vocab_limit=tok.n_words, mesh=mesh)
+    out = gen.generate(prompts, **kw)
+
+    assert out == ref
+
+
+def test_mp2_cache_actually_sharded(devices8, tiny_tokenizer):
+    """decode_cache_specs shards kv heads over "model" and batch over
+    "data" when divisible, and degrades to unsharded axes otherwise."""
+    tok = tiny_tokenizer
+    args = _tiny_args(_padded_vocab(tok))
+    mesh = create_mesh(2, devices=devices8)
+    specs = llama.decode_cache_specs(args, mesh, batch=4)
+    assert specs.k[0] == jax.sharding.PartitionSpec("data", None, "model", None)
+    # batch 3 does not divide data=4; kv_heads=4 still divides model=2
+    specs = llama.decode_cache_specs(args, mesh, batch=3)
+    assert specs.k[0] == jax.sharding.PartitionSpec(None, None, "model", None)
+    # 1 kv head (MQA) cannot shard over model=2
+    mqa = dataclasses.replace(args, n_kv_heads=1)
+    specs = llama.decode_cache_specs(mqa, mesh, batch=4)
+    assert specs.k[0] == jax.sharding.PartitionSpec("data", None, None, None)
+
+
+def test_ens5_server_mp2_image_generation_parity(devices8, tiny_tokenizer_dir):
+    """Full serving path: tiny ens5 (4 towers + image-token prefill) through
+    ModelServer on an mp=2 mesh matches the single-device MetaModel,
+    image-conditioned."""
+    from a3vlm_tpu.meta import MetaModel
+    from a3vlm_tpu.models import ens5
+    from a3vlm_tpu.serving import ModelServer
+
+    def build():
+        return MetaModel(
+            "llama_ens5",
+            tokenizer_path=tiny_tokenizer_dir,
+            with_visual=True,
+            max_seq_len=512,
+            model_cfg=ens5.tiny_ens5_config(),
+            seed=11,
+        )
+
+    rng = np.random.default_rng(0)
+    image = rng.uniform(size=(1, 56, 56, 3)).astype(np.float32)
+    prompts = ["### Human: What is the status of the door?"]
+    kw = dict(max_gen_len=6, temperature=0.0)
+
+    ref = build().generate(prompts, images=image, **kw)
+
+    server = ModelServer(meta_model=build(), model_parallel_size=2)
+    out = server.generate(prompts, images=image, **kw)
+    assert out == ref
+
+
+def test_falcon_mp2_generation_parity(devices8, tiny_tokenizer):
+    """The falcon GenOps path (own cache/prefill) also runs sharded."""
+    from a3vlm_tpu.generation import FALCON_GEN_OPS
+    from a3vlm_tpu.models import falcon
+
+    tok = tiny_tokenizer
+    args = falcon.FalconArgs(
+        hidden_size=64, num_layers=2, num_attention_heads=4, num_kv_heads=2,
+        vocab_size=_padded_vocab(tok), max_seq_len=128,
+    )
+    params = falcon.init_falcon_params(jax.random.PRNGKey(5), args)
+    prompts = ["detect all parts", "### Human: hello"]
+    kw = dict(max_gen_len=6, temperature=0.0)
+
+    ref = Generator(
+        params, args, tok, vocab_limit=tok.n_words, ops=FALCON_GEN_OPS
+    ).generate(prompts, **kw)
+
+    mesh = create_mesh(2, devices=devices8)
+    sharded = shard_params(
+        params, mesh, falcon.falcon_partition_specs(args)
+    )
+    out = Generator(
+        sharded, args, tok, vocab_limit=tok.n_words, ops=FALCON_GEN_OPS,
+        mesh=mesh,
+    ).generate(prompts, **kw)
+    assert out == ref

@@ -1,0 +1,156 @@
+"""Fused int4 dequant-matmul: packing/unpacking invariants, the XLA
+fallback, and the Pallas kernel (interpret mode) must all agree with the
+dense dequantized matmul (the bitsandbytes Linear4bit forward contract,
+reference util/quant.py:116-144)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from a3vlm_tpu.ops.quant_matmul import (
+    _int4_matmul_2d,
+    _int4_matmul_xla,
+    int4_matmul,
+    qmat,
+)
+from a3vlm_tpu.quant import (
+    QuantizedWeight,
+    _quantize_leaf_int4,
+    _quantize_leaf_int8,
+    dequantize_params,
+    quantize_params,
+)
+
+
+def _rand_w(k, n, seed=0):
+    return np.random.default_rng(seed).normal(size=(k, n)).astype(np.float32)
+
+
+def test_int4_split_half_pack_roundtrip():
+    w = _rand_w(128, 64)
+    qw = _quantize_leaf_int4(w)
+    deq = np.asarray(dequantize_params({"w": qw}, dtype=jnp.float32)["w"])
+    assert deq.shape == w.shape
+    # max group-quantization error: scale/2 per element (scale = max/7)
+    err = np.abs(deq - w)
+    bound = np.abs(w).reshape(128 // qw.group, qw.group, 64).max(1) / 7.0
+    assert (err <= np.repeat(bound, qw.group, 0) / 2 + 1e-6).all()
+
+
+def test_int4_pad_alignment_for_kernel():
+    """in_dim >= 1024 pads to a 1024 multiple; below stays exact."""
+    qw = _quantize_leaf_int4(_rand_w(1088, 32))
+    assert qw.q.shape[0] * 2 == 2048 and qw.in_dim == 1088
+    deq = np.asarray(dequantize_params({"w": qw}, dtype=jnp.float32)["w"])
+    assert deq.shape == (1088, 32)
+    qw_small = _quantize_leaf_int4(_rand_w(96, 32))
+    assert qw_small.q.shape[0] * 2 == 96
+
+
+def test_int4_matmul_xla_matches_dense():
+    w = _rand_w(256, 128)
+    qw = _quantize_leaf_int4(w)
+    x = jnp.asarray(_rand_w(4, 256, seed=1))
+    dense = np.asarray(dequantize_params({"w": qw}, dtype=jnp.float32)["w"])
+    got = np.asarray(_int4_matmul_xla(x, qw))
+    np.testing.assert_allclose(got, np.asarray(x) @ dense, rtol=2e-5,
+                               atol=2e-5)
+
+
+def test_int4_matmul_padded_input_matches_dense():
+    """in_dim padding path: x is padded with zeros to the packed width."""
+    w = _rand_w(1088, 128)
+    qw = _quantize_leaf_int4(w)
+    x = jnp.asarray(_rand_w(3, 1088, seed=2))
+    dense = np.asarray(dequantize_params({"w": qw}, dtype=jnp.float32)["w"])
+    got = np.asarray(int4_matmul(x, qw))
+    np.testing.assert_allclose(got, np.asarray(x) @ dense, rtol=2e-4,
+                               atol=2e-4)
+
+
+def test_int4_pallas_kernel_interpret_matches_xla():
+    """The Pallas kernel (interpret mode on CPU) == the XLA two-dot path."""
+    w = _rand_w(2048, 256, seed=3)
+    qw = _quantize_leaf_int4(w)
+    assert qw.group == 64 and qw.q.shape == (1024, 256)
+    x = jnp.asarray(_rand_w(5, 2048, seed=4)).astype(jnp.float32)
+    # the kernel feeds the MXU bf16 weights; reference = dense matmul with
+    # the same bf16-cast dequantized weights
+    dense_bf16 = (
+        dequantize_params({"w": qw}, dtype=jnp.bfloat16)["w"]
+        .astype(jnp.float32)
+    )
+    ref = np.asarray(x @ dense_bf16)
+    got = np.asarray(
+        _int4_matmul_2d(x, qw.q, qw.scale, group=qw.group, interpret=True)
+    )
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_int4_pallas_kernel_3d_and_bf16():
+    """[B, S, K] activations, bf16, through the kernel wrapper."""
+    w = _rand_w(1024, 128, seed=5)
+    qw = _quantize_leaf_int4(w)
+    x = jnp.asarray(_rand_w(2 * 3, 1024, seed=6)).reshape(2, 3, 1024)
+    x = x.astype(jnp.bfloat16)
+    ref = np.asarray(_int4_matmul_xla(x, qw)).astype(np.float32)
+    got = np.asarray(int4_matmul(x, qw, interpret=True)).astype(np.float32)
+    # both are bf16 outputs; allow one output ulp of divergence
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=0.75)
+
+
+def test_qmat_dispatch():
+    w = _rand_w(64, 32)
+    x = jnp.asarray(_rand_w(2, 64, seed=7))
+    np.testing.assert_allclose(
+        np.asarray(qmat(x, jnp.asarray(w))), np.asarray(x) @ w, rtol=1e-6
+    )
+    q8 = _quantize_leaf_int8(w)
+    dense8 = np.asarray(dequantize_params({"w": q8}, dtype=jnp.float32)["w"])
+    np.testing.assert_allclose(
+        np.asarray(qmat(x, q8)), np.asarray(x) @ dense8, rtol=1e-5, atol=1e-5
+    )
+    q4 = _quantize_leaf_int4(w)
+    dense4 = np.asarray(dequantize_params({"w": q4}, dtype=jnp.float32)["w"])
+    np.testing.assert_allclose(
+        np.asarray(qmat(x, q4)), np.asarray(x) @ dense4, rtol=1e-5, atol=1e-5
+    )
+
+
+def test_quantize_params_keeps_embeddings_dense():
+    from a3vlm_tpu.config import ModelArgs
+    from a3vlm_tpu.models import llama
+
+    args = ModelArgs(dim=64, n_layers=2, n_heads=4, n_kv_heads=4,
+                     vocab_size=128, multiple_of=16, max_seq_len=64)
+    params = llama.init_llama_params(jax.random.PRNGKey(0), args)
+    q = quantize_params(params, bits=8)
+    assert not isinstance(q["tok_embeddings"]["weight"], QuantizedWeight)
+    assert isinstance(q["output"]["weight"], QuantizedWeight)
+    assert isinstance(
+        q["layers"]["attention"]["wq"]["weight"], QuantizedWeight
+    )
+
+
+@pytest.mark.parametrize("bits", [4, 8])
+def test_quantized_decoder_forward_native(bits):
+    """llama forward_train with packed leaves (no params_transform) stays
+    close to the dense forward — the native qmat path."""
+    from a3vlm_tpu.config import ModelArgs
+    from a3vlm_tpu.models import llama
+
+    args = ModelArgs(dim=64, n_layers=2, n_heads=4, n_kv_heads=4,
+                     vocab_size=128, multiple_of=16, max_seq_len=64)
+    params = llama.init_llama_params(jax.random.PRNGKey(1), args)
+    tokens = jnp.asarray(
+        np.random.default_rng(0).integers(0, 128, size=(2, 12)), jnp.int32
+    )
+    dense_logits = llama.forward_train(params, args, tokens)
+    qparams = quantize_params(params, bits=bits)
+    q_logits = llama.forward_train(qparams, args, tokens)
+    # quantization error bounded, correlation high
+    d = np.asarray(dense_logits).ravel()
+    q = np.asarray(q_logits).ravel()
+    corr = np.corrcoef(d, q)[0, 1]
+    assert corr > 0.98, corr
