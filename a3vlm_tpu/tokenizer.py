@@ -5,8 +5,10 @@ Backends:
 - HuggingFace ``tokenizers``/``transformers`` directory (tokenizer.json) —
   the primary backend (sentencepiece's Python wheel is not in this image;
   HF tokenizers covers LLaMA's SPM vocab via tokenizer.json).
-- A ``.model`` sentencepiece path raises with guidance to convert, unless the
-  optional sentencepiece package happens to be importable.
+- A ``.model`` sentencepiece path: used directly when the optional
+  sentencepiece package is importable; otherwise AUTO-CONVERTED to an HF
+  fast tokenizer next to the file via ``tools/spm_convert.py`` (first-party
+  ModelProto parser — no spm install needed).
 
 Key behavioral contracts carried over:
 - ``_probe_tokenizer_style`` (tokenizer.py:90-112): detect whether a leading
@@ -28,18 +30,19 @@ class Tokenizer:
         if model_path.endswith(".model"):
             try:
                 from sentencepiece import SentencePieceProcessor
-            except ImportError as e:  # pragma: no cover
-                raise ImportError(
-                    "sentencepiece is unavailable in this environment; "
-                    "convert the .model to an HF tokenizer dir "
-                    "(tokenizer.json + tokenizer_config.json) and pass that."
-                ) from e
-            self.tokenizer_type = "spm"
-            assert os.path.isfile(model_path), model_path
-            self.tokenizer = SentencePieceProcessor(model_file=model_path)
-            self.bos_id: int = self.tokenizer.bos_id()
-            self.eos_id: int = self.tokenizer.eos_id()
-        else:
+            except ImportError:
+                # first-party ingestion path: convert the spm proto to an
+                # HF fast tokenizer (tools/spm_convert.py) and load that —
+                # released LLaMA-2/A3VLM checkpoints ship tokenizer.model
+                # and sentencepiece's wheel is absent from this image
+                model_path = self._convert_spm(model_path)
+            else:
+                self.tokenizer_type = "spm"
+                assert os.path.isfile(model_path), model_path
+                self.tokenizer = SentencePieceProcessor(model_file=model_path)
+                self.bos_id: int = self.tokenizer.bos_id()
+                self.eos_id: int = self.tokenizer.eos_id()
+        if not model_path.endswith(".model"):
             from transformers import AutoTokenizer
 
             self.tokenizer_type = "transformers"
@@ -53,6 +56,17 @@ class Tokenizer:
             assert self.eos_id is not None
 
         self._probe_tokenizer_style()
+
+    @staticmethod
+    def _convert_spm(model_path: str) -> str:
+        """Convert tokenizer.model next to itself (cached) and return the
+        HF dir."""
+        from a3vlm_tpu.tools.spm_convert import convert
+
+        out_dir = str(Path(model_path).with_suffix("")) + "_hf"
+        if not (Path(out_dir) / "tokenizer.json").exists():
+            convert(model_path, out_dir)
+        return out_dir
 
     # -- encoding ----------------------------------------------------------
 
