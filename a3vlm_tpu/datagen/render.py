@@ -24,7 +24,13 @@ from typing import Optional
 import numpy as np
 
 from a3vlm_tpu.datagen.mesh import TriMesh, concatenate
-from a3vlm_tpu.datagen.rasterizer import rasterize, shade_lambert
+from a3vlm_tpu.datagen.rasterizer import (
+    rasterize,
+    rasterize_uv,
+    sample_textures,
+    shade_albedo,
+    shade_lambert,
+)
 
 
 def _look_at_matrix(cam_position, look_at, up):
@@ -181,14 +187,27 @@ def render_parts(
         world_to_cam = np.linalg.inv(np.asarray(camera_pose))
         v_cam = scene.vertices @ world_to_cam[:3, :3].T + world_to_cam[:3, 3]
 
-        full_depth, face_idx, link_idx_map = rasterize(
-            v_cam, scene.faces, face_link, fx, fy, cx, cy, width, height
-        )
-
-        # color: flat Lambert shading with 3 axis lights
         normals = scene.face_normals()
         lights = np.array([[-1, 0, 0], [0, 1, 0], [0, 0, 1]], np.float64)
-        color = shade_lambert(normals, face_colors, face_idx, lights)
+        if not is_link_map and scene.has_textures:
+            # visual pass with map_Kd textures: UV-interpolating raster +
+            # per-pixel texture sampling (pyrender's textured render,
+            # render_tools.py:166-185)
+            full_depth, face_idx, link_idx_map, uv = rasterize_uv(
+                v_cam, scene.faces, face_link, scene.face_uvs,
+                fx, fy, cx, cy, width, height,
+            )
+            albedo = sample_textures(
+                face_idx, uv, scene.face_texture, scene.textures,
+                np.asarray(face_colors),
+            )
+            color = shade_albedo(normals, albedo, face_idx, lights)
+        else:
+            full_depth, face_idx, link_idx_map = rasterize(
+                v_cam, scene.faces, face_link, fx, fy, cx, cy, width, height
+            )
+            # color: flat Lambert shading with 3 axis lights
+            color = shade_lambert(normals, face_colors, face_idx, lights)
         color_imgs.append(color)
 
         if not is_link_map:

@@ -167,3 +167,104 @@ def test_zbuffer_occlusion():
     # the near quad projects larger (half-width 50px vs 25px): a pixel
     # outside the far quad's footprint but inside the near one is id 1
     assert out_ids[32, 63] == 1
+
+
+# -- textures (render_tools.py:166-185 textured visual pass) ------------------
+
+
+def _textured_quad_obj(tmp_path, tex_colors=((255, 0, 0), (0, 0, 255))):
+    """A quad with a 2x1 horizontal texture: left half one color, right half
+    the other."""
+    import cv2
+
+    tex = np.zeros((8, 16, 3), np.uint8)
+    tex[:, :8] = tex_colors[0]
+    tex[:, 8:] = tex_colors[1]
+    cv2.imwrite(str(tmp_path / "tex.png"), tex[:, :, ::-1])  # RGB->BGR
+    (tmp_path / "mat.mtl").write_text(
+        "newmtl painted\nKd 0.5 0.5 0.5\nmap_Kd tex.png\n"
+    )
+    (tmp_path / "quad.obj").write_text(
+        "mtllib mat.mtl\n"
+        "v -0.5 -0.5 0\nv 0.5 -0.5 0\nv 0.5 0.5 0\nv -0.5 0.5 0\n"
+        "vt 0 0\nvt 1 0\nvt 1 1\nvt 0 1\n"
+        "usemtl painted\nf 1/1 2/2 3/3 4/4\n"
+    )
+    return str(tmp_path / "quad.obj")
+
+
+def test_obj_texture_loading(tmp_path):
+    pytest.importorskip("cv2")
+    m = M.load_obj(_textured_quad_obj(tmp_path))
+    assert m.has_textures
+    assert m.face_uvs.shape == (2, 3, 2)
+    assert m.face_texture.tolist() == [0, 0]
+    assert m.textures[0].shape == (8, 16, 3)
+    np.testing.assert_array_equal(m.textures[0][0, 0], [255, 0, 0])
+    np.testing.assert_array_equal(m.textures[0][0, 15], [0, 0, 255])
+
+
+@pytest.mark.parametrize("force_numpy", [True, False])
+def test_rasterize_uv_texture_sampling(tmp_path, force_numpy):
+    pytest.importorskip("cv2")
+    from a3vlm_tpu.datagen.rasterizer import rasterize_uv, sample_textures
+
+    if not force_numpy and _load_native() is None:
+        pytest.skip("no native rasterizer")
+    m = M.load_obj(_textured_quad_obj(tmp_path))
+    v = m.vertices.copy().astype(np.float32)
+    v[:, 2] = -2.0  # place in front of the camera
+    depth, face_idx, ids, uv = rasterize_uv(
+        v, m.faces, None, m.face_uvs,
+        fx=100, fy=100, cx=32, cy=32, width=64, height=64,
+        force_numpy=force_numpy,
+    )
+    assert depth[32, 32] == pytest.approx(2.0, abs=1e-3)
+    albedo = sample_textures(
+        face_idx, uv, m.face_texture, m.textures, m.face_colors
+    )
+    # u<0.5 (left of the quad in texture space) is red, u>0.5 blue
+    np.testing.assert_allclose(albedo[32, 20], [1, 0, 0], atol=0.02)
+    np.testing.assert_allclose(albedo[32, 44], [0, 0, 1], atol=0.02)
+
+
+def test_rasterize_uv_native_matches_numpy(tmp_path):
+    pytest.importorskip("cv2")
+    from a3vlm_tpu.datagen.rasterizer import rasterize_uv
+
+    if _load_native() is None:
+        pytest.skip("no native rasterizer")
+    rng = np.random.default_rng(1)
+    v = rng.uniform(-1, 1, (30, 3)).astype(np.float32)
+    v[:, 2] = -rng.uniform(1.5, 3.0, 30)
+    f = rng.integers(0, 30, (40, 3)).astype(np.int32)
+    uvs = rng.uniform(0, 1, (40, 3, 2)).astype(np.float32)
+    kw = dict(fx=80, fy=80, cx=32, cy=32, width=64, height=64)
+    d1, f1, i1, uv1 = rasterize_uv(v, f, None, uvs, **kw)
+    d2, f2, i2, uv2 = rasterize_uv(v, f, None, uvs, **kw, force_numpy=True)
+    np.testing.assert_allclose(d1, d2, atol=1e-3)
+    same = f1 == f2  # ignore z-tie seams
+    np.testing.assert_allclose(uv1[same], uv2[same], atol=1e-3)
+
+
+def test_render_parts_textured_visual_pass(tmp_path):
+    pytest.importorskip("cv2")
+    from a3vlm_tpu.datagen.render import render_parts
+
+    m = M.load_obj(_textured_quad_obj(tmp_path))
+    pose = np.eye(4)
+    cam = dict(fx=100.0, fy=100.0, cx=32.0, cy=32.0, width=64, height=64)
+    # fixed camera 2 units out on +Z looking back at the quad
+    cam_pose = np.eye(4)
+    cam_pose[2, 3] = 2.0
+    _, _, colors, _, _ = render_parts(
+        {"quad_0": (m, pose)}, 1, cam, 2.0, 1.0,
+        predefine_camera_poses=[cam_pose], is_link_map=False,
+        rng=np.random.default_rng(0),
+    )
+    img = colors[0].astype(np.int32)
+    left = img[32, 20]
+    right = img[32, 44]
+    # the two texture halves shade to clearly different colors
+    assert abs(int(left[0]) - int(right[0])) > 60, (left, right)
+    assert abs(int(left[2]) - int(right[2])) > 60, (left, right)
