@@ -226,7 +226,10 @@ class Generator:
         vocab_limit: Optional[int] = None, params_transform=None,
         ops: GenOps = LLAMA_GEN_OPS, mesh=None,
     ):
-        self.params = params
+        # decode layout: per-layer weight buffers — slicing stacked [L, ...]
+        # weights inside the token loop makes XLA copy every weight every
+        # step (llama.unstack_layers docstring). One-time restructure.
+        self.params = llama.unstack_layers(params)
         self.args = args
         self.tokenizer = tokenizer
         self.image_words = image_words

@@ -344,11 +344,17 @@ class MetaModel:
 
     def _get_generator(self) -> Generator:
         if self._generator is None:
-            params = (
-                self.params
-                if self.llama_type in ("llama", "falcon")
-                else self.params["llama"]
-            )
+            # swap the stored decoder params to the per-layer decode layout
+            # so the Generator and MetaModel share ONE copy of the weights
+            # (llama.unstack_layers; training paths re-stack on use)
+            if self.llama_type in ("llama", "falcon"):
+                self.params = llama_mod.unstack_layers(self.params)
+                params = self.params
+            else:
+                self.params["llama"] = llama_mod.unstack_layers(
+                    self.params["llama"]
+                )
+                params = self.params["llama"]
             kw = {}
             if self._gen_ops is not None:
                 kw["ops"] = self._gen_ops

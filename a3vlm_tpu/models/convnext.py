@@ -41,7 +41,11 @@ def init_convnext_params(
     init = jax.nn.initializers.truncated_normal(0.02)
     import numpy as _np
 
-    keys = iter(_np.asarray(jax.random.split(key, 1024)))
+    keys = jax.random.split(key, 1024)
+    # host-side key table avoids per-key relay round trips;
+    # stays traced under eval_shape (shape-only fabrication)
+    keys = iter(keys if isinstance(keys, jax.core.Tracer)
+                else _np.asarray(keys))
 
     def conv(shape):
         return {"kernel": init(next(keys), shape, dtype),

@@ -19,6 +19,7 @@ from jax.sharding import PartitionSpec as P
 
 from a3vlm_tpu.ops.attention import attention
 from a3vlm_tpu.ops.norms import layer_norm
+from a3vlm_tpu.models.llama import _layer_getter, stack_layers
 from a3vlm_tpu.ops.quant_matmul import qmat
 from a3vlm_tpu.ops.rope import precompute_freqs_cis
 
@@ -74,7 +75,11 @@ def init_falcon_params(
     init = jax.nn.initializers.truncated_normal(0.02)
     import numpy as _np
 
-    keys = iter(_np.asarray(jax.random.split(key, 16)))
+    keys = jax.random.split(key, 16)
+    # host-side key table avoids per-key relay round trips;
+    # stays traced under eval_shape (shape-only fabrication)
+    keys = iter(keys if isinstance(keys, jax.core.Tracer)
+                else _np.asarray(keys))
 
     def lin(shape):
         k = next(keys)
@@ -224,7 +229,7 @@ def forward_train(params: Params, args: FalconArgs, examples: jnp.ndarray,
 
     if remat:
         body = jax.checkpoint(body, prevent_cse=False)
-    h, _ = jax.lax.scan(body, h, params["layers"])
+    h, _ = jax.lax.scan(body, h, stack_layers(params["layers"]))
     h = layer_norm(
         h, params["ln_f"]["weight"], params["ln_f"]["bias"],
         args.layer_norm_epsilon,
@@ -237,11 +242,13 @@ def forward_train(params: Params, args: FalconArgs, examples: jnp.ndarray,
 def _run_layers_cached(params, args, h, freqs_cis, mask, cache, write_pos,
                        kv_valid_len, attend_cache):
     if cache.layered:
+        # per-layer (tuple-form) weights stream without the per-step slice
+        # copies (llama.unstack_layers docstring)
+        layer = _layer_getter(params["layers"])
         new_k, new_v = [], []
         for i in range(args.num_layers):
-            lp = jax.tree_util.tree_map(lambda x: x[i], params["layers"])
             h, (k_new, v_new) = _block(
-                h, lp, args, freqs_cis, mask, cache.k[i], cache.v[i],
+                h, layer(i), args, freqs_cis, mask, cache.k[i], cache.v[i],
                 write_pos, kv_valid_len, attend_cache,
             )
             new_k.append(k_new)
@@ -254,7 +261,9 @@ def _run_layers_cached(params, args, h, freqs_cis, mask, cache, write_pos,
                              write_pos, kv_valid_len, attend_cache)
         return out, (k, v)
 
-    h, (k, v) = jax.lax.scan(body, h, (params["layers"], cache.k, cache.v))
+    h, (k, v) = jax.lax.scan(
+        body, h, (stack_layers(params["layers"]), cache.k, cache.v)
+    )
     return h, FalconKVCache(k, v)
 
 

@@ -174,6 +174,44 @@ def decode_cache_specs(args: ModelArgs, mesh, batch: int) -> KVCache:
 
 
 # ---------------------------------------------------------------------------
+# layer stacking
+# ---------------------------------------------------------------------------
+
+
+def unstack_layers(params: Params) -> Params:
+    """Per-layer tuple form of a stacked param tree — the DECODE layout.
+
+    The layered decode path must not slice stacked [L, ...] weights inside
+    the token loop: XLA cannot fuse a slice into a dot/custom-call operand,
+    so every weight would be *copied* every decode step (measured: the copy
+    traffic, not the weights, dominated full-depth decode). Pre-sliced
+    per-layer buffers stream weights at full HBM rate. One-time cost; the
+    scan-based training path re-stacks via ``stack_layers``."""
+    layers = params.get("layers")
+    if layers is None or isinstance(layers, (list, tuple)):
+        return params
+    L = jax.tree_util.tree_leaves(layers)[0].shape[0]
+    out = dict(params)
+    out["layers"] = tuple(
+        jax.tree_util.tree_map(lambda x: x[i], layers) for i in range(L)
+    )
+    return out
+
+
+def stack_layers(layers) -> Any:
+    """Inverse of ``unstack_layers`` for the ``lax.scan`` training path."""
+    if not isinstance(layers, (list, tuple)):
+        return layers
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def _layer_getter(layers):
+    if isinstance(layers, (list, tuple)):
+        return lambda i: layers[i]
+    return lambda i: jax.tree_util.tree_map(lambda x: x[i], layers)
+
+
+# ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
 
@@ -312,17 +350,20 @@ def forward_hidden(
 
         if remat:
             body = jax.checkpoint(body, prevent_cse=False)
-        h, _ = jax.lax.scan(body, h, params["layers"])
+        h, _ = jax.lax.scan(body, h, stack_layers(params["layers"]))
         return h, None
 
     if cache.layered:
         # unrolled layer loop over per-layer buffers: XLA updates each
-        # cache slot in place (the decode hot path)
+        # cache slot in place (the decode hot path). Per-layer (tuple-form)
+        # weights stream directly from HBM; stacked weights are sliced here
+        # (acceptable for one-shot prefill, but decode loops should pass
+        # ``unstack_layers``-form params — see its docstring).
+        layer = _layer_getter(params["layers"])
         new_k, new_v = [], []
         for i in range(args.n_layers):
-            lp = jax.tree_util.tree_map(lambda x: x[i], params["layers"])
             h, (k_new, v_new) = _block(
-                h, lp, args, freqs_cis, mask, cache.k[i], cache.v[i],
+                h, layer(i), args, freqs_cis, mask, cache.k[i], cache.v[i],
                 write_pos, kv_valid_len, impl, attend_cache=attend_cache,
             )
             new_k.append(k_new)
@@ -337,7 +378,9 @@ def forward_hidden(
         )
         return out, (k_new, v_new)
 
-    h, (k, v) = jax.lax.scan(body_cache, h, (params["layers"], cache.k, cache.v))
+    h, (k, v) = jax.lax.scan(
+        body_cache, h, (stack_layers(params["layers"]), cache.k, cache.v)
+    )
     return h, KVCache(k, v)
 
 

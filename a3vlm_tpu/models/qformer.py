@@ -57,7 +57,11 @@ def init_qformer_params(
 ) -> Params:
     import numpy as _np
 
-    keys = iter(_np.asarray(jax.random.split(key, 1024)))
+    keys = jax.random.split(key, 1024)
+    # host-side key table avoids per-key relay round trips;
+    # stays traced under eval_shape (shape-only fabrication)
+    keys = iter(keys if isinstance(keys, jax.core.Tracer)
+                else _np.asarray(keys))
     H, E = cfg.hidden, cfg.encoder_width
 
     def ln():

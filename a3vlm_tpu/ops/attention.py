@@ -92,6 +92,66 @@ def sdpa_reference(
     return out.reshape(B, Sq, Hq, D).astype(q.dtype)
 
 
+def _mask_5d(mask, kv_valid_len, B, Sq, Skv):
+    """Resolve the mask contract to a broadcastable [B,1,1,Sq,Skv]-ish bool
+    (or None). Shared by the reference and fast SDPA paths."""
+    if isinstance(mask, str):
+        if mask != "causal":
+            raise NotImplementedError(mask)
+        if kv_valid_len is None:
+            return right_aligned_causal_mask(Sq, Skv)[None, None, None]
+        # query i's absolute position = valid_len - Sq + i;
+        # key j attends iff j <= that position.
+        q_pos = kv_valid_len[:, None] - Sq + jnp.arange(Sq)[None, :]
+        return (jnp.arange(Skv)[None, None, :] <= q_pos[:, :, None])[
+            :, None, None
+        ]
+    if mask is None:
+        if kv_valid_len is None:
+            return None
+        return (jnp.arange(Skv)[None, :] < kv_valid_len[:, None])[
+            :, None, None, None
+        ]
+    m = mask.astype(bool)
+    while m.ndim < 5:
+        m = m[None]
+    return m
+
+
+def sdpa_fast(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: jnp.ndarray | str | None = None,
+    kv_valid_len: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """SDPA tuned for TPU bf16 inputs: matmuls keep the input dtype (full
+    MXU rate; the f32 cast of ``sdpa_reference`` runs at 1/8 rate and, on
+    the decode path, doubles the KV-cache HBM traffic). Scores/softmax are
+    f32 via ``preferred_element_type``; same mask semantics as
+    ``sdpa_reference``."""
+    B, Sq, Hq, D = q.shape
+    Skv, Hkv = k.shape[1], k.shape[2]
+    group = Hq // Hkv
+    scores = jnp.einsum(
+        "bqhgd,bkhd->bhgqk",
+        q.reshape(B, Sq, Hkv, group, D),
+        k,
+        preferred_element_type=jnp.float32,
+    ) * (D ** -0.5)
+    m = _mask_5d(mask, kv_valid_len, B, Sq, Skv)
+    if m is not None:
+        scores = jnp.where(m, scores, _NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum(
+        "bhgqk,bkhd->bqhgd",
+        probs.astype(v.dtype),
+        v,
+        preferred_element_type=jnp.float32,
+    )
+    return out.reshape(B, Sq, Hq, D).astype(q.dtype)
+
+
 @functools.lru_cache(maxsize=1)
 def _tpu_available() -> bool:
     try:
@@ -129,4 +189,13 @@ def attention(
         from a3vlm_tpu.ops.flash_attention import flash_attention
 
         return flash_attention(q, k, v, causal=is_causal)
+    if (
+        impl == "auto"
+        and q.dtype != jnp.float32
+        and k.dtype == q.dtype
+    ):
+        # bf16 inputs take the full-MXU-rate path (decode caches, ViT
+        # towers); f32 runs (CPU golden tests) keep the exact-reference
+        # f32 math below
+        return sdpa_fast(q, k, v, mask=mask, kv_valid_len=kv_valid_len)
     return sdpa_reference(q, k, v, mask=mask, kv_valid_len=kv_valid_len)

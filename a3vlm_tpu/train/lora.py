@@ -35,7 +35,11 @@ def init_lora_params(
     init = jax.nn.initializers.truncated_normal(0.02)
     import numpy as _np
 
-    keys = iter(_np.asarray(jax.random.split(key, 64)))
+    keys = jax.random.split(key, 64)
+    # host-side key table avoids per-key relay round trips;
+    # stays traced under eval_shape (shape-only fabrication)
+    keys = iter(keys if isinstance(keys, jax.core.Tracer)
+                else _np.asarray(keys))
     lora: dict = {"layers": {}}
     for group in ("attention", "feed_forward"):
         for name, wp in llama_params["layers"][group].items():

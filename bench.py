@@ -2,9 +2,22 @@
 {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {...}}
 
 Measures the BASELINE.json north-star metrics on the real chip:
-- 7B-class decode throughput (tokens/s/chip), the headline
-- CLIP ViT-L/14 encode throughput (images/s)
-- end-to-end image->triad query latency p50 on a reduced-scale ens5
+- FULL-DEPTH 7B decode throughput (tokens/s/chip), the headline — a real
+  32-layer 4096-dim decoder run end-to-end (no per-layer extrapolation),
+  with int4 weights through the Pallas fused dequant-matmul kernel
+  (ops/quant_matmul.py) and int8 through the XLA dequant-into-dot fusion.
+- FULL-DEPTH 13B decode (the reference flagship shape, llama_ens5.py:34-37).
+- CLIP ViT-L/14 encode throughput (images/s).
+- FULL-SCALE image->triad latency p50: all four full-size towers (CLIP-L,
+  EVA ViT-g, BLIP-2 Q-Former, ConvNeXt-XXL, DINOv2-g; ~3.4B params bf16)
+  + the full-depth int4 7B decoder, real 448px five-crop prefill with the
+  1455-image-word layout, greedy decode.
+
+Weights are FABRICATED content-free on device (jnp.full over eval_shape
+structures): weight values do not affect MXU/HBM timing, and fabricating
+avoids materializing f32 init or streaming 10+ GB through the host relay.
+Shapes, dtypes, packing geometry, and the compute graph are exactly the
+production ones.
 
 Decode loops run INSIDE jit (lax.fori_loop) — one dispatch per measurement —
 matching the production whole-loop generator and avoiding the axon relay's
@@ -17,12 +30,12 @@ The reference publishes no numbers (BASELINE.md), so vs_baseline is 1.0
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
 def _median(xs):
@@ -34,24 +47,111 @@ def _sync(x):
     return float(jnp.asarray(x).reshape(-1)[0])
 
 
-def bench_decode(n_layers=8, dim=4096, n_heads=32, n_kv_heads=32,
-                 vocab=32000, batch=16, prompt=128, steps=64, rounds=3):
-    """Decode throughput on a scaled-down 7B-shaped decoder (full 7B weights
-    do not fit alongside the build sandbox in f32 on one v5e; layer count is
-    scaled and throughput extrapolated per-layer). The whole greedy decode
-    chain runs as one jitted fori_loop."""
-    from a3vlm_tpu.config import ModelArgs
+# ---------------------------------------------------------------------------
+# fabricated weights (content-free, production shapes/dtypes/packing)
+# ---------------------------------------------------------------------------
+
+
+def fabricate(shapes, dtype=jnp.bfloat16, fill=0.02):
+    """ShapeDtypeStruct pytree -> device arrays of ``dtype`` via jnp.full.
+    No host data transfer, no f32 materialization."""
+    return jax.tree_util.tree_map(
+        lambda s: jnp.full(s.shape, fill, dtype), shapes
+    )
+
+
+def fabricate_llama(args, bits=None):
+    """Full llama param tree; decoder linears quantized to ``bits`` (4/8)
+    with the exact packing geometry of quant.quantize_params, or dense bf16
+    when bits is None. Embeddings/norms/lm-head stay dense (the production
+    quantize_params contract)."""
+    from a3vlm_tpu import quant
     from a3vlm_tpu.models import llama
 
-    args = ModelArgs(
-        dim=dim, n_layers=n_layers, n_heads=n_heads, n_kv_heads=n_kv_heads,
-        vocab_size=vocab, max_batch_size=batch, max_seq_len=prompt + steps,
+    shapes = jax.eval_shape(
+        lambda: llama.init_llama_params(jax.random.PRNGKey(0), args)
     )
+    if bits is None:
+        return fabricate(shapes)
+    L = args.n_layers
+
+    def qw(in_dim, out_dim):
+        if bits == 8:
+            return quant.QuantizedWeight(
+                jnp.full((L, in_dim, out_dim), 3, jnp.int8),
+                jnp.full((L, 1, out_dim), 1e-2, jnp.float32),
+                bits=8,
+            )
+        pad_in, g = quant.int4_geometry(in_dim)
+        return quant.QuantizedWeight(
+            jnp.full((L, pad_in // 2, out_dim), 0x33, jnp.int8),
+            jnp.full((L, pad_in // g, out_dim), 1e-2, jnp.float32),
+            bits=4, group=g, in_dim=in_dim,
+        )
+
+    # fabricate the dense leaves only (embed/head/norms) — NEVER materialize
+    # the dense layer weights (26 GB bf16 at 13B) when they'll be quantized
+    D, F = args.dim, args.ffn_hidden_dim
+    H, Hkv, hd = args.n_heads, args.kv_heads, args.head_dim
+    p = {k: fabricate(v) for k, v in shapes.items() if k != "layers"}
+    p["layers"] = {
+        k: fabricate(v)
+        for k, v in shapes["layers"].items()
+        if k not in ("attention", "feed_forward")
+    }
+    p["layers"]["attention"] = {
+        "wq": {"weight": qw(D, H * hd)},
+        "wk": {"weight": qw(D, Hkv * hd)},
+        "wv": {"weight": qw(D, Hkv * hd)},
+        "wo": {"weight": qw(H * hd, D)},
+    }
+    p["layers"]["feed_forward"] = {
+        "w1": {"weight": qw(D, F)},
+        "w2": {"weight": qw(F, D)},
+        "w3": {"weight": qw(D, F)},
+    }
+    return p
+
+
+def _7b_args(**kw):
+    from a3vlm_tpu.config import ModelArgs
+
+    base = dict(
+        dim=4096, n_layers=32, n_heads=32, n_kv_heads=32, vocab_size=32000,
+        multiple_of=256, max_batch_size=16, max_seq_len=256,
+    )
+    base.update(kw)
+    return ModelArgs(**base)
+
+
+def _13b_args(**kw):
+    from a3vlm_tpu.config import ModelArgs
+
+    base = dict(
+        dim=5120, n_layers=40, n_heads=40, n_kv_heads=40, vocab_size=32000,
+        multiple_of=256, max_batch_size=16, max_seq_len=256,
+    )
+    base.update(kw)
+    return ModelArgs(**base)
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+
+def bench_decode_full(args, bits=4, batch=16, prompt=128, steps=64, rounds=3):
+    """FULL-DEPTH decode throughput: prefill + ``steps`` greedy decode steps
+    through every layer of the real model shape, measured as one jitted
+    fori_loop; prefill time subtracted via a prefill-only jit of the same
+    form (both use the layered per-layer KV cache, the production decode
+    layout)."""
+    from a3vlm_tpu.models import llama
+
+    args = args.replace(max_batch_size=batch, max_seq_len=prompt + steps)
     dtype = jnp.bfloat16
-    params = jax.tree_util.tree_map(
-        lambda x: x.astype(dtype),
-        llama.init_llama_params(jax.random.PRNGKey(0), args, dtype=jnp.float32),
-    )
+    # production decode layout: per-layer weight buffers (llama.unstack_layers)
+    params = llama.unstack_layers(fabricate_llama(args, bits=bits))
 
     @jax.jit
     def prefill_and_decode(p, tokens):
@@ -72,7 +172,7 @@ def bench_decode(n_layers=8, dim=4096, n_heads=32, n_kv_heads=32,
 
     @jax.jit
     def prefill_only(p, tokens):
-        cache = llama.KVCache.create(args, batch, dtype=dtype)
+        cache = llama.KVCache.create(args, batch, dtype=dtype, layered=True)
         logits, _, _ = llama.prefill(p, args, cache, tokens)
         return logits
 
@@ -89,8 +189,12 @@ def bench_decode(n_layers=8, dim=4096, n_heads=32, n_kv_heads=32,
         _sync(prefill_only(params, tokens))
         prefill_times.append(time.perf_counter() - t0)
     decode_time = max(_median(full_times) - _median(prefill_times), 1e-6)
-    toks_per_sec = batch * steps / decode_time
-    return toks_per_sec, toks_per_sec * n_layers / 32
+    return batch * steps / decode_time
+
+
+# ---------------------------------------------------------------------------
+# vision encode
+# ---------------------------------------------------------------------------
 
 
 def bench_vit_encode(batch=16, rounds=5):
@@ -99,10 +203,10 @@ def bench_vit_encode(batch=16, rounds=5):
     from a3vlm_tpu.models import vit
 
     cfg = vit.CLIP_VIT_L14
-    params = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16),
-        vit.init_vit_params(jax.random.PRNGKey(0), cfg),
+    shapes = jax.eval_shape(
+        lambda: vit.init_vit_params(jax.random.PRNGKey(0), cfg)
     )
+    params = fabricate(shapes)
 
     @jax.jit
     def fwd4(p, x):
@@ -122,45 +226,42 @@ def bench_vit_encode(batch=16, rounds=5):
     return 4 * batch / _median(times)
 
 
-def bench_image_to_triad(rounds=3, gen_len=32):
-    """End-to-end image->triad latency (5-crop encode through all 4 towers +
-    greedy decode) on a reduced-scale ens5, whole query in one jit."""
-    from a3vlm_tpu.config import ModelArgs
-    from a3vlm_tpu.models import convnext as cnx
-    from a3vlm_tpu.models import ens5, llama, qformer, vit
+# ---------------------------------------------------------------------------
+# image -> triad, FULL SCALE
+# ---------------------------------------------------------------------------
 
-    cfg = ens5.Ens5Config(
-        llama=ModelArgs(
-            dim=1024, n_layers=8, n_heads=8, n_kv_heads=8, vocab_size=32000,
-            multiple_of=256, max_seq_len=2048, max_batch_size=4,
-        ),
-        clip=vit.ViTConfig(width=256, layers=4, heads=4, mlp_dim=1024,
-                           act="quick_gelu", ln_pre=True, patch_bias=False),
-        blip2_vision=vit.ViTConfig(width=352, layers=4, heads=4,
-                                   mlp_dim=1408),
-        qformer=qformer.QFormerConfig(hidden=192, layers=4, heads=4,
-                                      intermediate=768, encoder_width=352),
-        convnext=cnx.ConvNeXtConfig(depths=(2, 2, 4, 2),
-                                    dims=(96, 192, 384, 768)),
-        dinov2=vit.ViTConfig(width=384, layers=4, heads=6, mlp_dim=1024,
-                             use_swiglu=True, layer_scale=True,
-                             pos_grid_size=37),
-        crop_shard_axes=None,
-    )
-    dtype = jnp.bfloat16
-    params = jax.tree_util.tree_map(
-        lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x,
-        ens5.init_ens5_params(jax.random.PRNGKey(0), cfg),
-    )
-    W = cfg.image_words
-    prompt_len = 32
+
+def bench_image_to_triad_full(rounds=3, gen_len=32, prompt_len=32, bits=4):
+    """End-to-end image->triad latency at FULL SCALE: the four full-size
+    towers (default Ens5Config = CLIP-L + EVA ViT-g + BLIP-2 Q-Former +
+    ConvNeXt-XXL + DINOv2-g, bf16) over a real 448px five-crop, the exact
+    (32+257+2)x5 = 1455 image-word layout, and a full-depth int4 7B decoder
+    (the released A3VLM is the 7B-class variant, internlm_ems5_light.py:42).
+    Whole query in one jit."""
+    from a3vlm_tpu.models import ens5, llama
+
+    largs = _7b_args()
+    W_cfg = ens5.Ens5Config(llama=largs, crop_shard_axes=None)
+    W = W_cfg.image_words
     total = W + prompt_len + gen_len
+    largs = largs.replace(max_batch_size=1, max_seq_len=total)
+    cfg = ens5.Ens5Config(llama=largs, crop_shard_axes=None)
+
+    tower_shapes = jax.eval_shape(
+        lambda: ens5.init_ens5_params(jax.random.PRNGKey(0), cfg)
+    )
+    params = {
+        k: fabricate(v) for k, v in tower_shapes.items() if k != "llama"
+    }
+    params["llama"] = llama.unstack_layers(fabricate_llama(largs, bits=bits))
+    dtype = jnp.bfloat16
 
     @jax.jit
     def one_query(p, image, tokens):
         it = ens5.build_image_tokens(p, cfg, image)
-        cache = llama.KVCache.create(cfg.llama, 1, max_seq_len=total,
-                                     dtype=dtype, layered=True)
+        cache = llama.KVCache.create(
+            cfg.llama, 1, max_seq_len=total, dtype=dtype, layered=True
+        )
         logits, cache, _ = llama.prefill(
             p["llama"], cfg.llama, cache, tokens, image_tokens=it
         )
@@ -187,29 +288,67 @@ def bench_image_to_triad(rounds=3, gen_len=32):
     return _median(times)
 
 
-def main():
+# ---------------------------------------------------------------------------
+
+
+def main(only=None):
     platform = jax.devices()[0].platform
-    toks, toks_7b = bench_decode()
-    vit_ips = bench_vit_encode()
-    triad_ms = bench_image_to_triad()
+    results = {}
+
+    def run(name, fn):
+        if only and name != only:
+            return
+        try:
+            results[name] = fn()
+        except Exception as e:  # OOM on smaller chips: report, don't die
+            results[name] = f"failed: {type(e).__name__}"
+            import traceback
+
+            traceback.print_exc()
+        finally:
+            # drop compiled-executable + traceback references so each bench's
+            # HBM is actually freed before the next one fabricates its params
+            import gc
+
+            jax.clear_caches()
+            gc.collect()
+
+    run("decode_7b_int4", lambda: bench_decode_full(_7b_args(), bits=4))
+    run("decode_7b_int8", lambda: bench_decode_full(_7b_args(), bits=8))
+    run("decode_13b_int4", lambda: bench_decode_full(_13b_args(), bits=4))
+    run("clip_vit_l14_images_per_sec", bench_vit_encode)
+    run("image_to_triad_p50_ms_fullscale", bench_image_to_triad_full)
+
+    headline = results.get("decode_7b_int4")
+    detail = {
+        k: (round(v, 2) if isinstance(v, float) else v)
+        for k, v in results.items()
+        if k != "decode_7b_int4"
+    }
+    detail.update(
+        platform=platform,
+        decode_batch=16,
+        note="full-depth measured (32L/4096 7B, 40L/5120 13B), no "
+        "extrapolation; int4 = Pallas fused dequant-matmul; triad = "
+        "full towers bf16 + int4 7B decoder, 1455 image words",
+    )
     print(
         json.dumps(
             {
-                "metric": "decode_tokens_per_sec_per_chip_7b_extrapolated",
-                "value": round(toks_7b, 2),
+                "metric": "decode_tokens_per_sec_per_chip_7b_fulldepth_int4",
+                "value": round(headline, 2)
+                if isinstance(headline, float)
+                else headline,
                 "unit": "tokens/s/chip",
                 "vs_baseline": 1.0,
-                "detail": {
-                    "raw_tokens_per_sec_8layer": round(toks, 2),
-                    "clip_vit_l14_images_per_sec": round(vit_ips, 2),
-                    "image_to_triad_p50_ms_reduced_ens5": round(triad_ms, 2),
-                    "platform": platform,
-                    "decode_batch": 16,
-                },
+                "detail": detail,
             }
         )
     )
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default=None)
+    a = ap.parse_args()
+    main(only=a.only)

@@ -119,7 +119,8 @@ def test_quantized_generate(tiny_tokenizer_dir):
     from a3vlm_tpu.quant import QuantizedWeight
 
     assert isinstance(
-        m.params["llama"]["layers"]["attention"]["wq"]["weight"],
+        # generate() swaps the decoder to the per-layer decode layout
+        m.params["llama"]["layers"][0]["attention"]["wq"]["weight"],
         QuantizedWeight,
     )
 

@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 from a3vlm_tpu.ops.attention import (
+    attention,
     right_aligned_causal_mask,
     sdpa_reference,
 )
@@ -136,3 +137,42 @@ def test_sample_top_p_distribution():
     # p tiny: only the argmax survives
     toks = np.asarray(sample_top_p(keys[0], probs, 0.01))
     assert (toks == 0).all()
+
+
+@pytest.mark.parametrize("mask,use_valid", [
+    ("causal", False), ("causal", True), (None, True), (None, False),
+])
+def test_sdpa_fast_matches_reference(mask, use_valid):
+    """The bf16 full-MXU-rate path agrees with the exact-f32 reference within
+    bf16 tolerance across every mask contract."""
+    from a3vlm_tpu.ops.attention import sdpa_fast
+
+    rng = np.random.default_rng(0)
+    B, Sq, Skv, Hq, Hkv, D = 2, 4, 8, 4, 2, 16
+    q = jnp.asarray(rng.normal(size=(B, Sq, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Skv, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Skv, Hkv, D)), jnp.float32)
+    valid = jnp.asarray([5, 8]) if use_valid else None
+    ref = sdpa_reference(q, k, v, mask=mask, kv_valid_len=valid)
+    fast = sdpa_fast(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16), mask=mask, kv_valid_len=valid,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast, np.float32), np.asarray(ref), atol=0.06, rtol=0.05
+    )
+
+
+def test_attention_dispatch_bf16_uses_fast_path():
+    """bf16 decode inputs route through sdpa_fast (same numbers)."""
+    from a3vlm_tpu.ops.attention import sdpa_fast
+
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(2, 1, 4, 16)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(2, 8, 4, 16)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(2, 8, 4, 16)), jnp.bfloat16)
+    valid = jnp.asarray([5, 8])
+    out = attention(q, k, v, mask=None, kv_valid_len=valid)
+    np.testing.assert_array_equal(
+        np.asarray(out), np.asarray(sdpa_fast(q, k, v, kv_valid_len=valid))
+    )

@@ -24,7 +24,8 @@ def test_model_server_generate(tiny_tokenizer_dir, devices8):
     out = server.generate(["hi", "there"], max_gen_len=4, temperature=0.0)
     assert len(out) == 2
     # params got TP-sharded onto the mesh
-    wq = m.params["llama"]["layers"]["attention"]["wq"]["weight"]
+    # generate() swaps the decoder to the per-layer decode layout
+    wq = m.params["llama"]["layers"][0]["attention"]["wq"]["weight"]
     assert len(wq.sharding.device_set) == 8
     logits = server.compute_logits(["hi"])
     assert logits[0].shape[-1] == m.true_vocab
