@@ -97,7 +97,7 @@ def _falcon_cache_specs(args, mesh, batch):
     axes = dict(mesh.shape)
     b_ax = "data" if batch % axes.get("data", 1) == 0 else None
     h_ax = "model" if args.kv_heads % axes.get("model", 1) == 0 else None
-    spec = P(b_ax, None, h_ax, None)
+    spec = P(b_ax, h_ax, None, None)  # layered buffers are [B, Hkv, S, D]
     per_layer = tuple(spec for _ in range(args.num_layers))
     from a3vlm_tpu.models.falcon import FalconKVCache
 

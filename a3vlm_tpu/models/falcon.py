@@ -149,16 +149,15 @@ class FalconKVCache(NamedTuple):
     @classmethod
     def create(cls, args: FalconArgs, batch, max_seq_len=None,
                dtype=jnp.bfloat16, layered: bool = False):
-        shape = (
-            batch, max_seq_len or args.max_seq_len,
-            args.kv_heads, args.head_dim,
-        )
+        S = max_seq_len or args.max_seq_len
         if layered:
+            # [B, Hkv, S, D]: panel-contiguous decode layout (llama.KVCache)
+            shape = (batch, args.kv_heads, S, args.head_dim)
             return cls(
                 tuple(jnp.zeros(shape, dtype) for _ in range(args.num_layers)),
                 tuple(jnp.zeros(shape, dtype) for _ in range(args.num_layers)),
             )
-        full = (args.num_layers, *shape)
+        full = (args.num_layers, batch, S, args.kv_heads, args.head_dim)
         return cls(jnp.zeros(full, dtype), jnp.zeros(full, dtype))
 
     @property
@@ -167,7 +166,7 @@ class FalconKVCache(NamedTuple):
 
 
 def _block(h, lp, args: FalconArgs, freqs_cis, mask, cache_k, cache_v,
-           write_pos, kv_valid_len, attend_cache):
+           write_pos, kv_valid_len, attend_cache, cache_layout="bshd"):
     B, S, D = h.shape
     H, Hkv, hd = args.num_attention_heads, args.kv_heads, args.head_dim
     eps = args.layer_norm_epsilon
@@ -183,14 +182,29 @@ def _block(h, lp, args: FalconArgs, freqs_cis, mask, cache_k, cache_v,
     xk = apply_rotary_half_split(xk, freqs_cis)
 
     if cache_k is not None:
-        cache_k = jax.lax.dynamic_update_slice(
-            cache_k, xk.astype(cache_k.dtype), (0, write_pos, 0, 0)
-        )
-        cache_v = jax.lax.dynamic_update_slice(
-            cache_v, xv.astype(cache_v.dtype), (0, write_pos, 0, 0)
-        )
+        if cache_layout == "bhsd":
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, xk.transpose(0, 2, 1, 3).astype(cache_k.dtype),
+                (0, 0, write_pos, 0),
+            )
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, xv.transpose(0, 2, 1, 3).astype(cache_v.dtype),
+                (0, 0, write_pos, 0),
+            )
+        else:
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, xk.astype(cache_k.dtype), (0, write_pos, 0, 0)
+            )
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, xv.astype(cache_v.dtype), (0, write_pos, 0, 0)
+            )
     if cache_k is not None and attend_cache:
-        keys, values = cache_k.astype(xq.dtype), cache_v.astype(xq.dtype)
+        if cache_layout == "bhsd":
+            # XLA over bhsd panels is near the memory bound (llama.py note)
+            keys = cache_k.transpose(0, 2, 1, 3).astype(xq.dtype)
+            values = cache_v.transpose(0, 2, 1, 3).astype(xq.dtype)
+        else:
+            keys, values = cache_k.astype(xq.dtype), cache_v.astype(xq.dtype)
     else:
         keys, values = xk, xv
         kv_valid_len = None
@@ -249,7 +263,7 @@ def _run_layers_cached(params, args, h, freqs_cis, mask, cache, write_pos,
         for i in range(args.num_layers):
             h, (k_new, v_new) = _block(
                 h, layer(i), args, freqs_cis, mask, cache.k[i], cache.v[i],
-                write_pos, kv_valid_len, attend_cache,
+                write_pos, kv_valid_len, attend_cache, cache_layout="bhsd",
             )
             new_k.append(k_new)
             new_v.append(v_new)

@@ -40,13 +40,14 @@ Params = dict[str, Any]
 class KVCache(NamedTuple):
     """Either stacked arrays [n_layers, batch, max_seq, n_kv_heads, head_dim]
     (training/prefill-friendly, used with the layer scan) or — for decode —
-    TUPLES of per-layer [batch, max_seq, n_kv_heads, head_dim] buffers.
+    TUPLES of per-layer [batch, n_kv_heads, max_seq, head_dim] buffers.
 
     The layered form exists for speed: per-layer buffers let XLA perform the
     per-step ``dynamic_update_slice`` in place, while a stacked cache flowing
     through ``lax.scan`` ys is copied wholesale every step (measured 4.6 ->
     2.0 ms/step on v5e for an 8-layer 1024-dim model with a 1551-slot
-    cache)."""
+    cache). Layered buffers are [B, Hkv, S, D] — the panel-contiguous layout
+    the Pallas decode-attention kernel reads (ops/decode_attention.py)."""
 
     k: jnp.ndarray | tuple
     v: jnp.ndarray | tuple
@@ -56,18 +57,14 @@ class KVCache(NamedTuple):
         cls, args: ModelArgs, batch_size: int, max_seq_len: int | None = None,
         dtype=jnp.bfloat16, layered: bool = False,
     ) -> "KVCache":
-        shape = (
-            batch_size,
-            max_seq_len or args.max_seq_len,
-            args.kv_heads,
-            args.head_dim,
-        )
+        S = max_seq_len or args.max_seq_len
         if layered:
+            shape = (batch_size, args.kv_heads, S, args.head_dim)
             return cls(
                 tuple(jnp.zeros(shape, dtype) for _ in range(args.n_layers)),
                 tuple(jnp.zeros(shape, dtype) for _ in range(args.n_layers)),
             )
-        full = (args.n_layers, *shape)
+        full = (args.n_layers, batch_size, S, args.kv_heads, args.head_dim)
         return cls(jnp.zeros(full, dtype), jnp.zeros(full, dtype))
 
     @property
@@ -164,11 +161,12 @@ def decode_cache_specs(args: ModelArgs, mesh, batch: int) -> KVCache:
     """PartitionSpecs for a *layered* decode cache on ``mesh``: batch over
     "data", KV heads over "model" (the serving layout — the reference serves
     with the cache split per TP rank, llama_ens5.py:121-129 under MP=2,
-    scripts/a3vlm_infer.sh:36-43). Axes that don't divide stay unsharded."""
+    scripts/a3vlm_infer.sh:36-43). Axes that don't divide stay unsharded.
+    Layered buffers are [B, Hkv, S, D]."""
     axes = dict(mesh.shape)
     b_ax = "data" if batch % axes.get("data", 1) == 0 else None
     h_ax = "model" if args.kv_heads % axes.get("model", 1) == 0 else None
-    spec = P(b_ax, None, h_ax, None)
+    spec = P(b_ax, h_ax, None, None)
     per_layer = tuple(spec for _ in range(args.n_layers))
     return KVCache(per_layer, per_layer)
 
@@ -232,6 +230,7 @@ def _attention_sublayer(
     kv_valid_len,
     impl: str,
     attend_cache: bool = True,
+    cache_layout: str = "bshd",
 ):
     B, S, _ = x.shape
     H, Hkv, hd = args.n_heads, args.kv_heads, args.head_dim
@@ -242,14 +241,53 @@ def _attention_sublayer(
     xq, xk = apply_rotary_emb(xq, xk, freqs_cis)
 
     if cache_k is not None:
-        cache_k = jax.lax.dynamic_update_slice(
-            cache_k, xk.astype(cache_k.dtype), (0, write_pos, 0, 0)
-        )
-        cache_v = jax.lax.dynamic_update_slice(
-            cache_v, xv.astype(cache_v.dtype), (0, write_pos, 0, 0)
-        )
+        if cache_layout == "bhsd":
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k,
+                xk.transpose(0, 2, 1, 3).astype(cache_k.dtype),
+                (0, 0, write_pos, 0),
+            )
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v,
+                xv.transpose(0, 2, 1, 3).astype(cache_v.dtype),
+                (0, 0, write_pos, 0),
+            )
+        else:
+            cache_k = jax.lax.dynamic_update_slice(
+                cache_k, xk.astype(cache_k.dtype), (0, write_pos, 0, 0)
+            )
+            cache_v = jax.lax.dynamic_update_slice(
+                cache_v, xv.astype(cache_v.dtype), (0, write_pos, 0, 0)
+            )
     if cache_k is not None and attend_cache:
-        keys, values = cache_k.astype(xq.dtype), cache_v.astype(xq.dtype)
+        if cache_layout == "bhsd":
+            from a3vlm_tpu.ops.decode_attention import (
+                decode_attention,
+                decode_attention_eligible,
+            )
+
+            if (
+                impl in ("auto", "flash")
+                and mask is None
+                and kv_valid_len is not None
+                and decode_attention_eligible(
+                    xq.shape, cache_k.shape, xq.dtype
+                )
+            ):
+                # one fused pass per cache panel; being a custom call also
+                # pins the loop-carried cache to the default layout (XLA
+                # attention costs 229us/layer in-loop vs 69us isolated
+                # because layout assignment relays the cache every step)
+                out = decode_attention(
+                    xq, cache_k.astype(xq.dtype), cache_v.astype(xq.dtype),
+                    kv_valid_len,
+                )
+                out = qmat(out.reshape(B, S, H * hd), lp["wo"]["weight"])
+                return out, (cache_k, cache_v)
+            keys = cache_k.transpose(0, 2, 1, 3).astype(xq.dtype)
+            values = cache_v.transpose(0, 2, 1, 3).astype(xq.dtype)
+        else:
+            keys, values = cache_k.astype(xq.dtype), cache_v.astype(xq.dtype)
     else:
         # prefill: this call's k/v ARE the whole visible history — attend
         # over them directly (flash-kernel eligible) instead of the padded
@@ -282,6 +320,7 @@ def _block(
     kv_valid_len,
     impl: str,
     attend_cache: bool = True,
+    cache_layout: str = "bshd",
 ):
     attn_out, new_cache = _attention_sublayer(
         rms_norm(h, lp["attention_norm"]["weight"], args.norm_eps),
@@ -295,6 +334,7 @@ def _block(
         kv_valid_len,
         impl,
         attend_cache=attend_cache,
+        cache_layout=cache_layout,
     )
     h = h + attn_out
     h = h + _ffn_sublayer(
@@ -365,6 +405,7 @@ def forward_hidden(
             h, (k_new, v_new) = _block(
                 h, layer(i), args, freqs_cis, mask, cache.k[i], cache.v[i],
                 write_pos, kv_valid_len, impl, attend_cache=attend_cache,
+                cache_layout="bhsd",
             )
             new_k.append(k_new)
             new_v.append(v_new)

@@ -110,6 +110,15 @@ def fabricate_llama(args, bits=None):
         "w2": {"weight": qw(F, D)},
         "w3": {"weight": qw(D, F)},
     }
+
+    # production quantize_params also quantizes the lm head (any 2-D Linear
+    # outside the blocklist); 262 MB/step of bf16 head traffic matters.
+    # tree_map slices the (q, scale) children; static aux survives.
+    p["output"] = {
+        "weight": jax.tree_util.tree_map(
+            lambda x: x[0], qw(args.dim, args.vocab_size)
+        )
+    }
     return p
 
 

@@ -61,10 +61,11 @@ def test_mp2_cache_actually_sharded(devices8, tiny_tokenizer):
     args = _tiny_args(_padded_vocab(tok))
     mesh = create_mesh(2, devices=devices8)
     specs = llama.decode_cache_specs(args, mesh, batch=4)
-    assert specs.k[0] == jax.sharding.PartitionSpec("data", None, "model", None)
+    # layered decode buffers are [B, Hkv, S, D]
+    assert specs.k[0] == jax.sharding.PartitionSpec("data", "model", None, None)
     # batch 3 does not divide data=4; kv_heads=4 still divides model=2
     specs = llama.decode_cache_specs(args, mesh, batch=3)
-    assert specs.k[0] == jax.sharding.PartitionSpec(None, None, "model", None)
+    assert specs.k[0] == jax.sharding.PartitionSpec(None, "model", None, None)
     # 1 kv head (MQA) cannot shard over model=2
     mqa = dataclasses.replace(args, n_kv_heads=1)
     specs = llama.decode_cache_specs(mqa, mesh, batch=4)

@@ -176,3 +176,30 @@ def test_attention_dispatch_bf16_uses_fast_path():
     np.testing.assert_array_equal(
         np.asarray(out), np.asarray(sdpa_fast(q, k, v, kv_valid_len=valid))
     )
+
+
+@pytest.mark.parametrize("group", [1, 2])
+def test_decode_attention_kernel_matches_reference(group):
+    """Pallas decode-attention (interpret mode) == sdpa_reference over the
+    [B, Hkv, S, D] layered-cache layout, including per-element valid
+    lengths and GQA groups."""
+    from a3vlm_tpu.ops.decode_attention import decode_attention
+
+    rng = np.random.default_rng(2)
+    B, Hkv, S, D = 2, 2, 16, 128
+    Hq = Hkv * group
+    q = jnp.asarray(rng.normal(size=(B, 1, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    valid = jnp.asarray([5, 16], jnp.int32)
+    got = decode_attention(q, k, v, valid, interpret=True)
+    want = sdpa_reference(
+        q,
+        k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3),
+        mask=None,
+        kv_valid_len=valid,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
+    )
