@@ -17,9 +17,11 @@ as two MXU dots per block — no interleave, no transposes. Group scales
 sublane-wise in VMEM.
 
 ``qmat(x, w)`` is the dispatcher the decoder layers call: dense arrays take
-the plain ``@``; int8 takes the XLA dequant-into-dot fusion (measured at
-parity with bf16); int4 takes this kernel on TPU and an equivalent two-dot
-XLA path elsewhere (CPU tests, interpret mode).
+the plain ``@``; int8 and int4 take their fused Pallas kernels on TPU and
+equivalent XLA paths elsewhere (CPU tests, interpret mode). XLA alone does
+NOT fuse the dequant into the dot's operand load — it materializes the
+dequantized bf16 weight every step, so unfused int8 decode moves the same
+HBM traffic as dense bf16 (measured: 544 vs 1114 tok/s full-depth 7B).
 """
 
 from __future__ import annotations
@@ -67,18 +69,22 @@ def _int4_matmul_2d(x, q, scale, *, group: int, interpret: bool = False):
     half, N = q.shape
     assert Kpad == 2 * half, (x.shape, q.shape)
 
-    # biggest K block that divides the packed rows wins (v5e, M=16:
-    # BK 512 -> 238 GB/s, 1024 -> 347, 2048 -> 429 on the 11008-deep ffn)
-    BK = next(b for b in (2048, 1024, 512) if half % b == 0)
+    # block choice (v5e, M=16 sweep): BK 1024 / BN 1024 sustains 476-533
+    # GB/s vs ~450 for narrow BN. BK x BN is capped at 1M elements — the
+    # dequant temporaries (unpacked i32 halves, expanded scales, bf16
+    # weights) live on the Mosaic stack and 2048x1024 blocks OOM vmem.
+    BK = next(b for b in (1024, 512) if half % b == 0)
     assert (BK % group == 0) and BK // group >= 8, (half, BK, group)
-    BN = 512 if N % 512 == 0 else (256 if N % 256 == 0 else 128)
-    assert N % BN == 0, (N, BN)
+    # wide BN with a ceil-grid over N: the boundary block's out-of-range
+    # columns read padding and are dropped on store — columns are
+    # independent (K is the contraction dim), so valid columns are exact.
+    BN = min(1024, -(-N // 128) * 128)
     BM = min(256, -(-M // 16) * 16)
     Mpad = -(-M // BM) * BM
     if Mpad != M:
         x = jnp.pad(x, ((0, Mpad - M), (0, 0)))
 
-    nm, nn, nk = Mpad // BM, N // BN, half // BK
+    nm, nn, nk = Mpad // BM, -(-N // BN), half // BK
     sg = BK // group  # scale rows per K step
 
     out = pl.pallas_call(
@@ -163,13 +169,105 @@ def int4_matmul(x, qw: QuantizedWeight, interpret: bool = False):
     return out.reshape(*lead, out.shape[-1])
 
 
+def _int8_kernel(x_ref, q_ref, s_ref, o_ref, acc_ref, *, nk: int):
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # int8 in [-127, 127] casts to bf16 exactly (8 mantissa bits); the
+    # per-output-channel scale is k-independent, so it factors out of the
+    # accumulation and is applied once at the final store
+    acc_ref[:] += jnp.dot(
+        x_ref[:], q_ref[:].astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(pl.program_id(2) == nk - 1)
+    def _done():
+        o_ref[:] = (acc_ref[:] * s_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _int8_matmul_2d(x, q, scale, *, interpret: bool = False):
+    """x [M, K] (bf16/f32), q [K, N] int8, scale [1, N] f32 -> [M, N] in
+    x.dtype. Streams K*N bytes of weight instead of the 2*K*N the XLA path
+    moves after materializing the dequantized bf16 weight."""
+    M, K = x.shape
+    K2, N = q.shape
+    assert K == K2, (x.shape, q.shape)
+
+    # v5e in-loop sweep (M=16): wide BN wins — BN 1024/2048 runs 680-735
+    # GB/s, BN 256 only 300-580. Ceil-grid over N (boundary block's
+    # out-of-range columns read padding, dropped on store; exact-ref
+    # checked on-chip for N=11008).
+    BK = next(b for b in (1024, 512, 256) if K % b == 0)
+    BN = min(2048, -(-N // 128) * 128)
+    BM = min(256, -(-M // 16) * 16)
+    Mpad = -(-M // BM) * BM
+    if Mpad != M:
+        x = jnp.pad(x, ((0, Mpad - M), (0, 0)))
+
+    nm, nn, nk = Mpad // BM, -(-N // BN), K // BK
+    out = pl.pallas_call(
+        functools.partial(_int8_kernel, nk=nk),
+        grid=(nm, nn, nk),
+        in_specs=[
+            pl.BlockSpec((BM, BK), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BK, BN), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BN), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BM, BN), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mpad, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((BM, BN), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mpad * K * N,
+            bytes_accessed=K * N + Mpad * K * 2 + Mpad * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, q, scale)
+    return out[:M] if Mpad != M else out
+
+
+def _int8_kernel_eligible(qw: QuantizedWeight) -> bool:
+    if qw.q.ndim != 2:
+        return False
+    K, N = qw.q.shape
+    return (
+        K % 256 == 0
+        and N % 128 == 0
+        and jax.devices()[0].platform == "tpu"
+    )
+
+
+def int8_matmul(x, qw: QuantizedWeight, interpret: bool = False):
+    """x [..., K] @ int8 weight [K, N] (per-output-channel scale)."""
+    if not (interpret or _int8_kernel_eligible(qw)):
+        # XLA fallback: materializes the dequantized weight (correct but
+        # 2x the weight traffic — the reason the kernel exists; the
+        # round-1 "XLA fuses the dequant into the dot" claim was wrong)
+        return x @ (qw.q.astype(jnp.float32) * qw.scale).astype(x.dtype)
+    lead = x.shape[:-1]
+    out = _int8_matmul_2d(
+        x.reshape(-1, x.shape[-1]), qw.q,
+        qw.scale.reshape(1, -1).astype(jnp.float32),
+        interpret=interpret,
+    )
+    return out.reshape(*lead, out.shape[-1])
+
+
 def qmat(x, w):
     """Quantization-aware linear: ``x @ w`` for dense ``w``; fused/fallback
     dequant-matmul for ``QuantizedWeight`` (bits inferred from the node)."""
     if not isinstance(w, QuantizedWeight):
         return x @ w
     if w.bits == 8:
-        # XLA fuses the int8 dequant into the dot's operand load; measured
-        # at bf16 parity on v5e (CLAUDE.md quantized-decode table)
-        return x @ (w.q.astype(jnp.float32) * w.scale).astype(x.dtype)
+        return int8_matmul(x, w)
     return int4_matmul(x, w)

@@ -5,9 +5,9 @@ util/quant.py, rebuilt TPU-native):
   two nibbles per int8 byte) — the TPU-friendly analogues of
   ``Linear8bitLt`` / ``Linear4bit``.
 - quantization wraps weights only; the matmul runs in the activation dtype.
-  int8 dequant is fused by XLA into the dot's operand load; int4 goes
-  through the Pallas fused dequant-matmul kernel (ops/quant_matmul.py) on
-  TPU — nibbles are unpacked in VMEM, weights never materialize in HBM.
+  Both widths go through fused Pallas dequant-matmul kernels
+  (ops/quant_matmul.py) on TPU — int4 nibbles are unpacked and int8 scaled
+  in VMEM, so the dequantized weight never materializes in HBM.
 - blocklist semantics: subtrees named by the model's ``quant_blocklist``
   (vision towers + projectors, llama_ens5.py:541-550) stay dense, as do
   1-D params (norms/biases), matching util/quant.py:18-93's layer filter.

@@ -11,7 +11,9 @@ import pytest
 from a3vlm_tpu.ops.quant_matmul import (
     _int4_matmul_2d,
     _int4_matmul_xla,
+    _int8_matmul_2d,
     int4_matmul,
+    int8_matmul,
     qmat,
 )
 from a3vlm_tpu.quant import (
@@ -98,6 +100,57 @@ def test_int4_pallas_kernel_3d_and_bf16():
     got = np.asarray(int4_matmul(x, qw, interpret=True)).astype(np.float32)
     # both are bf16 outputs; allow one output ulp of divergence
     np.testing.assert_allclose(got, ref, rtol=2e-2, atol=0.75)
+
+
+def test_int8_pallas_kernel_interpret_matches_dense():
+    """The fused int8 kernel (interpret mode on CPU) == x @ dequantized
+    weight; the per-output-channel scale factors out of the accumulation."""
+    w = _rand_w(512, 256, seed=8)
+    q8 = _quantize_leaf_int8(w)
+    x = jnp.asarray(_rand_w(5, 512, seed=9)).astype(jnp.float32)
+    dense = (q8.q.astype(jnp.float32) * q8.scale)
+    ref = np.asarray(x @ dense)
+    got = np.asarray(
+        _int8_matmul_2d(
+            x, q8.q, q8.scale.reshape(1, -1).astype(jnp.float32),
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_int8_matmul_3d_and_bf16():
+    """[B, S, K] bf16 activations through the int8 kernel wrapper."""
+    w = _rand_w(256, 128, seed=10)
+    q8 = _quantize_leaf_int8(w)
+    x = jnp.asarray(_rand_w(2 * 3, 256, seed=11)).reshape(2, 3, 256)
+    x = x.astype(jnp.bfloat16)
+    dense = (q8.q.astype(jnp.float32) * q8.scale).astype(jnp.bfloat16)
+    ref = np.asarray(x @ dense).astype(np.float32)
+    got = np.asarray(int8_matmul(x, q8, interpret=True)).astype(np.float32)
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=0.5)
+
+
+def test_int8_ceil_grid_nondivisible_n():
+    """N=1152 does not divide BN=1024: the boundary block's padded columns
+    must not leak into valid output (checked on-chip too, /tmp sweep)."""
+    w = _rand_w(1024, 1152, seed=12)
+    q8 = _quantize_leaf_int8(w)
+    x = jnp.asarray(_rand_w(4, 1024, seed=13)).astype(jnp.float32)
+    dense = q8.q.astype(jnp.float32) * q8.scale
+    ref = np.asarray(x @ dense)
+    got = np.asarray(int8_matmul(x, q8, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_int4_ceil_grid_nondivisible_n():
+    """int4 kernel with N=1152 (ceil-grid over BN=1024)."""
+    w = _rand_w(1024, 1152, seed=14)
+    q4 = _quantize_leaf_int4(w)
+    x = jnp.asarray(_rand_w(4, 1024, seed=15)).astype(jnp.float32)
+    ref = np.asarray(_int4_matmul_xla(x, q4)).astype(np.float32)
+    got = np.asarray(int4_matmul(x, q4, interpret=True)).astype(np.float32)
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=0.5)
 
 
 def test_qmat_dispatch():
