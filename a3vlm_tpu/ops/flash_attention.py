@@ -27,6 +27,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+_LOG2E = 1.4426950408889634  # scores are kept in base-2 domain inside the
+# kernels: exp(x) = exp2(x * log2 e), and exp2 is materially cheaper on the
+# VPU — the kernel is VPU-bound (softmax over [bq, bk] f32), not MXU-bound
 
 
 def _flash_kernel(
@@ -70,36 +73,13 @@ def _flash_kernel(
     else:
         block_visible = ki >= 0  # always true, but traced
 
-    @pl.when(block_visible)
-    def _compute():
-        # keep matmul inputs in their native (bf16) dtype for full MXU rate;
-        # accumulate in f32 via preferred_element_type
-        q = q_ref[0, 0]  # [block_q, D]
-        k = k_ref[0, 0]  # [block_k, D]
-        s = jax.lax.dot_general(
-            q,
-            k,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * sm_scale  # [block_q, block_k] f32
-
-        if causal or skv_actual != skv:
-            rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-            allowed = (
-                (q_start + rows + offset) >= (k_start + cols)
-                if causal
-                else rows >= 0
-            )
-            if skv_actual != skv:
-                allowed &= (k_start + cols) < skv_actual
-            s = jnp.where(allowed, s, _NEG_INF)
-
+    def _update(s):
+        # s: [block_q, block_k] f32, base-2 domain (pre-multiplied by log2 e)
         m_prev = m_scr[:, :1]  # [block_q, 1]
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)  # [block_q, 1]
-        p = jnp.exp(s - m_new)  # [block_q, block_k]
+        alpha = jnp.exp2(m_prev - m_new)  # [block_q, 1]
+        p = jnp.exp2(s - m_new)  # [block_q, block_k]
 
         l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
         pv = jax.lax.dot_general(
@@ -112,6 +92,58 @@ def _flash_kernel(
         m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
         l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
+    def _scores():
+        # keep matmul inputs in their native (bf16) dtype for full MXU rate;
+        # accumulate in f32 via preferred_element_type. The softmax scale is
+        # folded into q ([bq, D] — 1/8 the elements of scaling the [bq, bk]
+        # score matrix; the kernel is VPU-bound)
+        q = (
+            q_ref[0, 0].astype(jnp.float32) * (sm_scale * _LOG2E)
+        ).astype(q_ref.dtype)
+        return jax.lax.dot_general(
+            q,
+            k_ref[0, 0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [block_q, block_k] f32, base-2 domain
+
+    if causal or skv_actual != skv:
+        # the mask iota/compare/where chain costs ~4 VPU ops per score
+        # element; only blocks the causal diagonal or the kv padding edge
+        # actually crosses need it — interior blocks take the bare path
+        diag = (
+            k_start + block_k - 1 > q_start + offset if causal else False
+        )
+        edge = (
+            k_start + block_k > skv_actual if skv_actual != skv else False
+        )
+        need_mask = diag | edge if causal and skv_actual != skv else (
+            diag if causal else edge
+        )
+
+        @pl.when(block_visible & need_mask)
+        def _compute_masked():
+            s = _scores()
+            rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+            allowed = (
+                (q_start + rows + offset) >= (k_start + cols)
+                if causal
+                else rows >= 0
+            )
+            if skv_actual != skv:
+                allowed &= (k_start + cols) < skv_actual
+            _update(jnp.where(allowed, s, _NEG_INF))
+
+        @pl.when(block_visible & jnp.logical_not(need_mask))
+        def _compute_plain():
+            _update(_scores())
+    else:
+
+        @pl.when(block_visible)
+        def _compute():
+            _update(_scores())
+
     @pl.when(ki == nk - 1)
     def _finalize():
         l = l_scr[:, :1]
@@ -119,7 +151,8 @@ def _flash_kernel(
         l = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc_scr[:] / l).astype(o_ref.dtype)
         if lse_ref is not None:
-            lse = (m_scr[:, :1] + jnp.log(l))  # [block_q, 1]
+            # natural-log lse (the backward contract): m is base-2
+            lse = m_scr[:, :1] * float(1.0 / _LOG2E) + jnp.log(l)
             lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref[0, 0].shape)
 
 
@@ -311,17 +344,45 @@ def _flash_bwd_dq_kernel(
     else:
         block_visible = ki >= 0
 
-    @pl.when(block_visible)
-    def _compute():
-        q = q_ref[0, 0]
+    def _update(p):
         k = k_ref[0, 0]
-        v = v_ref[0, 0]
-        do = do_ref[0, 0]
-        s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        dp = jax.lax.dot_general(
+            do_ref[0, 0], v_ref[0, 0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * sm_scale
-        if causal or skv_actual != skv:
+        )
+        ds = p * (dp - delta_ref[0, 0][:, :1]) * sm_scale
+        dq_scr[:] += jax.lax.dot_general(
+            ds.astype(k.dtype), k,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def _scores():
+        # base-2 domain; p = exp2(s2 - lse * log2 e)
+        return jax.lax.dot_general(
+            q_ref[0, 0], k_ref[0, 0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (sm_scale * _LOG2E)
+
+    def _lse2():
+        return lse_ref[0, 0][:, :1] * _LOG2E
+
+    if causal or skv_actual != skv:
+        diag = (
+            k_start + block_k - 1 > q_start + offset if causal else False
+        )
+        edge = (
+            k_start + block_k > skv_actual if skv_actual != skv else False
+        )
+        need_mask = diag | edge if causal and skv_actual != skv else (
+            diag if causal else edge
+        )
+
+        @pl.when(block_visible & need_mask)
+        def _compute_masked():
+            s = _scores()
             rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
             cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
             allowed = (
@@ -331,17 +392,16 @@ def _flash_bwd_dq_kernel(
             if skv_actual != skv:
                 allowed &= (k_start + cols) < skv_actual
             s = jnp.where(allowed, s, _NEG_INF)
-        p = jnp.exp(s - lse_ref[0, 0][:, :1])
-        dp = jax.lax.dot_general(
-            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ds = p * (dp - delta_ref[0, 0][:, :1]) * sm_scale
-        dq_scr[:] += jax.lax.dot_general(
-            ds.astype(k.dtype), k,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+            _update(jnp.exp2(s - _lse2()))
+
+        @pl.when(block_visible & jnp.logical_not(need_mask))
+        def _compute_plain():
+            _update(jnp.exp2(_scores() - _lse2()))
+    else:
+
+        @pl.when(block_visible)
+        def _compute():
+            _update(jnp.exp2(_scores() - _lse2()))
 
     @pl.when(ki == nk - 1)
     def _finalize():
@@ -371,17 +431,49 @@ def _flash_bwd_dkv_kernel(
     else:
         block_visible = qi >= 0
 
-    @pl.when(block_visible)
-    def _compute():
+    def _update(p):
         q = q_ref[0, 0]
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
         do = do_ref[0, 0]
-        s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        dv_scr[:] += jax.lax.dot_general(
+            p.astype(do.dtype), do,
+            dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * sm_scale
-        if causal or skv_actual != skv:
+        )
+        dp = jax.lax.dot_general(
+            do, v_ref[0, 0], dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta_ref[0, 0][:, :1]) * sm_scale
+        dk_scr[:] += jax.lax.dot_general(
+            ds.astype(q.dtype), q,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def _scores():
+        return jax.lax.dot_general(
+            q_ref[0, 0], k_ref[0, 0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (sm_scale * _LOG2E)
+
+    def _lse2():
+        return lse_ref[0, 0][:, :1] * _LOG2E
+
+    if causal or skv_actual != skv:
+        diag = (
+            k_start + block_k - 1 > q_start + offset if causal else False
+        )
+        edge = (
+            k_start + block_k > skv_actual if skv_actual != skv else False
+        )
+        need_mask = diag | edge if causal and skv_actual != skv else (
+            diag if causal else edge
+        )
+
+        @pl.when(block_visible & need_mask)
+        def _compute_masked():
+            s = _scores()
             rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
             cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
             allowed = (
@@ -391,22 +483,16 @@ def _flash_bwd_dkv_kernel(
             if skv_actual != skv:
                 allowed &= (k_start + cols) < skv_actual
             s = jnp.where(allowed, s, _NEG_INF)
-        p = jnp.exp(s - lse_ref[0, 0][:, :1])  # [bq, bk]
-        p_lowp = p.astype(do.dtype)
-        dv_scr[:] += jax.lax.dot_general(
-            p_lowp, do, dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        dp = jax.lax.dot_general(
-            do, v, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ds = p * (dp - delta_ref[0, 0][:, :1]) * sm_scale
-        dk_scr[:] += jax.lax.dot_general(
-            ds.astype(q.dtype), q,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+            _update(jnp.exp2(s - _lse2()))
+
+        @pl.when(block_visible & jnp.logical_not(need_mask))
+        def _compute_plain():
+            _update(jnp.exp2(_scores() - _lse2()))
+    else:
+
+        @pl.when(block_visible)
+        def _compute():
+            _update(jnp.exp2(_scores() - _lse2()))
 
     @pl.when(qi == nq - 1)
     def _finalize():
