@@ -174,9 +174,12 @@ def attention(
     right-aligned unequal-length case flash_attn could not), XLA otherwise.
     """
     # measured on v5e: the Pallas kernel wins for causal sequences >= ~512
-    # (26 TF/s vs 11 TF/s XLA at S=2048, 1024x1024 blocks with bf16 matmul
+    # (35 TF/s vs 11 TF/s XLA at S=2048, 1024x1024 blocks with bf16 matmul
     # inputs); XLA's fused attention wins at ViT-scale short non-causal
-    # sequences (257 tokens), so only causal dispatches to the kernel.
+    # sequences — routing the 257-token towers through the kernel was
+    # MEASURED SLOWER (537 vs 659 img/s batch-16 CLIP-L: head_dim 64 fills
+    # half the MXU contraction and the (B*H)-program grid is launch-heavy),
+    # so only causal dispatches to the kernel.
     is_causal = isinstance(mask, str) and mask == "causal"
     use_flash = impl == "flash" or (
         impl == "auto"

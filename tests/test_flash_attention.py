@@ -87,6 +87,18 @@ def test_flash_noncausal_padded():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3)
 
 
+def test_flash_noncausal_vit_shape_single_block():
+    """The ViT dispatch shape: S=257 non-causal through ONE padded 384
+    block (the ops.attention auto route on TPU)."""
+    B, S, H, D = 2, 257, 4, 32
+    q = _rand((B, S, H, D), 15)
+    k = _rand((B, S, H, D), 16)
+    v = _rand((B, S, H, D), 17)
+    got = fa.flash_attention(q, k, v, causal=False, block_q=384, block_k=384)
+    want = sdpa_reference(q, k, v, mask=None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3)
+
+
 def test_flash_gradient_matches_xla():
     """The custom VJP (flash forward, XLA-recompute backward) matches full
     XLA gradients."""
