@@ -198,18 +198,38 @@ def _block(h, lp, args: FalconArgs, freqs_cis, mask, cache_k, cache_v,
             cache_v = jax.lax.dynamic_update_slice(
                 cache_v, xv.astype(cache_v.dtype), (0, write_pos, 0, 0)
             )
+    attn_out = None
     if cache_k is not None and attend_cache:
         if cache_layout == "bhsd":
-            # XLA over bhsd panels is near the memory bound (llama.py note)
-            keys = cache_k.transpose(0, 2, 1, 3).astype(xq.dtype)
-            values = cache_v.transpose(0, 2, 1, 3).astype(xq.dtype)
+            from a3vlm_tpu.ops.decode_attention import (
+                decode_attention,
+                decode_attention_eligible,
+            )
+
+            if (
+                mask is None
+                and kv_valid_len is not None
+                and decode_attention_eligible(xq.shape, cache_k.shape, xq.dtype)
+            ):
+                # fused single-query pass per cache panel; the custom call
+                # also pins the loop-carried cache layout (llama.py note)
+                attn_out = decode_attention(
+                    xq, cache_k.astype(xq.dtype), cache_v.astype(xq.dtype),
+                    kv_valid_len,
+                )
+            else:
+                keys = cache_k.transpose(0, 2, 1, 3).astype(xq.dtype)
+                values = cache_v.transpose(0, 2, 1, 3).astype(xq.dtype)
         else:
             keys, values = cache_k.astype(xq.dtype), cache_v.astype(xq.dtype)
     else:
         keys, values = xk, xv
         kv_valid_len = None
 
-    attn_out = attention(xq, keys, values, mask=mask, kv_valid_len=kv_valid_len)
+    if attn_out is None:
+        attn_out = attention(
+            xq, keys, values, mask=mask, kv_valid_len=kv_valid_len
+        )
     attn_out = qmat(attn_out.reshape(B, S, H * hd), att["wo"]["weight"])
 
     mlp = lp["mlp"]
