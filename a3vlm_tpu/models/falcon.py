@@ -150,6 +150,9 @@ class FalconKVCache(NamedTuple):
     def create(cls, args: FalconArgs, batch, max_seq_len=None,
                dtype=jnp.bfloat16, layered: bool = False):
         S = max_seq_len or args.max_seq_len
+        # sublane-align (llama.KVCache note: keeps the decode-attention
+        # kernel eligible for arbitrary lengths; kv_valid_len masks padding)
+        S = -(-S // 8) * 8
         if layered:
             # [B, Hkv, S, D]: panel-contiguous decode layout (llama.KVCache)
             shape = (batch, args.kv_heads, S, args.head_dim)

@@ -58,6 +58,10 @@ class KVCache(NamedTuple):
         dtype=jnp.bfloat16, layered: bool = False,
     ) -> "KVCache":
         S = max_seq_len or args.max_seq_len
+        # sublane-align the cache length: costs <=7 masked slots, keeps the
+        # Pallas decode-attention kernel eligible (it wants S % 8 == 0) for
+        # arbitrary prompt lengths; kv_valid_len masks the padding
+        S = -(-S // 8) * 8
         if layered:
             shape = (batch_size, args.kv_heads, S, args.head_dim)
             return cls(

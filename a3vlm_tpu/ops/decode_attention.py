@@ -93,6 +93,102 @@ def _decode_attention_bhgd(q, k, v, valid, interpret=False):
     )(valid.astype(jnp.int32), q, k, v)
 
 
+def _decode_kernel_blocked(valid_ref, q_ref, k_ref, v_ref, o_ref,
+                           m_scr, l_scr, acc_scr, *, sm_scale, bs, ns,
+                           s_actual):
+    """Online-softmax variant for long caches: grid (B, nS), the S axis
+    innermost with running (max, sum, acc) scratch — the whole-panel kernel
+    VMEM-OOMs above ~512 cache slots (38.8M scoped at S=1520)."""
+    b = pl.program_id(0)
+    si = pl.program_id(1)
+
+    @pl.when(si == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32)  # [Hkv, G, D]
+    k = k_ref[0].astype(jnp.float32)  # [Hkv, bs, D]
+    v = v_ref[0].astype(jnp.float32)
+    if s_actual % bs:
+        # ragged ceil-grid boundary: out-of-range v is GARBAGE (possibly
+        # NaN) and p * v would propagate it through p == 0; k garbage is
+        # harmless (its scores are where'd to -inf below)
+        vcols = si * bs + jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+        v = jnp.where(vcols < s_actual, v, 0.0)
+    s = jnp.sum(q[:, :, None, :] * k[:, None, :, :], axis=-1) * sm_scale
+    cols = si * bs + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    s = jnp.where(cols < valid_ref[b], s, _NEG_INF)  # [Hkv, G, bs]
+
+    m_prev = m_scr[:, :, :1]  # [Hkv, G, 1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = l_scr[:, :, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jnp.sum(p[:, :, :, None] * v[:, None, :, :], axis=2)  # [Hkv, G, D]
+    acc_scr[:] = acc_scr[:] * alpha + pv
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(si == ns - 1)
+    def _done():
+        l = l_scr[:, :, :1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _decode_attention_bhgd_blocked(q, k, v, valid, interpret=False):
+    B, Hkv, G, D = q.shape
+    S = k.shape[2]
+    bs = 256
+    ns = -(-S // bs)  # ceil-grid; padded keys read garbage but cols >=
+    # valid masks them (valid <= S always)
+    kernel = functools.partial(
+        _decode_kernel_blocked, sm_scale=D ** -0.5, bs=bs, ns=ns, s_actual=S
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, ns),
+            in_specs=[
+                pl.BlockSpec((1, Hkv, G, D), lambda b, s, valid: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, bs, D), lambda b, s, valid: (b, 0, s, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, bs, D), lambda b, s, valid: (b, 0, s, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, Hkv, G, D), lambda b, s, valid: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((Hkv, G, 128), jnp.float32),  # running max
+                pltpu.VMEM((Hkv, G, 128), jnp.float32),  # running sum
+                pltpu.VMEM((Hkv, G, D), jnp.float32),  # output accumulator
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hkv * G * S * D,
+            bytes_accessed=(k.size + v.size) * k.dtype.itemsize,
+            transcendentals=B * Hkv * G * S,
+        ),
+        interpret=interpret,
+    )(valid.astype(jnp.int32), q, k, v)
+
+
+# whole-panel kernel above this cache length would blow the scoped-vmem
+# stack (f32 score/product temps scale with Hkv * S * D)
+_SINGLE_BLOCK_MAX_S = 512
+
+
 def decode_attention_eligible(q_shape, k_shape, dtype) -> bool:
     """q [B,1,Hq,D], cache [B,Hkv,S,D]: kernel wants lane-aligned D and a
     sublane-aligned cache length."""
@@ -114,5 +210,9 @@ def decode_attention(q, k, v, valid, interpret=False):
     Hkv = k.shape[1]
     G = Hq // Hkv
     qg = q.reshape(B, Hkv, G, D)
-    out = _decode_attention_bhgd(qg, k, v, valid, interpret=interpret)
+    if k.shape[2] > _SINGLE_BLOCK_MAX_S:
+        out = _decode_attention_bhgd_blocked(qg, k, v, valid,
+                                             interpret=interpret)
+    else:
+        out = _decode_attention_bhgd(qg, k, v, valid, interpret=interpret)
     return out.reshape(B, Sq, Hq, D)

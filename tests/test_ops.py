@@ -178,6 +178,27 @@ def test_attention_dispatch_bf16_uses_fast_path():
     )
 
 
+def test_decode_attention_blocked_long_cache_matches_reference():
+    """S > 512 dispatches to the online-softmax blocked kernel (ceil-grid
+    over 256-slot blocks; S=600 exercises the ragged boundary)."""
+    from a3vlm_tpu.ops.decode_attention import decode_attention
+
+    rng = np.random.default_rng(3)
+    B, Hkv, S, D = 2, 2, 600, 128
+    q = jnp.asarray(rng.normal(size=(B, 1, Hkv * 2, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    valid = jnp.asarray([373, 600], jnp.int32)
+    got = decode_attention(q, k, v, valid, interpret=True)
+    want = sdpa_reference(
+        q, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+        mask=None, kv_valid_len=valid,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
+    )
+
+
 @pytest.mark.parametrize("group", [1, 2])
 def test_decode_attention_kernel_matches_reference(group):
     """Pallas decode-attention (interpret mode) == sdpa_reference over the
