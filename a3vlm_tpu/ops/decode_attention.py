@@ -191,7 +191,15 @@ _SINGLE_BLOCK_MAX_S = 512
 
 def decode_attention_eligible(q_shape, k_shape, dtype) -> bool:
     """q [B,1,Hq,D], cache [B,Hkv,S,D]: kernel wants lane-aligned D and a
-    sublane-aligned cache length."""
+    sublane-aligned cache length.
+
+    Single-device runtimes only for now: a pallas_call does not SPMD-
+    partition, so under a multi-device mesh XLA would all-gather the
+    sharded cache panels every decode step (correct, catastrophically
+    slow). The multichip decode path keeps the XLA attention whose einsums
+    partition along the cache's ("data", "model") specs; wrapping the
+    kernel in shard_map/custom_partitioning over (B, Hkv) is future work
+    that needs multichip hardware to validate."""
     B, Sq, Hq, D = q_shape
     S = k_shape[2]
     return (
@@ -199,6 +207,7 @@ def decode_attention_eligible(q_shape, k_shape, dtype) -> bool:
         and D % 128 == 0
         and S % 8 == 0
         and dtype != jnp.float32
+        and len(jax.devices()) == 1
         and jax.devices()[0].platform == "tpu"
     )
 
