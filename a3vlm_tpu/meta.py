@@ -268,9 +268,11 @@ class MetaModel:
         projectors stay dense (quant blocklist).
 
         Weights stay packed in HBM and flow into the decoder's ``qmat``
-        linears: int8 dequant fuses into the dots; int4 dispatches to the
-        Pallas fused dequant-matmul kernel on TPU (ops/quant_matmul.py) —
-        the analogue of bitsandbytes' fused Linear4bit forward."""
+        linears: both widths dispatch to Pallas fused dequant-matmul
+        kernels on TPU (ops/quant_matmul.py) — the analogue of
+        bitsandbytes' fused Linear8bitLt/Linear4bit forwards. (XLA alone
+        does NOT fuse the dequant into the dot; it materializes the bf16
+        weight — the kernels exist because of that.)"""
         from a3vlm_tpu.quant import quantize_params
 
         if self.llama_type in ("llama", "falcon"):

@@ -18,6 +18,10 @@ import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
 from a3vlm_tpu.ops.attention import attention
+from a3vlm_tpu.ops.decode_attention import (
+    attend_decode_cache,
+    update_decode_cache,
+)
 from a3vlm_tpu.ops.norms import layer_norm
 from a3vlm_tpu.models.llama import _layer_getter, stack_layers
 from a3vlm_tpu.ops.quant_matmul import qmat
@@ -185,54 +189,16 @@ def _block(h, lp, args: FalconArgs, freqs_cis, mask, cache_k, cache_v,
     xk = apply_rotary_half_split(xk, freqs_cis)
 
     if cache_k is not None:
-        if cache_layout == "bhsd":
-            cache_k = jax.lax.dynamic_update_slice(
-                cache_k, xk.transpose(0, 2, 1, 3).astype(cache_k.dtype),
-                (0, 0, write_pos, 0),
-            )
-            cache_v = jax.lax.dynamic_update_slice(
-                cache_v, xv.transpose(0, 2, 1, 3).astype(cache_v.dtype),
-                (0, 0, write_pos, 0),
-            )
-        else:
-            cache_k = jax.lax.dynamic_update_slice(
-                cache_k, xk.astype(cache_k.dtype), (0, write_pos, 0, 0)
-            )
-            cache_v = jax.lax.dynamic_update_slice(
-                cache_v, xv.astype(cache_v.dtype), (0, write_pos, 0, 0)
-            )
-    attn_out = None
-    if cache_k is not None and attend_cache:
-        if cache_layout == "bhsd":
-            from a3vlm_tpu.ops.decode_attention import (
-                decode_attention,
-                decode_attention_eligible,
-            )
-
-            if (
-                mask is None
-                and kv_valid_len is not None
-                and decode_attention_eligible(xq.shape, cache_k.shape, xq.dtype)
-            ):
-                # fused single-query pass per cache panel; the custom call
-                # also pins the loop-carried cache layout (llama.py note)
-                attn_out = decode_attention(
-                    xq, cache_k.astype(xq.dtype), cache_v.astype(xq.dtype),
-                    kv_valid_len,
-                )
-            else:
-                keys = cache_k.transpose(0, 2, 1, 3).astype(xq.dtype)
-                values = cache_v.transpose(0, 2, 1, 3).astype(xq.dtype)
-        else:
-            keys, values = cache_k.astype(xq.dtype), cache_v.astype(xq.dtype)
-    else:
-        keys, values = xk, xv
-        kv_valid_len = None
-
-    if attn_out is None:
-        attn_out = attention(
-            xq, keys, values, mask=mask, kv_valid_len=kv_valid_len
+        cache_k, cache_v = update_decode_cache(
+            cache_k, cache_v, xk, xv, write_pos, layout=cache_layout
         )
+    if cache_k is not None and attend_cache:
+        attn_out = attend_decode_cache(
+            xq, cache_k, cache_v, mask=mask, kv_valid_len=kv_valid_len,
+            layout=cache_layout,
+        )
+    else:
+        attn_out = attention(xq, xk, xv, mask=mask, kv_valid_len=None)
     attn_out = qmat(attn_out.reshape(B, S, H * hd), att["wo"]["weight"])
 
     mlp = lp["mlp"]

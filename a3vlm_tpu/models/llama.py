@@ -30,6 +30,10 @@ from jax.sharding import PartitionSpec as P
 
 from a3vlm_tpu.config import ModelArgs
 from a3vlm_tpu.ops.attention import attention
+from a3vlm_tpu.ops.decode_attention import (
+    attend_decode_cache,
+    update_decode_cache,
+)
 from a3vlm_tpu.ops.norms import rms_norm
 from a3vlm_tpu.ops.quant_matmul import qmat
 from a3vlm_tpu.ops.rope import apply_rotary_emb, precompute_freqs_cis
@@ -245,53 +249,16 @@ def _attention_sublayer(
     xq, xk = apply_rotary_emb(xq, xk, freqs_cis)
 
     if cache_k is not None:
-        if cache_layout == "bhsd":
-            cache_k = jax.lax.dynamic_update_slice(
-                cache_k,
-                xk.transpose(0, 2, 1, 3).astype(cache_k.dtype),
-                (0, 0, write_pos, 0),
-            )
-            cache_v = jax.lax.dynamic_update_slice(
-                cache_v,
-                xv.transpose(0, 2, 1, 3).astype(cache_v.dtype),
-                (0, 0, write_pos, 0),
-            )
-        else:
-            cache_k = jax.lax.dynamic_update_slice(
-                cache_k, xk.astype(cache_k.dtype), (0, write_pos, 0, 0)
-            )
-            cache_v = jax.lax.dynamic_update_slice(
-                cache_v, xv.astype(cache_v.dtype), (0, write_pos, 0, 0)
-            )
+        cache_k, cache_v = update_decode_cache(
+            cache_k, cache_v, xk, xv, write_pos, layout=cache_layout
+        )
     if cache_k is not None and attend_cache:
-        if cache_layout == "bhsd":
-            from a3vlm_tpu.ops.decode_attention import (
-                decode_attention,
-                decode_attention_eligible,
-            )
-
-            if (
-                impl in ("auto", "flash")
-                and mask is None
-                and kv_valid_len is not None
-                and decode_attention_eligible(
-                    xq.shape, cache_k.shape, xq.dtype
-                )
-            ):
-                # one fused pass per cache panel; being a custom call also
-                # pins the loop-carried cache to the default layout (XLA
-                # attention costs 229us/layer in-loop vs 69us isolated
-                # because layout assignment relays the cache every step)
-                out = decode_attention(
-                    xq, cache_k.astype(xq.dtype), cache_v.astype(xq.dtype),
-                    kv_valid_len,
-                )
-                out = qmat(out.reshape(B, S, H * hd), lp["wo"]["weight"])
-                return out, (cache_k, cache_v)
-            keys = cache_k.transpose(0, 2, 1, 3).astype(xq.dtype)
-            values = cache_v.transpose(0, 2, 1, 3).astype(xq.dtype)
-        else:
-            keys, values = cache_k.astype(xq.dtype), cache_v.astype(xq.dtype)
+        out = attend_decode_cache(
+            xq, cache_k, cache_v, mask=mask, kv_valid_len=kv_valid_len,
+            impl=impl, layout=cache_layout,
+        )
+        out = qmat(out.reshape(B, S, H * hd), lp["wo"]["weight"])
+        return out, (cache_k, cache_v)
     else:
         # prefill: this call's k/v ARE the whole visible history — attend
         # over them directly (flash-kernel eligible) instead of the padded

@@ -225,3 +225,64 @@ def decode_attention(q, k, v, valid, interpret=False):
     else:
         out = _decode_attention_bhgd(qg, k, v, valid, interpret=interpret)
     return out.reshape(B, Sq, Hq, D)
+
+
+# ---------------------------------------------------------------------------
+# shared decode-cache helpers (used by models/llama.py and models/falcon.py —
+# one implementation of the layout-dependent update + kernel dispatch)
+# ---------------------------------------------------------------------------
+
+
+def update_decode_cache(cache_k, cache_v, xk, xv, write_pos, layout="bshd"):
+    """Write this call's [B, S, Hkv, D] k/v into the cache at ``write_pos``.
+    ``layout``: "bshd" caches are [B, S, Hkv, D]; "bhsd" (the layered decode
+    layout) are [B, Hkv, S, D] — panel-contiguous for the kernel and with
+    4x cheaper per-step writes."""
+    if layout == "bhsd":
+        k = xk.transpose(0, 2, 1, 3).astype(cache_k.dtype)
+        v = xv.transpose(0, 2, 1, 3).astype(cache_v.dtype)
+        idx = (0, 0, write_pos, 0)
+    else:
+        k = xk.astype(cache_k.dtype)
+        v = xv.astype(cache_v.dtype)
+        idx = (0, write_pos, 0, 0)
+    return (
+        jax.lax.dynamic_update_slice(cache_k, k, idx),
+        jax.lax.dynamic_update_slice(cache_v, v, idx),
+    )
+
+
+def attend_decode_cache(xq, cache_k, cache_v, *, mask, kv_valid_len,
+                        impl="auto", layout="bshd"):
+    """Attention over the full (padded) cache: the fused Pallas kernel for
+    eligible single-token bhsd decode, the XLA path otherwise. Returns
+    [B, S, Hq, D].
+
+    The eligibility gate's D % 128 == 0 keeps falcon (head_dim 64) on the
+    XLA path deliberately: the kernel at D=64 was MEASURED slower than
+    XLA over either layout (179 vs 115 us on v5e, B16 H72 S192 — half-
+    empty lanes), and the bhsd transpose costs the same as bshd there."""
+    from a3vlm_tpu.ops.attention import attention
+
+    if layout == "bhsd":
+        if (
+            impl in ("auto", "flash")
+            and mask is None
+            and kv_valid_len is not None
+            and decode_attention_eligible(xq.shape, cache_k.shape, xq.dtype)
+        ):
+            # one fused pass per cache panel; being a custom call also pins
+            # the loop-carried cache to the default layout (XLA attention
+            # costs 229us/layer in-loop vs 69us isolated because layout
+            # assignment relays the cache every step)
+            return decode_attention(
+                xq, cache_k.astype(xq.dtype), cache_v.astype(xq.dtype),
+                kv_valid_len,
+            )
+        keys = cache_k.transpose(0, 2, 1, 3).astype(xq.dtype)
+        values = cache_v.transpose(0, 2, 1, 3).astype(xq.dtype)
+    else:
+        keys = cache_k.astype(xq.dtype)
+        values = cache_v.astype(xq.dtype)
+    return attention(xq, keys, values, mask=mask, kv_valid_len=kv_valid_len,
+                     impl=impl)

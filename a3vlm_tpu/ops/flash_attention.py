@@ -32,6 +32,71 @@ _LOG2E = 1.4426950408889634  # scores are kept in base-2 domain inside the
 # VPU — the kernel is VPU-bound (softmax over [bq, bk] f32), not MXU-bound
 
 
+def _block_mask(q_start, k_start, *, causal, block_q, block_k, offset,
+                skv, skv_actual):
+    """Classify one (q, k) block for the fwd/bwd kernels — this subtle
+    logic lives exactly once.
+
+    Returns ``(visible, need_mask, apply)``:
+    - ``visible``: traced bool — causal blocks strictly beyond the last
+      visible column are skipped entirely.
+    - ``need_mask``: traced bool, or None when no block ever needs masking.
+      The iota/compare/where chain costs ~4 VPU ops per score element, so
+      only blocks the causal diagonal or kv-padding edge actually crosses
+      take it; interior blocks run bare.
+    - ``apply``: masks a [block_q, block_k] score block to the right-aligned
+      causal + padded-kv semantics (llama_ens5.py:181-185).
+    """
+    if causal:
+        visible = k_start <= q_start + block_q - 1 + offset
+    else:
+        visible = k_start >= 0  # always true, but traced
+    diag = k_start + block_k - 1 > q_start + offset if causal else False
+    edge = k_start + block_k > skv_actual if skv_actual != skv else False
+    if causal and skv_actual != skv:
+        need = diag | edge
+    elif causal:
+        need = diag
+    elif skv_actual != skv:
+        need = edge
+    else:
+        need = None
+
+    def apply(s):
+        rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        allowed = (
+            (q_start + rows + offset) >= (k_start + cols)
+            if causal
+            else rows >= 0
+        )
+        if skv_actual != skv:
+            allowed &= (k_start + cols) < skv_actual
+        return jnp.where(allowed, s, _NEG_INF)
+
+    return visible, need, apply
+
+
+def _emit_masked(visible, need, apply, compute):
+    """Emit the pl.when branches: ``compute(mask_fn_or_None)`` runs under a
+    masked branch for diagonal/edge blocks and a bare branch otherwise."""
+    if need is None:
+
+        @pl.when(visible)
+        def _plain():
+            compute(None)
+
+    else:
+
+        @pl.when(visible & need)
+        def _masked():
+            compute(apply)
+
+        @pl.when(visible & jnp.logical_not(need))
+        def _bare():
+            compute(None)
+
+
 def _flash_kernel(
     q_ref,
     k_ref,
@@ -65,13 +130,10 @@ def _flash_kernel(
     # attends kv col c iff r - sq_actual >= c - skv_actual; padded kv columns
     # (c >= skv_actual) are masked for every row
     offset = skv_actual - sq_actual
-    q_start = qi * block_q
-    k_start = ki * block_k
-    if causal:
-        # skip kv blocks strictly beyond the last visible column of this q block
-        block_visible = k_start <= q_start + block_q - 1 + offset
-    else:
-        block_visible = ki >= 0  # always true, but traced
+    visible, need, apply = _block_mask(
+        qi * block_q, ki * block_k, causal=causal, block_q=block_q,
+        block_k=block_k, offset=offset, skv=skv, skv_actual=skv_actual,
+    )
 
     def _update(s):
         # s: [block_q, block_k] f32, base-2 domain (pre-multiplied by log2 e)
@@ -107,42 +169,11 @@ def _flash_kernel(
             preferred_element_type=jnp.float32,
         )  # [block_q, block_k] f32, base-2 domain
 
-    if causal or skv_actual != skv:
-        # the mask iota/compare/where chain costs ~4 VPU ops per score
-        # element; only blocks the causal diagonal or the kv padding edge
-        # actually crosses need it — interior blocks take the bare path
-        diag = (
-            k_start + block_k - 1 > q_start + offset if causal else False
-        )
-        edge = (
-            k_start + block_k > skv_actual if skv_actual != skv else False
-        )
-        need_mask = diag | edge if causal and skv_actual != skv else (
-            diag if causal else edge
-        )
+    def _compute(mask_fn):
+        s = _scores()
+        _update(mask_fn(s) if mask_fn is not None else s)
 
-        @pl.when(block_visible & need_mask)
-        def _compute_masked():
-            s = _scores()
-            rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-            allowed = (
-                (q_start + rows + offset) >= (k_start + cols)
-                if causal
-                else rows >= 0
-            )
-            if skv_actual != skv:
-                allowed &= (k_start + cols) < skv_actual
-            _update(jnp.where(allowed, s, _NEG_INF))
-
-        @pl.when(block_visible & jnp.logical_not(need_mask))
-        def _compute_plain():
-            _update(_scores())
-    else:
-
-        @pl.when(block_visible)
-        def _compute():
-            _update(_scores())
+    _emit_masked(visible, need, apply, _compute)
 
     @pl.when(ki == nk - 1)
     def _finalize():
@@ -337,12 +368,10 @@ def _flash_bwd_dq_kernel(
         dq_scr[:] = jnp.zeros_like(dq_scr)
 
     offset = skv_actual - sq_actual
-    q_start = qi * block_q
-    k_start = ki * block_k
-    if causal:
-        block_visible = k_start <= q_start + block_q - 1 + offset
-    else:
-        block_visible = ki >= 0
+    visible, need, apply = _block_mask(
+        qi * block_q, ki * block_k, causal=causal, block_q=block_q,
+        block_k=block_k, offset=offset, skv=skv, skv_actual=skv_actual,
+    )
 
     def _update(p):
         k = k_ref[0, 0]
@@ -369,39 +398,13 @@ def _flash_bwd_dq_kernel(
     def _lse2():
         return lse_ref[0, 0][:, :1] * _LOG2E
 
-    if causal or skv_actual != skv:
-        diag = (
-            k_start + block_k - 1 > q_start + offset if causal else False
-        )
-        edge = (
-            k_start + block_k > skv_actual if skv_actual != skv else False
-        )
-        need_mask = diag | edge if causal and skv_actual != skv else (
-            diag if causal else edge
-        )
+    def _compute(mask_fn):
+        s = _scores()
+        if mask_fn is not None:
+            s = mask_fn(s)
+        _update(jnp.exp2(s - _lse2()))
 
-        @pl.when(block_visible & need_mask)
-        def _compute_masked():
-            s = _scores()
-            rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-            allowed = (
-                (q_start + rows + offset) >= (k_start + cols)
-                if causal else rows >= 0
-            )
-            if skv_actual != skv:
-                allowed &= (k_start + cols) < skv_actual
-            s = jnp.where(allowed, s, _NEG_INF)
-            _update(jnp.exp2(s - _lse2()))
-
-        @pl.when(block_visible & jnp.logical_not(need_mask))
-        def _compute_plain():
-            _update(jnp.exp2(_scores() - _lse2()))
-    else:
-
-        @pl.when(block_visible)
-        def _compute():
-            _update(jnp.exp2(_scores() - _lse2()))
+    _emit_masked(visible, need, apply, _compute)
 
     @pl.when(ki == nk - 1)
     def _finalize():
@@ -423,13 +426,12 @@ def _flash_bwd_dkv_kernel(
         dv_scr[:] = jnp.zeros_like(dv_scr)
 
     offset = skv_actual - sq_actual
-    q_start = qi * block_q
-    k_start = ki * block_k
-    if causal:
-        # this kv block gets gradient only from q rows that can see it
-        block_visible = q_start + block_q - 1 + offset >= k_start
-    else:
-        block_visible = qi >= 0
+    # same classification as the fwd kernel: a kv block gets gradient only
+    # from q rows that can see it (the visibility inequality is symmetric)
+    visible, need, apply = _block_mask(
+        qi * block_q, ki * block_k, causal=causal, block_q=block_q,
+        block_k=block_k, offset=offset, skv=skv, skv_actual=skv_actual,
+    )
 
     def _update(p):
         q = q_ref[0, 0]
@@ -460,39 +462,13 @@ def _flash_bwd_dkv_kernel(
     def _lse2():
         return lse_ref[0, 0][:, :1] * _LOG2E
 
-    if causal or skv_actual != skv:
-        diag = (
-            k_start + block_k - 1 > q_start + offset if causal else False
-        )
-        edge = (
-            k_start + block_k > skv_actual if skv_actual != skv else False
-        )
-        need_mask = diag | edge if causal and skv_actual != skv else (
-            diag if causal else edge
-        )
+    def _compute(mask_fn):
+        s = _scores()
+        if mask_fn is not None:
+            s = mask_fn(s)
+        _update(jnp.exp2(s - _lse2()))
 
-        @pl.when(block_visible & need_mask)
-        def _compute_masked():
-            s = _scores()
-            rows = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-            allowed = (
-                (q_start + rows + offset) >= (k_start + cols)
-                if causal else rows >= 0
-            )
-            if skv_actual != skv:
-                allowed &= (k_start + cols) < skv_actual
-            s = jnp.where(allowed, s, _NEG_INF)
-            _update(jnp.exp2(s - _lse2()))
-
-        @pl.when(block_visible & jnp.logical_not(need_mask))
-        def _compute_plain():
-            _update(jnp.exp2(_scores() - _lse2()))
-    else:
-
-        @pl.when(block_visible)
-        def _compute():
-            _update(jnp.exp2(_scores() - _lse2()))
+    _emit_masked(visible, need, apply, _compute)
 
     @pl.when(qi == nq - 1)
     def _finalize():

@@ -138,6 +138,17 @@ def _int4_matmul_xla(x, qw: QuantizedWeight):
     return xlo @ deq(lo, slo) + xhi @ deq(hi, shi)
 
 
+def _single_tpu() -> bool:
+    # pallas_call does not SPMD-partition: under a multi-device mesh with
+    # TP-sharded weights, XLA would all-gather every weight into every chip
+    # (the decode_attention.py note). Multi-device paths keep the XLA
+    # dequant dot, which partitions along the weight specs; a
+    # custom_partitioning wrapper over the kernels' (i, j) grid dims is the
+    # proper future fix.
+    devs = jax.devices()
+    return len(devs) == 1 and devs[0].platform == "tpu"
+
+
 def _kernel_eligible(x, qw: QuantizedWeight) -> bool:
     if qw.q.ndim != 2:
         return False
@@ -148,7 +159,7 @@ def _kernel_eligible(x, qw: QuantizedWeight) -> bool:
         and 512 % g == 0
         and 512 // g >= 8
         and N % 128 == 0
-        and jax.devices()[0].platform == "tpu"
+        and _single_tpu()
     )
 
 
@@ -240,11 +251,7 @@ def _int8_kernel_eligible(qw: QuantizedWeight) -> bool:
     if qw.q.ndim != 2:
         return False
     K, N = qw.q.shape
-    return (
-        K % 256 == 0
-        and N % 128 == 0
-        and jax.devices()[0].platform == "tpu"
-    )
+    return K % 256 == 0 and N % 128 == 0 and _single_tpu()
 
 
 def int8_matmul(x, qw: QuantizedWeight, interpret: bool = False):

@@ -61,10 +61,11 @@ def fabricate(shapes, dtype=jnp.bfloat16, fill=0.02):
 
 
 def fabricate_llama(args, bits=None):
-    """Full llama param tree; decoder linears quantized to ``bits`` (4/8)
-    with the exact packing geometry of quant.quantize_params, or dense bf16
-    when bits is None. Embeddings/norms/lm-head stay dense (the production
-    quantize_params contract)."""
+    """Full llama param tree; decoder linears AND the lm head quantized to
+    ``bits`` (4/8) with the exact packing geometry of quant.quantize_params
+    (which quantizes any 2-D linear outside the blocklist — the head
+    included), or dense bf16 when bits is None. Embeddings and norms stay
+    dense."""
     from a3vlm_tpu import quant
     from a3vlm_tpu.models import llama
 
