@@ -189,17 +189,70 @@ def _decode_attention_bhgd_blocked(q, k, v, valid, interpret=False):
 _SINGLE_BLOCK_MAX_S = 512
 
 
+def _decode_impl(q, k, v, valid, interpret=False):
+    """Local (per-shard) kernel dispatch on bhgd operands."""
+    if k.shape[2] > _SINGLE_BLOCK_MAX_S:
+        return _decode_attention_bhgd_blocked(q, k, v, valid,
+                                              interpret=interpret)
+    return _decode_attention_bhgd(q, k, v, valid, interpret=interpret)
+
+
+@functools.lru_cache(maxsize=2)
+def _spmd_decode(interpret: bool):
+    """custom_partitioning wrapper: under a multi-device mesh the kernel
+    runs per-shard on the (batch, kv-head) grid dims — the serving cache
+    sharding P("data", "model", None, None) partitions with ZERO
+    collectives (validated for exactness on the 8-device CPU mesh,
+    tests/test_ops.py). S and D stay replicated: the softmax normalizes
+    over the whole cache row and the dot contracts D."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def _positional(q, k, v, valid):
+        # custom_partitioning requires an all-positional callee
+        return _decode_impl(q, k, v, valid, interpret=interpret)
+
+    fn = custom_partitioning(_positional)
+
+    def _bh(arg_shapes):
+        # follow the CACHE's sharding (the big operand): q/valid reshard
+        # to it, never the other way around
+        spec = getattr(arg_shapes[1].sharding, "spec", PartitionSpec())
+        b_ax = spec[0] if len(spec) > 0 else None
+        h_ax = spec[1] if len(spec) > 1 else None
+        return b_ax, h_ax
+
+    def partition(mesh, arg_shapes, result_shape):
+        b_ax, h_ax = _bh(arg_shapes)
+        opshard = NamedSharding(mesh, PartitionSpec(b_ax, h_ax, None, None))
+        vshard = NamedSharding(mesh, PartitionSpec(b_ax))
+        return (
+            mesh,
+            _positional,
+            opshard,
+            (opshard, opshard, opshard, vshard),
+        )
+
+    def infer(mesh, arg_shapes, result_shape):
+        b_ax, h_ax = _bh(arg_shapes)
+        return NamedSharding(mesh, PartitionSpec(b_ax, h_ax, None, None))
+
+    fn.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        # factors: b h g i | b h s i | b h s j | b -> b h g j; only b/h may
+        # shard (g/i/s/j need-replication, listed in factor-index order)
+        sharding_rule="b h g i, b h s i, b h s j, b -> b h g j",
+        need_replication_factors=("g", "i", "s", "j"),
+    )
+    return fn
+
+
 def decode_attention_eligible(q_shape, k_shape, dtype) -> bool:
     """q [B,1,Hq,D], cache [B,Hkv,S,D]: kernel wants lane-aligned D and a
-    sublane-aligned cache length.
-
-    Single-device runtimes only for now: a pallas_call does not SPMD-
-    partition, so under a multi-device mesh XLA would all-gather the
-    sharded cache panels every decode step (correct, catastrophically
-    slow). The multichip decode path keeps the XLA attention whose einsums
-    partition along the cache's ("data", "model") specs; wrapping the
-    kernel in shard_map/custom_partitioning over (B, Hkv) is future work
-    that needs multichip hardware to validate."""
+    sublane-aligned cache length. (D % 128: at falcon's head_dim 64 the
+    kernel runs half-empty lanes and was measured SLOWER than XLA —
+    179 vs 115 us on v5e B16 H72 S192 — so D=64 stays on the XLA path.)"""
     B, Sq, Hq, D = q_shape
     S = k_shape[2]
     return (
@@ -207,23 +260,26 @@ def decode_attention_eligible(q_shape, k_shape, dtype) -> bool:
         and D % 128 == 0
         and S % 8 == 0
         and dtype != jnp.float32
-        and len(jax.devices()) == 1
         and jax.devices()[0].platform == "tpu"
     )
 
 
 def decode_attention(q, k, v, valid, interpret=False):
     """q [B, 1, Hq, D]; k, v [B, Hkv, S, D] (layered decode-cache layout);
-    valid [B]. Returns [B, 1, Hq, D]."""
+    valid [B]. Returns [B, 1, Hq, D].
+
+    Under a multi-device runtime the call goes through a
+    custom_partitioning wrapper so the kernel runs per-shard along the
+    cache's (batch, kv-head) sharding instead of XLA all-gathering the
+    panels (a bare pallas_call does not SPMD-partition)."""
     B, Sq, Hq, D = q.shape
     Hkv = k.shape[1]
     G = Hq // Hkv
     qg = q.reshape(B, Hkv, G, D)
-    if k.shape[2] > _SINGLE_BLOCK_MAX_S:
-        out = _decode_attention_bhgd_blocked(qg, k, v, valid,
-                                             interpret=interpret)
+    if len(jax.devices()) > 1:
+        out = _spmd_decode(bool(interpret))(qg, k, v, valid)
     else:
-        out = _decode_attention_bhgd(qg, k, v, valid, interpret=interpret)
+        out = _decode_impl(qg, k, v, valid, interpret=interpret)
     return out.reshape(B, Sq, Hq, D)
 
 

@@ -178,6 +178,34 @@ def test_attention_dispatch_bf16_uses_fast_path():
     )
 
 
+def test_decode_attention_spmd_sharded_cache_matches_local():
+    """The custom_partitioning wrapper: cache sharded P(data, model) over
+    the 8-device mesh, kernel runs per-shard (interpret), result exactly
+    equals the unsharded local computation and keeps the (b, h) sharding."""
+    import jax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from a3vlm_tpu.ops import decode_attention as da
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2), ("data", "model"))
+    rng = np.random.default_rng(7)
+    B, Hkv, G, S, D = 4, 4, 2, 16, 128
+    q = jnp.asarray(rng.normal(size=(B, Hkv, G, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    valid = jnp.asarray([5, 16, 9, 12], jnp.int32)
+
+    opsh = NamedSharding(mesh, P("data", "model", None, None))
+    out = jax.jit(da._spmd_decode(True))(
+        jax.device_put(q, opsh), jax.device_put(k, opsh),
+        jax.device_put(v, opsh),
+        jax.device_put(valid, NamedSharding(mesh, P("data"))),
+    )
+    ref = da._decode_impl(q, k, v, valid, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    assert out.sharding.spec == P("data", "model")
+
+
 def test_decode_attention_blocked_long_cache_matches_reference():
     """S > 512 dispatches to the online-softmax blocked kernel (ceil-grid
     over 256-slot blocks; S=600 exercises the ragged boundary)."""
