@@ -44,8 +44,8 @@ class GenOps(NamedTuple):
     create_cache: Callable  # (args, batch, max_seq_len, dtype) -> cache
     prefill: Callable  # (params, args, cache, tokens, image_tokens, impl)
     decode_step: Callable  # (params, args, cache, token, seq_pos, impl)
-    # (args, mesh, batch) -> pytree of PartitionSpec matching create_cache's
-    # output; used to shard the KV cache for multi-chip decode
+    # (args, mesh, batch, quant=False) -> pytree of PartitionSpec matching
+    # create_cache's output; used to shard the KV cache for multi-chip decode
     cache_specs: Optional[Callable] = None
 
 
@@ -91,13 +91,17 @@ def _falcon_decode_step(params, args, cache, token, seq_pos, impl):
     return falcon.decode_step(params, args, cache, token, seq_pos)
 
 
-def _falcon_cache_specs(args, mesh, batch):
+def _falcon_cache_specs(args, mesh, batch, quant=False):
     from jax.sharding import PartitionSpec as P
 
     axes = dict(mesh.shape)
     b_ax = "data" if batch % axes.get("data", 1) == 0 else None
     h_ax = "model" if args.kv_heads % axes.get("model", 1) == 0 else None
     spec = P(b_ax, h_ax, None, None)  # layered buffers are [B, Hkv, S, D]
+    if quant:
+        from a3vlm_tpu.ops.decode_attention import QuantizedKV
+
+        spec = QuantizedKV(spec, P(b_ax, h_ax, None))
     per_layer = tuple(spec for _ in range(args.num_layers))
     from a3vlm_tpu.models.falcon import FalconKVCache
 
@@ -225,6 +229,7 @@ class Generator:
         self, params, args: ModelArgs, tokenizer, image_words: int = 0,
         vocab_limit: Optional[int] = None, params_transform=None,
         ops: GenOps = LLAMA_GEN_OPS, mesh=None,
+        kv_cache_bits: Optional[int] = None,
     ):
         # decode layout: per-layer weight buffers — slicing stacked [L, ...]
         # weights inside the token loop makes XLA copy every weight every
@@ -242,13 +247,19 @@ class Generator:
         # buffers batch-on-"data"; XLA turns the per-layer TP matmuls into
         # ICI collectives via the params' NamedShardings.
         self.mesh = mesh
+        # 8 -> int8 KV cache with per-token scales (halves decode cache
+        # traffic / doubles capacity; ops/decode_attention.QuantizedKV)
+        assert kv_cache_bits in (None, 8), kv_cache_bits
+        self.kv_cache_bits = kv_cache_bits
 
     def _shard_cache(self, cache, batch):
         if self.mesh is None or self.ops.cache_specs is None:
             return cache
         from jax.sharding import NamedSharding
 
-        specs = self.ops.cache_specs(self.args, self.mesh, batch)
+        specs = self.ops.cache_specs(
+            self.args, self.mesh, batch, quant=self.kv_cache_bits == 8
+        )
         return jax.tree_util.tree_map(
             lambda x, s: jax.device_put(x, NamedSharding(self.mesh, s)),
             cache, specs,
@@ -311,13 +322,13 @@ class Generator:
 
         P = _prefill_bucket(min_prompt)
         cache_len = total_len + (0 if image_tokens is None else self.image_words)
-        cache = self.ops.create_cache(
-            args,
-            bsz,
-            cache_len,
-            jnp.bfloat16 if jax.devices()[0].platform == "tpu"
-            else jnp.float32,
-        )
+        if self.kv_cache_bits == 8:
+            cache_dtype = jnp.int8  # QuantizedKV buffers (llama.KVCache)
+        elif jax.devices()[0].platform == "tpu":
+            cache_dtype = jnp.bfloat16
+        else:
+            cache_dtype = jnp.float32
+        cache = self.ops.create_cache(args, bsz, cache_len, cache_dtype)
         cache = self._shard_cache(cache, bsz)
         if image_tokens is not None:
             image_tokens = self._shard_batched(image_tokens)

@@ -158,6 +158,8 @@ class MetaModel:
 
         self.params = params
         self.mesh = None  # set by ModelServer / callers for multi-chip decode
+        # set to 8 for an int8 KV cache (serving extension; generation.py)
+        self.kv_cache_bits: Optional[int] = None
         self._generator: Optional[Generator] = None
         self._encode_image_jit = None
         self._params_transform = None  # set by quantize()
@@ -364,6 +366,7 @@ class MetaModel:
                 params, self.args, self.tokenizer,
                 image_words=self.image_words, vocab_limit=self.true_vocab,
                 params_transform=self._params_transform, mesh=self.mesh,
+                kv_cache_bits=getattr(self, "kv_cache_bits", None),
                 **kw,
             )
         return self._generator

@@ -157,6 +157,20 @@ class FalconKVCache(NamedTuple):
         # sublane-align (llama.KVCache note: keeps the decode-attention
         # kernel eligible for arbitrary lengths; kv_valid_len masks padding)
         S = -(-S // 8) * 8
+        if layered and dtype == jnp.int8:
+            from a3vlm_tpu.ops.decode_attention import QuantizedKV
+
+            def make():
+                return QuantizedKV(
+                    jnp.zeros((batch, args.kv_heads, S, args.head_dim),
+                              jnp.int8),
+                    jnp.zeros((batch, args.kv_heads, S), jnp.float32),
+                )
+
+            return cls(
+                tuple(make() for _ in range(args.num_layers)),
+                tuple(make() for _ in range(args.num_layers)),
+            )
         if layered:
             # [B, Hkv, S, D]: panel-contiguous decode layout (llama.KVCache)
             shape = (batch, args.kv_heads, S, args.head_dim)

@@ -67,6 +67,25 @@ class KVCache(NamedTuple):
         # arbitrary prompt lengths; kv_valid_len masks the padding
         S = -(-S // 8) * 8
         if layered:
+            if dtype == jnp.int8:
+                # int8 KV cache (serving extension): per-token scales;
+                # update/attend handled by ops.decode_attention helpers
+                from a3vlm_tpu.ops.decode_attention import QuantizedKV
+
+                def make():
+                    return QuantizedKV(
+                        jnp.zeros(
+                            (batch_size, args.kv_heads, S, args.head_dim),
+                            jnp.int8,
+                        ),
+                        jnp.zeros((batch_size, args.kv_heads, S),
+                                  jnp.float32),
+                    )
+
+                return cls(
+                    tuple(make() for _ in range(args.n_layers)),
+                    tuple(make() for _ in range(args.n_layers)),
+                )
             shape = (batch_size, args.kv_heads, S, args.head_dim)
             return cls(
                 tuple(jnp.zeros(shape, dtype) for _ in range(args.n_layers)),
@@ -165,16 +184,23 @@ def kv_cache_partition_spec() -> KVCache:
     return KVCache(s, s)
 
 
-def decode_cache_specs(args: ModelArgs, mesh, batch: int) -> KVCache:
+def decode_cache_specs(
+    args: ModelArgs, mesh, batch: int, quant: bool = False
+) -> KVCache:
     """PartitionSpecs for a *layered* decode cache on ``mesh``: batch over
     "data", KV heads over "model" (the serving layout — the reference serves
     with the cache split per TP rank, llama_ens5.py:121-129 under MP=2,
     scripts/a3vlm_infer.sh:36-43). Axes that don't divide stay unsharded.
-    Layered buffers are [B, Hkv, S, D]."""
+    Layered buffers are [B, Hkv, S, D]; ``quant`` emits matching
+    QuantizedKV spec nodes (int8 panels + [B, Hkv, S] scales)."""
     axes = dict(mesh.shape)
     b_ax = "data" if batch % axes.get("data", 1) == 0 else None
     h_ax = "model" if args.kv_heads % axes.get("model", 1) == 0 else None
     spec = P(b_ax, h_ax, None, None)
+    if quant:
+        from a3vlm_tpu.ops.decode_attention import QuantizedKV
+
+        spec = QuantizedKV(spec, P(b_ax, h_ax, None))
     per_layer = tuple(spec for _ in range(args.n_layers))
     return KVCache(per_layer, per_layer)
 

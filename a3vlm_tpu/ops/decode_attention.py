@@ -31,6 +31,7 @@ for XLA attention that costs 69 us in isolation).
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -38,6 +39,35 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+class QuantizedKV(NamedTuple):
+    """int8 KV-cache buffer (one layer, layered bhsd layout): halves decode
+    cache HBM traffic and doubles the cache capacity per chip. The
+    reference has no analogue (bitsandbytes quantizes weights only) — this
+    is a TPU-serving extension.
+
+    ``qv``: int8 [B, Hkv, S, D]; ``scale``: f32 [B, Hkv, S] — symmetric
+    per-token-per-head scales. The dequant folds into the attention at
+    SCORE granularity (s *= kscale per column; p *= vscale before the pv
+    reduce), so the kernel never materializes dequantized panels."""
+
+    qv: jnp.ndarray
+    scale: jnp.ndarray
+
+
+def quantize_kv_tokens(x):
+    """[B, S, Hkv, D] new k or v -> (int8 [B, Hkv, S, D], f32 [B, Hkv, S])
+    with symmetric per-(batch, head, token) scales."""
+    xt = x.transpose(0, 2, 1, 3).astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(xt), axis=-1), 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xt / scale[..., None]), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def dequantize_kv(kv: QuantizedKV, dtype=jnp.bfloat16):
+    """[B, Hkv, S, D] dense panels (the XLA fallback path)."""
+    return (kv.qv.astype(jnp.float32) * kv.scale[..., None]).astype(dtype)
 
 
 def _decode_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *, sm_scale):
@@ -108,25 +138,36 @@ def _decode_kernel_blocked(valid_ref, q_ref, k_ref, v_ref, o_ref,
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(jnp.float32)  # [Hkv, G, D]
-    k = k_ref[0].astype(jnp.float32)  # [Hkv, bs, D]
-    v = v_ref[0].astype(jnp.float32)
+    # MXU batched dots, NOT the single-block kernel's VPU mult-reduce: at
+    # long S the mult-reduce is VPU-bound (~750M VPU ops/layer at S=1920;
+    # measured 65 ms/step full-depth 7B); the dots leave the VPU only the
+    # [Hkv, G, bs] softmax
+    q = q_ref[0]  # [Hkv, G, D]
+    k = k_ref[0]  # [Hkv, bs, D]
+    v = v_ref[0]
     if s_actual % bs:
         # ragged ceil-grid boundary: out-of-range v is GARBAGE (possibly
-        # NaN) and p * v would propagate it through p == 0; k garbage is
+        # NaN) and p @ v would propagate it through p == 0; k garbage is
         # harmless (its scores are where'd to -inf below)
         vcols = si * bs + jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
-        v = jnp.where(vcols < s_actual, v, 0.0)
-    s = jnp.sum(q[:, :, None, :] * k[:, None, :, :], axis=-1) * sm_scale
+        v = jnp.where(vcols < s_actual, v, jnp.zeros_like(v))
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale  # [Hkv, G, bs]
     cols = si * bs + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
-    s = jnp.where(cols < valid_ref[b], s, _NEG_INF)  # [Hkv, G, bs]
+    s = jnp.where(cols < valid_ref[b], s, _NEG_INF)
 
     m_prev = m_scr[:, :, :1]  # [Hkv, G, 1]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
     alpha = jnp.exp(m_prev - m_new)
     p = jnp.exp(s - m_new)
     l_new = l_scr[:, :, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    pv = jnp.sum(p[:, :, :, None] * v[:, None, :, :], axis=2)  # [Hkv, G, D]
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # [Hkv, G, D]
     acc_scr[:] = acc_scr[:] * alpha + pv
     m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
     l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
@@ -182,6 +223,174 @@ def _decode_attention_bhgd_blocked(q, k, v, valid, interpret=False):
         ),
         interpret=interpret,
     )(valid.astype(jnp.int32), q, k, v)
+
+
+def _decode_kernel_q8(valid_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                      o_ref, *, sm_scale):
+    """Single-block kernel over int8 cache panels: scales fold in at score
+    granularity — the dequantized [Hkv, S, D] panels never materialize."""
+    b = pl.program_id(0)
+    q = q_ref[0].astype(jnp.float32)  # [Hkv, G, D]
+    k = k_ref[0].astype(jnp.float32)  # int8 -> f32 [Hkv, S, D]
+    v = v_ref[0].astype(jnp.float32)
+    s = jnp.sum(q[:, :, None, :] * k[:, None, :, :], axis=-1) * sm_scale
+    s = s * ks_ref[0][:, None, :]  # per-(head, token) k scale
+    cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    s = jnp.where(cols < valid_ref[b], s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    pv = p * vs_ref[0][:, None, :]  # fold the v scale into p
+    out = jnp.sum(pv[:, :, :, None] * v[:, None, :, :], axis=2) / l
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _decode_attention_bhgd_q8(q, k, v, ks, vs, valid, interpret=False):
+    B, Hkv, G, D = q.shape
+    S = k.shape[2]
+    kernel = functools.partial(_decode_kernel_q8, sm_scale=D ** -0.5)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, Hkv, G, D), lambda b, valid: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, S, D), lambda b, valid: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, S, D), lambda b, valid: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, S), lambda b, valid: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, S), lambda b, valid: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, Hkv, G, D), lambda b, valid: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hkv * G * S * D,
+            bytes_accessed=k.size + v.size,
+            transcendentals=B * Hkv * G * S,
+        ),
+        interpret=interpret,
+    )(valid.astype(jnp.int32), q, k, v, ks, vs)
+
+
+def _decode_kernel_blocked_q8(valid_ref, q_ref, k_ref, v_ref, ks_ref,
+                              vs_ref, o_ref, m_scr, l_scr, acc_scr, *,
+                              sm_scale, bs, ns, s_actual):
+    b = pl.program_id(0)
+    si = pl.program_id(1)
+
+    @pl.when(si == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    # same MXU-dot structure as _decode_kernel_blocked; int8 panels cast
+    # to bf16 for the dots (exact for [-127, 127]), scales fold in at
+    # score granularity
+    mxdt = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    q = q_ref[0]
+    k = k_ref[0].astype(mxdt)
+    v = v_ref[0].astype(mxdt)
+    vs = vs_ref[0]
+    if s_actual % bs:
+        # int8 garbage cannot be NaN, but the SCALES can: zero both at the
+        # ragged boundary so p * vs and s * ks stay finite
+        scols = si * bs + jax.lax.broadcasted_iota(jnp.int32, vs.shape, 1)
+        vs = jnp.where(scols < s_actual, vs, 0.0)
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale
+    ks = ks_ref[0]
+    if s_actual % bs:
+        ks = jnp.where(scols < s_actual, ks, 0.0)
+    s = s * ks[:, None, :]
+    cols = si * bs + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    s = jnp.where(cols < valid_ref[b], s, _NEG_INF)
+
+    m_prev = m_scr[:, :, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = l_scr[:, :, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        (p * vs[:, None, :]).astype(mxdt), v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scr[:] = acc_scr[:] * alpha + pv
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(si == ns - 1)
+    def _done():
+        l = l_scr[:, :, :1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _decode_attention_bhgd_blocked_q8(q, k, v, ks, vs, valid,
+                                      interpret=False):
+    B, Hkv, G, D = q.shape
+    S = k.shape[2]
+    bs = 256
+    ns = -(-S // bs)
+    kernel = functools.partial(
+        _decode_kernel_blocked_q8, sm_scale=D ** -0.5, bs=bs, ns=ns,
+        s_actual=S,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, ns),
+            in_specs=[
+                pl.BlockSpec((1, Hkv, G, D), lambda b, s, valid: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, bs, D), lambda b, s, valid: (b, 0, s, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, bs, D), lambda b, s, valid: (b, 0, s, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, bs), lambda b, s, valid: (b, 0, s),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, bs), lambda b, s, valid: (b, 0, s),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, Hkv, G, D), lambda b, s, valid: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((Hkv, G, 128), jnp.float32),
+                pltpu.VMEM((Hkv, G, 128), jnp.float32),
+                pltpu.VMEM((Hkv, G, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hkv * G * S * D,
+            bytes_accessed=k.size + v.size,
+            transcendentals=B * Hkv * G * S,
+        ),
+        interpret=interpret,
+    )(valid.astype(jnp.int32), q, k, v, ks, vs)
 
 
 # whole-panel kernel above this cache length would blow the scoped-vmem
@@ -283,6 +492,25 @@ def decode_attention(q, k, v, valid, interpret=False):
     return out.reshape(B, Sq, Hq, D)
 
 
+def decode_attention_quant(q, kq: QuantizedKV, vq: QuantizedKV, valid,
+                           interpret=False):
+    """q [B, 1, Hq, D]; int8 cache panels + per-token scales; valid [B].
+    Single-device only (no SPMD wrapper yet for the quantized variant)."""
+    B, Sq, Hq, D = q.shape
+    Hkv = kq.qv.shape[1]
+    G = Hq // Hkv
+    qg = q.reshape(B, Hkv, G, D)
+    if kq.qv.shape[2] > _SINGLE_BLOCK_MAX_S:
+        out = _decode_attention_bhgd_blocked_q8(
+            qg, kq.qv, vq.qv, kq.scale, vq.scale, valid, interpret=interpret
+        )
+    else:
+        out = _decode_attention_bhgd_q8(
+            qg, kq.qv, vq.qv, kq.scale, vq.scale, valid, interpret=interpret
+        )
+    return out.reshape(B, Sq, Hq, D)
+
+
 # ---------------------------------------------------------------------------
 # shared decode-cache helpers (used by models/llama.py and models/falcon.py —
 # one implementation of the layout-dependent update + kernel dispatch)
@@ -293,7 +521,30 @@ def update_decode_cache(cache_k, cache_v, xk, xv, write_pos, layout="bshd"):
     """Write this call's [B, S, Hkv, D] k/v into the cache at ``write_pos``.
     ``layout``: "bshd" caches are [B, S, Hkv, D]; "bhsd" (the layered decode
     layout) are [B, Hkv, S, D] — panel-contiguous for the kernel and with
-    4x cheaper per-step writes."""
+    4x cheaper per-step writes. ``QuantizedKV`` caches (bhsd only)
+    quantize the incoming tokens on write."""
+    if isinstance(cache_k, QuantizedKV):
+        assert layout == "bhsd", "quantized KV caches are bhsd-layered only"
+        kq, kscale = quantize_kv_tokens(xk)
+        vq, vscale = quantize_kv_tokens(xv)
+        return (
+            QuantizedKV(
+                jax.lax.dynamic_update_slice(
+                    cache_k.qv, kq, (0, 0, write_pos, 0)
+                ),
+                jax.lax.dynamic_update_slice(
+                    cache_k.scale, kscale, (0, 0, write_pos)
+                ),
+            ),
+            QuantizedKV(
+                jax.lax.dynamic_update_slice(
+                    cache_v.qv, vq, (0, 0, write_pos, 0)
+                ),
+                jax.lax.dynamic_update_slice(
+                    cache_v.scale, vscale, (0, 0, write_pos)
+                ),
+            ),
+        )
     if layout == "bhsd":
         k = xk.transpose(0, 2, 1, 3).astype(cache_k.dtype)
         v = xv.transpose(0, 2, 1, 3).astype(cache_v.dtype)
@@ -320,6 +571,22 @@ def attend_decode_cache(xq, cache_k, cache_v, *, mask, kv_valid_len,
     empty lanes), and the bhsd transpose costs the same as bshd there."""
     from a3vlm_tpu.ops.attention import attention
 
+    if isinstance(cache_k, QuantizedKV):
+        if (
+            impl in ("auto", "flash")
+            and mask is None
+            and kv_valid_len is not None
+            and len(jax.devices()) == 1
+            and decode_attention_eligible(
+                xq.shape, cache_k.qv.shape, xq.dtype
+            )
+        ):
+            return decode_attention_quant(xq, cache_k, cache_v, kv_valid_len)
+        # XLA fallback (CPU tests, prefill shapes): dequantize the panels
+        keys = dequantize_kv(cache_k, xq.dtype).transpose(0, 2, 1, 3)
+        values = dequantize_kv(cache_v, xq.dtype).transpose(0, 2, 1, 3)
+        return attention(xq, keys, values, mask=mask,
+                         kv_valid_len=kv_valid_len, impl=impl)
     if layout == "bhsd":
         if (
             impl in ("auto", "flash")

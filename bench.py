@@ -150,16 +150,19 @@ def _13b_args(**kw):
 # ---------------------------------------------------------------------------
 
 
-def bench_decode_full(args, bits=4, batch=16, prompt=128, steps=64, rounds=3):
+def bench_decode_full(args, bits=4, batch=16, prompt=128, steps=64, rounds=3,
+                      kv_bits=None):
     """FULL-DEPTH decode throughput: prefill + ``steps`` greedy decode steps
     through every layer of the real model shape, measured as one jitted
     fori_loop; prefill time subtracted via a prefill-only jit of the same
     form (both use the layered per-layer KV cache, the production decode
-    layout)."""
+    layout). ``kv_bits=8``: int8 KV cache (QuantizedKV) — at batch 16 /
+    S=1920 the bf16 cache alone is 16.1 GB and OOMs the chip; int8 halves
+    it and is the only way this config runs at all."""
     from a3vlm_tpu.models import llama
 
     args = args.replace(max_batch_size=batch, max_seq_len=prompt + steps)
-    dtype = jnp.bfloat16
+    dtype = jnp.int8 if kv_bits == 8 else jnp.bfloat16
     # production decode layout: per-layer weight buffers (llama.unstack_layers)
     params = llama.unstack_layers(fabricate_llama(args, bits=bits))
 
@@ -200,6 +203,56 @@ def bench_decode_full(args, bits=4, batch=16, prompt=128, steps=64, rounds=3):
         prefill_times.append(time.perf_counter() - t0)
     decode_time = max(_median(full_times) - _median(prefill_times), 1e-6)
     return batch * steps / decode_time
+
+
+def bench_decode_longctx(args, bits=4, batch=16, ctx=1856, steps=64,
+                         rounds=3, kv_bits=None):
+    """Long-context decode throughput: the cache is FABRICATED pre-filled
+    (content-free — values don't affect HBM/VPU timing) and only the decode
+    loop is measured, because a full unrolled 1856-token prefill at batch
+    16 needs ~24 GB of activation temps (the unstacked per-layer loop has
+    no scan buffer reuse). At this shape the bf16 cache alone is 16.1 GB —
+    over HBM — so ``kv_bits=8`` (int8 KV, QuantizedKV) is what makes the
+    config servable at all, besides halving per-step cache traffic."""
+    from a3vlm_tpu.models import llama
+
+    total = ctx + steps
+    args = args.replace(max_batch_size=batch, max_seq_len=total)
+    params = llama.unstack_layers(fabricate_llama(args, bits=bits))
+    dtype = jnp.int8 if kv_bits == 8 else jnp.bfloat16
+
+    @jax.jit
+    def decode_n(p, tok):
+        # cache built INSIDE the jit: as a non-donated input XLA would
+        # double-buffer every per-layer panel across the loop (2x 7.7 GB)
+        cache = llama.KVCache.create(args, batch, max_seq_len=total,
+                                     dtype=dtype, layered=True)
+        cache = jax.tree_util.tree_map(
+            lambda x: jnp.full(x.shape, 1 if x.dtype == jnp.int8 else 0.01,
+                               x.dtype),
+            cache,
+        )
+
+        def body(i, carry):
+            tok, cache, _ = carry
+            logits, cache = llama.decode_step(p, args, cache, tok, ctx + i)
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+            return tok, cache, logits
+
+        _, _, logits = jax.lax.fori_loop(
+            0, steps, body,
+            (tok, cache, jnp.zeros((batch, args.vocab_size), jnp.float32)),
+        )
+        return logits
+
+    tok = jnp.ones((batch, 1), jnp.int32)
+    _sync(decode_n(params, tok))
+    times = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        _sync(decode_n(params, tok))
+        times.append(time.perf_counter() - t0)
+    return batch * steps / _median(times)
 
 
 # ---------------------------------------------------------------------------
@@ -326,6 +379,15 @@ def main(only=None):
     run("decode_7b_int4", lambda: bench_decode_full(_7b_args(), bits=4))
     run("decode_7b_int8", lambda: bench_decode_full(_7b_args(), bits=8))
     run("decode_13b_int4", lambda: bench_decode_full(_13b_args(), bits=4))
+    # serving-scaling legs: larger batch amortizes the weight stream; the
+    # long-context leg (1920-slot cache) exercises the blocked
+    # decode-attention kernel under real cache traffic
+    run("decode_7b_int4_b64", lambda: bench_decode_full(
+        _7b_args(), bits=4, batch=64))
+    run("decode_7b_int4_b16_s2048_kv8", lambda: bench_decode_longctx(
+        _7b_args(), bits=4, batch=16, kv_bits=8))
+    run("decode_7b_int4_b8_s2048", lambda: bench_decode_longctx(
+        _7b_args(), bits=4, batch=8))
     run("clip_vit_l14_images_per_sec", bench_vit_encode)
     run("image_to_triad_p50_ms_fullscale", bench_image_to_triad_full)
 
