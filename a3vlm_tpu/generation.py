@@ -47,6 +47,9 @@ class GenOps(NamedTuple):
     # (args, mesh, batch, quant=False) -> pytree of PartitionSpec matching
     # create_cache's output; used to shard the KV cache for multi-chip decode
     cache_specs: Optional[Callable] = None
+    # optional memory-bounded prefill (llama.prefill_chunked signature):
+    # (params, args, cache, tokens, image_tokens, chunk, impl)
+    prefill_chunked: Optional[Callable] = None
 
 
 def _llama_create_cache(args, batch, max_seq_len, dtype):
@@ -65,9 +68,16 @@ def _llama_decode_step(params, args, cache, token, seq_pos, impl):
     return llama.decode_step(params, args, cache, token, seq_pos, impl=impl)
 
 
+def _llama_prefill_chunked(params, args, cache, tokens, image_tokens,
+                           chunk, impl):
+    return llama.prefill_chunked(params, args, cache, tokens,
+                                 image_tokens=image_tokens, chunk=chunk,
+                                 impl=impl)
+
+
 LLAMA_GEN_OPS = GenOps(
     _llama_create_cache, _llama_prefill, _llama_decode_step,
-    llama.decode_cache_specs,
+    llama.decode_cache_specs, _llama_prefill_chunked,
 )
 
 
@@ -133,6 +143,7 @@ def _prefill_bucket(min_prompt: int) -> int:
         "vocab_limit",
         "params_transform",
         "ops",
+        "prefill_chunk",
     ),
     donate_argnames=("cache",),
 )
@@ -153,6 +164,7 @@ def _generate_loop(
     vocab_limit: Optional[int] = None,
     params_transform=None,
     ops: GenOps = LLAMA_GEN_OPS,
+    prefill_chunk: Optional[int] = None,
 ):
     if params_transform is not None:
         # e.g. quant.dequantize_params: runs INSIDE jit so XLA fuses the
@@ -169,9 +181,17 @@ def _generate_loop(
             )
         return lg
 
-    logits, cache, _ = ops.prefill(
-        params, args, cache, prefill_tokens, image_tokens, impl
-    )
+    if prefill_chunk and ops.prefill_chunked is not None:
+        # memory-bounded prefill for long prompts/large batches (the
+        # one-shot unrolled prefill's activation temps are O(S * layers))
+        logits, cache, _ = ops.prefill_chunked(
+            params, args, cache, prefill_tokens, image_tokens,
+            prefill_chunk, impl
+        )
+    else:
+        logits, cache, _ = ops.prefill(
+            params, args, cache, prefill_tokens, image_tokens, impl
+        )
     logits = mask_pad_vocab(logits)
 
     start_pos = P
@@ -230,6 +250,7 @@ class Generator:
         vocab_limit: Optional[int] = None, params_transform=None,
         ops: GenOps = LLAMA_GEN_OPS, mesh=None,
         kv_cache_bits: Optional[int] = None,
+        prefill_chunk: Optional[int] = None,
     ):
         # decode layout: per-layer weight buffers — slicing stacked [L, ...]
         # weights inside the token loop makes XLA copy every weight every
@@ -251,6 +272,8 @@ class Generator:
         # traffic / doubles capacity; ops/decode_attention.QuantizedKV)
         assert kv_cache_bits in (None, 8), kv_cache_bits
         self.kv_cache_bits = kv_cache_bits
+        # chunked prefill: bound activation temps for long prompts
+        self.prefill_chunk = prefill_chunk
 
     def _shard_cache(self, cache, batch):
         if self.mesh is None or self.ops.cache_specs is None:
@@ -349,6 +372,7 @@ class Generator:
             impl=impl,
             vocab_limit=self.vocab_limit,
             params_transform=self.params_transform,
+            prefill_chunk=self.prefill_chunk,
             ops=self.ops,
         )
         out_tokens = np.asarray(out_tokens)

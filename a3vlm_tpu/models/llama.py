@@ -265,6 +265,7 @@ def _attention_sublayer(
     impl: str,
     attend_cache: bool = True,
     cache_layout: str = "bshd",
+    attend_valid_static=None,
 ):
     B, S, _ = x.shape
     H, Hkv, hd = args.n_heads, args.kv_heads, args.head_dim
@@ -282,6 +283,7 @@ def _attention_sublayer(
         out = attend_decode_cache(
             xq, cache_k, cache_v, mask=mask, kv_valid_len=kv_valid_len,
             impl=impl, layout=cache_layout,
+            valid_static=attend_valid_static,
         )
         out = qmat(out.reshape(B, S, H * hd), lp["wo"]["weight"])
         return out, (cache_k, cache_v)
@@ -318,6 +320,7 @@ def _block(
     impl: str,
     attend_cache: bool = True,
     cache_layout: str = "bshd",
+    attend_valid_static=None,
 ):
     attn_out, new_cache = _attention_sublayer(
         rms_norm(h, lp["attention_norm"]["weight"], args.norm_eps),
@@ -332,6 +335,7 @@ def _block(
         impl,
         attend_cache=attend_cache,
         cache_layout=cache_layout,
+        attend_valid_static=attend_valid_static,
     )
     h = h + attn_out
     h = h + _ffn_sublayer(
@@ -366,6 +370,7 @@ def forward_hidden(
     remat: bool = False,
     impl: str = "auto",
     attend_cache: bool = True,
+    attend_valid_static=None,
 ):
     """Run all decoder blocks on embeddings ``h`` [B, S, D].
 
@@ -403,6 +408,7 @@ def forward_hidden(
                 h, layer(i), args, freqs_cis, mask, cache.k[i], cache.v[i],
                 write_pos, kv_valid_len, impl, attend_cache=attend_cache,
                 cache_layout="bhsd",
+                attend_valid_static=attend_valid_static,
             )
             new_k.append(k_new)
             new_v.append(v_new)
@@ -485,6 +491,53 @@ def prefill(
     )
     h = rms_norm(h, params["norm"]["weight"], args.norm_eps)
     logits = qmat(h[:, -1, :], params["output"]["weight"])
+    return logits.astype(jnp.float32), cache, S
+
+
+def prefill_chunked(
+    params: Params,
+    args: ModelArgs,
+    cache: KVCache,
+    tokens: jnp.ndarray,
+    image_tokens: Optional[jnp.ndarray] = None,
+    chunk: int = 512,
+    impl: str = "auto",
+):
+    """Memory-bounded prefill: the spliced sequence is processed in
+    ``chunk``-token pieces, each writing the cache and attending over the
+    populated prefix (right-aligned causal). Activation temps are O(chunk)
+    instead of O(sequence) — a one-shot unrolled prefill at batch 16 /
+    1856 tokens needs ~24 GB of layer temps and OOMs the chip. Chunk
+    starts are STATIC, so on TPU the cache attention routes through the
+    flash kernel (attend_decode_cache valid_static). Same return contract
+    as ``prefill``."""
+    h = embed_tokens(params, tokens)
+    if image_tokens is not None:
+        h = jnp.concatenate(
+            [h[:, :1], image_tokens.astype(h.dtype), h[:, 1:]], axis=1
+        )
+    B, S, _ = h.shape
+    starts = list(range(0, S, chunk))
+    for start in starts:
+        end = min(start + chunk, S)
+        piece = h[:, start:end]
+        positions = jnp.arange(start, end)
+        out, cache = forward_hidden(
+            params,
+            args,
+            piece,
+            positions,
+            "causal",
+            cache=cache,
+            write_pos=start,
+            kv_valid_len=jnp.full((B,), end, jnp.int32),
+            attend_cache=True,
+            impl=impl,
+            attend_valid_static=end,
+        )
+    h_last = out[:, -1, :]
+    h_last = rms_norm(h_last, params["norm"]["weight"], args.norm_eps)
+    logits = qmat(h_last, params["output"]["weight"])
     return logits.astype(jnp.float32), cache, S
 
 

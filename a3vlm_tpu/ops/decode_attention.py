@@ -560,10 +560,16 @@ def update_decode_cache(cache_k, cache_v, xk, xv, write_pos, layout="bshd"):
 
 
 def attend_decode_cache(xq, cache_k, cache_v, *, mask, kv_valid_len,
-                        impl="auto", layout="bshd"):
+                        impl="auto", layout="bshd", valid_static=None):
     """Attention over the full (padded) cache: the fused Pallas kernel for
     eligible single-token bhsd decode, the XLA path otherwise. Returns
     [B, S, Hq, D].
+
+    ``valid_static``: for CHUNKED PREFILL — a static int saying the first
+    ``valid_static`` cache slots are populated and the chunk's queries are
+    right-aligned to that extent. Routes multi-token right-aligned-causal
+    attention through the flash kernel (whose skv_actual must be static)
+    instead of materializing [B, H, chunk, S_cache] f32 XLA scores.
 
     The eligibility gate's D % 128 == 0 keeps falcon (head_dim 64) on the
     XLA path deliberately: the kernel at D=64 was MEASURED slower than
@@ -571,6 +577,36 @@ def attend_decode_cache(xq, cache_k, cache_v, *, mask, kv_valid_len,
     empty lanes), and the bhsd transpose costs the same as bshd there."""
     from a3vlm_tpu.ops.attention import attention
 
+    if (
+        valid_static is not None
+        and mask == "causal"
+        and xq.shape[1] > 1
+        and impl in ("auto", "flash")
+        and not isinstance(cache_k, QuantizedKV)
+        and jax.devices()[0].platform == "tpu"
+    ):
+        from a3vlm_tpu.ops.flash_attention import flash_attention_bhsd
+
+        Sq = xq.shape[1]
+        keys = (cache_k if layout == "bhsd"
+                else cache_k.transpose(0, 2, 1, 3)).astype(xq.dtype)
+        values = (cache_v if layout == "bhsd"
+                  else cache_v.transpose(0, 2, 1, 3)).astype(xq.dtype)
+        bq = min(512, -(-Sq // 128) * 128)
+        bk = 1024 if keys.shape[2] % 1024 == 0 else 512
+        pad_q = (-Sq) % bq
+        pad_k = (-keys.shape[2]) % bk
+        qp = xq.transpose(0, 2, 1, 3)
+        if pad_q:
+            qp = jnp.pad(qp, ((0, 0), (0, 0), (0, pad_q), (0, 0)))
+        if pad_k:
+            keys = jnp.pad(keys, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+            values = jnp.pad(values, ((0, 0), (0, 0), (0, pad_k), (0, 0)))
+        out = flash_attention_bhsd(
+            qp, keys, values, causal=True, block_q=bq, block_k=bk,
+            sq_actual=Sq, skv_actual=valid_static,
+        )
+        return out.transpose(0, 2, 1, 3)[:, :Sq]
     if isinstance(cache_k, QuantizedKV):
         if (
             impl in ("auto", "flash")

@@ -111,6 +111,58 @@ def test_llama_decode_with_int8_cache_close_to_bf16():
     assert corr > 0.999, corr
 
 
+def test_prefill_chunked_matches_one_shot():
+    """Chunked prefill (memory-bounded) == one-shot prefill: same logits,
+    same cache contents, including a ragged last chunk."""
+    args = _tiny_args()
+    params = llama.init_llama_params(jax.random.PRNGKey(1), args)
+    tokens = jnp.asarray(
+        np.random.default_rng(4).integers(0, 128, size=(2, 11)), jnp.int32
+    )
+
+    cache1 = llama.KVCache.create(args, 2, max_seq_len=16,
+                                  dtype=jnp.float32, layered=True)
+    logits1, cache1, s1 = llama.prefill(params, args, cache1, tokens)
+    cache2 = llama.KVCache.create(args, 2, max_seq_len=16,
+                                  dtype=jnp.float32, layered=True)
+    logits2, cache2, s2 = llama.prefill_chunked(params, args, cache2,
+                                                tokens, chunk=4)
+    assert s1 == s2 == 11
+    np.testing.assert_allclose(np.asarray(logits1), np.asarray(logits2),
+                               atol=1e-4, rtol=1e-4)
+    for a, b in zip(cache1.k, cache2.k):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_prefill_chunked_generation_parity(tmp_path):
+    """Generator(prefill_chunk=...) produces the same tokens as the
+    default one-shot prefill path."""
+    args = _tiny_args()
+    params = llama.init_llama_params(jax.random.PRNGKey(2), args)
+    params = llama.unstack_layers(params)
+    from a3vlm_tpu.generation import LLAMA_GEN_OPS, _generate_loop
+
+    tokens = np.zeros((2, 16), np.int32)
+    rng = np.random.default_rng(5)
+    tokens[:, :9] = rng.integers(1, 128, size=(2, 9))
+    mask = np.zeros((2, 16), bool)
+    mask[:, :9] = True
+
+    def run(chunk):
+        cache = llama.KVCache.create(args, 2, max_seq_len=16,
+                                     dtype=jnp.float32, layered=True)
+        out, stop = _generate_loop(
+            params, args, cache, jnp.asarray(tokens), jnp.asarray(mask),
+            jnp.asarray(tokens[:, :8]), None, jax.random.PRNGKey(0),
+            total_len=16, temperature=0.0, top_p=1.0,
+            stop_tokens=((127,),), ops=LLAMA_GEN_OPS,
+            prefill_chunk=chunk,
+        )
+        return np.asarray(out)
+
+    np.testing.assert_array_equal(run(None), run(4))
+
+
 def test_decode_cache_specs_quant_structure():
     import jax.tree_util as jtu
 
