@@ -182,6 +182,10 @@ def main(argv=None):
                         help="int4 weight-only quantized decoder (the "
                         "eval_affordance_with_quant.py:327-342 path)")
     parser.add_argument("--quant_bits", type=int, default=4, choices=[4, 8])
+    parser.add_argument("--kv_cache_bits", type=int, default=None,
+                        choices=[8],
+                        help="int8 KV cache (halves decode cache traffic; "
+                        "serving extension, ops/decode_attention.py)")
     parser.add_argument("--dataset_registry", default=None,
                         help="JSON of {name: task_json_path} (the "
                         "ds_collections registry, "
@@ -224,6 +228,8 @@ def main(argv=None):
 
     if args.quant:
         model.quantize(bits=args.quant_bits)
+    if args.kv_cache_bits:
+        model.kv_cache_bits = args.kv_cache_bits
 
     os.makedirs(args.output_dir, exist_ok=True)
     results_file = str(

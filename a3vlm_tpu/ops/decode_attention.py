@@ -492,22 +492,77 @@ def decode_attention(q, k, v, valid, interpret=False):
     return out.reshape(B, Sq, Hq, D)
 
 
+def _decode_impl_q8(q, kq, vq, ks, vs, valid, interpret=False):
+    """Local (per-shard) quantized kernel dispatch on bhgd operands."""
+    if kq.shape[2] > _SINGLE_BLOCK_MAX_S:
+        return _decode_attention_bhgd_blocked_q8(
+            q, kq, vq, ks, vs, valid, interpret=interpret
+        )
+    return _decode_attention_bhgd_q8(q, kq, vq, ks, vs, valid,
+                                     interpret=interpret)
+
+
+@functools.lru_cache(maxsize=2)
+def _spmd_decode_q8(interpret: bool):
+    """custom_partitioning wrapper for the quantized kernels (same
+    (batch, kv-head) sharding contract as _spmd_decode; the per-token
+    scale operands carry the s factor and follow the cache sharding)."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def _positional(q, kq, vq, ks, vs, valid):
+        return _decode_impl_q8(q, kq, vq, ks, vs, valid,
+                               interpret=interpret)
+
+    fn = custom_partitioning(_positional)
+
+    def _bh(arg_shapes):
+        spec = getattr(arg_shapes[1].sharding, "spec", PartitionSpec())
+        b_ax = spec[0] if len(spec) > 0 else None
+        h_ax = spec[1] if len(spec) > 1 else None
+        return b_ax, h_ax
+
+    def partition(mesh, arg_shapes, result_shape):
+        b_ax, h_ax = _bh(arg_shapes)
+        opshard = NamedSharding(mesh, PartitionSpec(b_ax, h_ax, None, None))
+        sshard = NamedSharding(mesh, PartitionSpec(b_ax, h_ax, None))
+        vshard = NamedSharding(mesh, PartitionSpec(b_ax))
+        return (
+            mesh,
+            _positional,
+            opshard,
+            (opshard, opshard, opshard, sshard, sshard, vshard),
+        )
+
+    def infer(mesh, arg_shapes, result_shape):
+        b_ax, h_ax = _bh(arg_shapes)
+        return NamedSharding(mesh, PartitionSpec(b_ax, h_ax, None, None))
+
+    fn.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="b h g i, b h s i, b h s j, b h s, b h s, b -> b h g j",
+        need_replication_factors=("g", "i", "s", "j"),
+    )
+    return fn
+
+
 def decode_attention_quant(q, kq: QuantizedKV, vq: QuantizedKV, valid,
                            interpret=False):
     """q [B, 1, Hq, D]; int8 cache panels + per-token scales; valid [B].
-    Single-device only (no SPMD wrapper yet for the quantized variant)."""
+    Multi-device runtimes go through the custom_partitioning wrapper
+    (per-shard along the cache's batch/kv-head sharding)."""
     B, Sq, Hq, D = q.shape
     Hkv = kq.qv.shape[1]
     G = Hq // Hkv
     qg = q.reshape(B, Hkv, G, D)
-    if kq.qv.shape[2] > _SINGLE_BLOCK_MAX_S:
-        out = _decode_attention_bhgd_blocked_q8(
-            qg, kq.qv, vq.qv, kq.scale, vq.scale, valid, interpret=interpret
+    if len(jax.devices()) > 1:
+        out = _spmd_decode_q8(bool(interpret))(
+            qg, kq.qv, vq.qv, kq.scale, vq.scale, valid
         )
     else:
-        out = _decode_attention_bhgd_q8(
-            qg, kq.qv, vq.qv, kq.scale, vq.scale, valid, interpret=interpret
-        )
+        out = _decode_impl_q8(qg, kq.qv, vq.qv, kq.scale, vq.scale, valid,
+                              interpret=interpret)
     return out.reshape(B, Sq, Hq, D)
 
 
@@ -612,7 +667,6 @@ def attend_decode_cache(xq, cache_k, cache_v, *, mask, kv_valid_len,
             impl in ("auto", "flash")
             and mask is None
             and kv_valid_len is not None
-            and len(jax.devices()) == 1
             and decode_attention_eligible(
                 xq.shape, cache_k.qv.shape, xq.dtype
             )

@@ -28,6 +28,7 @@ class ModelServer:
         max_seq_len: int = 4096,
         quant: bool = False,
         meta_model=None,
+        kv_cache_bits: Optional[int] = None,
     ):
         from a3vlm_tpu.meta import MetaModel
         from a3vlm_tpu.parallel import create_mesh
@@ -43,6 +44,9 @@ class ModelServer:
                 max_seq_len=max_seq_len,
                 quant=quant,
             )
+        if kv_cache_bits is not None:
+            # int8 KV cache (serving extension; ops/decode_attention.py)
+            self.model.kv_cache_bits = kv_cache_bits
         self.mesh = create_mesh(model_parallel_size)
         self._place_params()
 

@@ -55,6 +55,34 @@ def test_q8_kernel_matches_dequant_reference(S):
     )
 
 
+def test_q8_spmd_sharded_cache_matches_local():
+    """The quantized custom_partitioning wrapper on the 8-device mesh:
+    per-shard result bit-equal to the local computation."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(4, 2),
+                ("data", "model"))
+    rng = np.random.default_rng(6)
+    B, Hkv, G, S, D = 4, 4, 2, 16, 128
+    q = jnp.asarray(rng.normal(size=(B, Hkv, G, D)), jnp.float32)
+    x_k = jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32)
+    x_v = jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32)
+    kq, ks = da.quantize_kv_tokens(x_k)
+    vq, vs = da.quantize_kv_tokens(x_v)
+    valid = jnp.asarray([5, 16, 9, 12], jnp.int32)
+
+    opsh = NamedSharding(mesh, P("data", "model", None, None))
+    ssh = NamedSharding(mesh, P("data", "model", None))
+    out = jax.jit(da._spmd_decode_q8(True))(
+        jax.device_put(q, opsh), jax.device_put(kq, opsh),
+        jax.device_put(vq, opsh), jax.device_put(ks, ssh),
+        jax.device_put(vs, ssh),
+        jax.device_put(valid, NamedSharding(mesh, P("data"))),
+    )
+    ref = da._decode_impl_q8(q, kq, vq, ks, vs, valid, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 def test_update_decode_cache_quantized_write():
     rng = np.random.default_rng(2)
     B, Hkv, S, D = 2, 3, 16, 8

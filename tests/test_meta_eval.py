@@ -125,6 +125,24 @@ def test_quantized_generate(tiny_tokenizer_dir):
     )
 
 
+def test_generate_with_int8_kv_cache(tiny_tokenizer_dir):
+    """MetaModel.kv_cache_bits = 8 generates deterministically through the
+    QuantizedKV cache (serving extension)."""
+    cfg = ens5_mod.tiny_ens5_config()
+    m = MetaModel(
+        llama_type="llama_ens5",
+        tokenizer_path=tiny_tokenizer_dir,
+        with_visual=True,
+        max_seq_len=384,
+        model_cfg=cfg,
+    )
+    m.kv_cache_bits = 8
+    out1 = m.generate(["hello"], max_gen_len=4, temperature=0.0)
+    out2 = m.generate(["hello"], max_gen_len=4, temperature=0.0)
+    assert out1 == out2
+    assert isinstance(out1[0], str)
+
+
 def test_eval_cli_end_to_end(tmp_path, tiny_tokenizer_dir):
     """The parity-gate flow: demo-format task JSON -> eval CLI -> results
     JSON with the reference record schema (eval_affordance_v2.py:386-401)."""
