@@ -15,17 +15,32 @@ Layouts (chosen so the caller does no transposes on the hot path):
 - valid: [B] int32 — keys at index >= valid[b] are masked (the
   ``kv_valid_len`` contract of ops.attention.sdpa_reference)
 
-Grid is (B,); each program reads one batch element's full [Hkv, S, D] k/v
-panels (one big DMA instead of Hkv small ones — a (B, Hkv) grid was
-measured launch-bound at 215 us). Compute is VPU mult-reduce rather than
-MXU dots: single-query attention is a batch of matvecs, which would use
-one MXU sublane per head; elementwise multiply + tree-reduce uses all
-lanes.
+Kernel variants:
+- SINGLE-BLOCK (S <= 512): grid (B,); each program reads one batch
+  element's full [Hkv, S, D] k/v panels (one big DMA instead of Hkv small
+  ones — a (B, Hkv) grid was measured launch-bound at 215 us). Compute is
+  VPU mult-reduce: at short S, single-query attention is a batch of
+  matvecs that would use one MXU sublane per head.
+- BLOCKED (S > 512): grid (B, nS) with online-softmax scratch carried
+  across 256-slot cache blocks (the whole-panel form OOMs scoped vmem).
+  Contraction runs on the MXU via batched dot_general — the mult-reduce
+  is VPU-bound at long S (measured 247 -> 735 tok/s full-depth 7B at
+  S=1920 from the switch).
+- Both exist in a _q8 form over int8 QuantizedKV caches with the dequant
+  folded in at score granularity.
+- Under multi-device runtimes all variants go through custom_partitioning
+  wrappers that run the kernel per (batch, kv-head) cache shard with zero
+  collectives (a bare pallas_call does not SPMD-partition).
 
-The kernel's second job is structural: a custom call pins its operands to
+The kernels' second job is structural: a custom call pins its operands to
 the default layout, which stops XLA's layout assignment from relaying out
 the loop-carried cache every decode step (measured 229 us/layer in-loop
 for XLA attention that costs 69 us in isolation).
+
+This module also owns the shared decode-cache helpers
+(update_decode_cache / attend_decode_cache) used by models/llama.py and
+models/falcon.py, including quantize-on-write for QuantizedKV caches and
+the flash-kernel route for chunked prefill.
 """
 
 from __future__ import annotations
