@@ -162,6 +162,33 @@ def test_prefill_chunked_matches_one_shot():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+def test_prefill_chunked_with_image_tokens():
+    """Chunked prefill splices image tokens after BOS exactly like the
+    one-shot prefill (the ens5 image-word layout contract)."""
+    args = _tiny_args()
+    params = llama.init_llama_params(jax.random.PRNGKey(3), args)
+    tokens = jnp.asarray(
+        np.random.default_rng(6).integers(0, 128, size=(2, 5)), jnp.int32
+    )
+    image_tokens = jnp.asarray(
+        np.random.default_rng(7).normal(size=(2, 6, 64)), jnp.float32
+    )
+
+    def run(fn, **kw):
+        cache = llama.KVCache.create(args, 2, max_seq_len=16,
+                                     dtype=jnp.float32, layered=True)
+        return fn(params, args, cache, tokens, image_tokens=image_tokens,
+                  **kw)
+
+    logits1, cache1, s1 = run(llama.prefill)
+    logits2, cache2, s2 = run(llama.prefill_chunked, chunk=4)
+    assert s1 == s2 == 11  # 5 text + 6 image words
+    np.testing.assert_allclose(np.asarray(logits1), np.asarray(logits2),
+                               atol=1e-4, rtol=1e-4)
+    for a, b in zip(cache1.v, cache2.v):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_prefill_chunked_generation_parity(tmp_path):
     """Generator(prefill_chunk=...) produces the same tokens as the
     default one-shot prefill path."""
@@ -189,6 +216,39 @@ def test_prefill_chunked_generation_parity(tmp_path):
         return np.asarray(out)
 
     np.testing.assert_array_equal(run(None), run(4))
+
+
+def test_falcon_decode_with_int8_cache_close_to_f32():
+    """Falcon shares the quantized-cache helpers (its D=64 always takes
+    the XLA dequant path)."""
+    from a3vlm_tpu.models import falcon
+
+    args = falcon.FalconArgs(
+        hidden_size=128, num_layers=2, num_attention_heads=2,
+        num_kv_heads=2, vocab_size=64, max_seq_len=32, max_batch_size=2,
+    )
+    params = falcon.init_falcon_params(jax.random.PRNGKey(0), args)
+    tokens = jnp.asarray(
+        np.random.default_rng(8).integers(0, 64, size=(2, 5)), jnp.int32
+    )
+
+    def run(dtype):
+        cache = falcon.FalconKVCache.create(args, 2, max_seq_len=16,
+                                            dtype=dtype, layered=True)
+        logits, cache, _ = falcon.prefill(params, args, cache, tokens)
+        outs = [logits]
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+        for i in range(3):
+            logits, cache = falcon.decode_step(params, args, cache, tok,
+                                               5 + i)
+            outs.append(logits)
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+        return np.stack([np.asarray(o) for o in outs])
+
+    ref = run(jnp.float32)
+    got = run(jnp.int8)
+    corr = np.corrcoef(ref.ravel(), got.ravel())[0, 1]
+    assert corr > 0.999, corr
 
 
 def test_decode_cache_specs_quant_structure():
