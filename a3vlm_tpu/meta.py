@@ -422,11 +422,13 @@ class MetaModel:
         from a3vlm_tpu.generation import LLAMA_GEN_OPS
 
         ops = self._gen_ops or LLAMA_GEN_OPS
-        cache = ops.create_cache(
-            args, 1, total_len + W,
-            jnp.bfloat16 if jax.devices()[0].platform == "tpu"
-            else jnp.float32,
-        )
+        if getattr(self, "kv_cache_bits", None) == 8:
+            cache_dtype = jnp.int8  # int8 KV cache (generation.py)
+        elif jax.devices()[0].platform == "tpu":
+            cache_dtype = jnp.bfloat16
+        else:
+            cache_dtype = jnp.float32
+        cache = ops.create_cache(args, 1, total_len + W, cache_dtype)
         logits, cache, _ = ops.prefill(
             params, args, cache,
             jnp.asarray([prompt_tokens], jnp.int32),
