@@ -109,9 +109,9 @@ def _falcon_cache_specs(args, mesh, batch, quant=False):
     h_ax = "model" if args.kv_heads % axes.get("model", 1) == 0 else None
     spec = P(b_ax, h_ax, None, None)  # layered buffers are [B, Hkv, S, D]
     if quant:
-        from a3vlm_tpu.ops.decode_attention import QuantizedKV
+        from a3vlm_tpu.ops.decode_attention import quantized_kv_spec
 
-        spec = QuantizedKV(spec, P(b_ax, h_ax, None))
+        spec = quantized_kv_spec(b_ax, h_ax)
     per_layer = tuple(spec for _ in range(args.num_layers))
     from a3vlm_tpu.models.falcon import FalconKVCache
 
@@ -269,7 +269,11 @@ class Generator:
         # ICI collectives via the params' NamedShardings.
         self.mesh = mesh
         # 8 -> int8 KV cache with per-token scales (halves decode cache
-        # traffic / doubles capacity; ops/decode_attention.QuantizedKV)
+        # traffic / doubles capacity; ops/decode_attention.QuantizedKV).
+        # NOTE: the traffic win needs the fused q8 kernels (D % 128 == 0);
+        # on kernel-ineligible shapes (falcon's D=64) decode falls back to
+        # dequantizing the panels per step — capacity still halves, but
+        # per-step traffic is then ~2x a plain bf16 cache.
         assert kv_cache_bits in (None, 8), kv_cache_bits
         self.kv_cache_bits = kv_cache_bits
         # chunked prefill: bound activation temps for long prompts
@@ -345,13 +349,11 @@ class Generator:
 
         P = _prefill_bucket(min_prompt)
         cache_len = total_len + (0 if image_tokens is None else self.image_words)
-        if self.kv_cache_bits == 8:
-            cache_dtype = jnp.int8  # QuantizedKV buffers (llama.KVCache)
-        elif jax.devices()[0].platform == "tpu":
-            cache_dtype = jnp.bfloat16
-        else:
-            cache_dtype = jnp.float32
-        cache = self.ops.create_cache(args, bsz, cache_len, cache_dtype)
+        from a3vlm_tpu.ops.decode_attention import kv_cache_dtype
+
+        cache = self.ops.create_cache(
+            args, bsz, cache_len, kv_cache_dtype(self.kv_cache_bits)
+        )
         cache = self._shard_cache(cache, bsz)
         if image_tokens is not None:
             image_tokens = self._shard_batched(image_tokens)

@@ -158,8 +158,7 @@ class MetaModel:
 
         self.params = params
         self.mesh = None  # set by ModelServer / callers for multi-chip decode
-        # set to 8 for an int8 KV cache (serving extension; generation.py)
-        self.kv_cache_bits: Optional[int] = None
+        self._kv_cache_bits: Optional[int] = None
         self._generator: Optional[Generator] = None
         self._encode_image_jit = None
         self._params_transform = None  # set by quantize()
@@ -346,6 +345,20 @@ class MetaModel:
             logits, jnp.asarray(labels), vocab_size=self.true_vocab
         )
 
+    @property
+    def kv_cache_bits(self) -> Optional[int]:
+        """8 -> int8 KV cache (serving extension; generation.py). Setting
+        it invalidates any cached Generator so the change takes effect on
+        the next generate() instead of being silently ignored."""
+        return self._kv_cache_bits
+
+    @kv_cache_bits.setter
+    def kv_cache_bits(self, value: Optional[int]) -> None:
+        assert value in (None, 8), value
+        if value != self._kv_cache_bits:
+            self._kv_cache_bits = value
+            self._generator = None
+
     def _get_generator(self) -> Generator:
         if self._generator is None:
             # swap the stored decoder params to the per-layer decode layout
@@ -366,7 +379,7 @@ class MetaModel:
                 params, self.args, self.tokenizer,
                 image_words=self.image_words, vocab_limit=self.true_vocab,
                 params_transform=self._params_transform, mesh=self.mesh,
-                kv_cache_bits=getattr(self, "kv_cache_bits", None),
+                kv_cache_bits=self._kv_cache_bits,
                 **kw,
             )
         return self._generator
@@ -421,14 +434,12 @@ class MetaModel:
         W = 0 if image_tokens is None else image_tokens.shape[1]
         from a3vlm_tpu.generation import LLAMA_GEN_OPS
 
+        from a3vlm_tpu.ops.decode_attention import kv_cache_dtype
+
         ops = self._gen_ops or LLAMA_GEN_OPS
-        if getattr(self, "kv_cache_bits", None) == 8:
-            cache_dtype = jnp.int8  # int8 KV cache (generation.py)
-        elif jax.devices()[0].platform == "tpu":
-            cache_dtype = jnp.bfloat16
-        else:
-            cache_dtype = jnp.float32
-        cache = ops.create_cache(args, 1, total_len + W, cache_dtype)
+        cache = ops.create_cache(
+            args, 1, total_len + W, kv_cache_dtype(self.kv_cache_bits)
+        )
         logits, cache, _ = ops.prefill(
             params, args, cache,
             jnp.asarray([prompt_tokens], jnp.int32),

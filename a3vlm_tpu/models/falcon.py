@@ -157,14 +157,16 @@ class FalconKVCache(NamedTuple):
         # sublane-align (llama.KVCache note: keeps the decode-attention
         # kernel eligible for arbitrary lengths; kv_valid_len masks padding)
         S = -(-S // 8) * 8
+        if dtype == jnp.int8 and not layered:
+            raise ValueError(
+                "int8 KV caches require layered=True (llama.KVCache note)"
+            )
         if layered and dtype == jnp.int8:
-            from a3vlm_tpu.ops.decode_attention import QuantizedKV
+            from a3vlm_tpu.ops.decode_attention import make_quantized_kv
 
             def make():
-                return QuantizedKV(
-                    jnp.zeros((batch, args.kv_heads, S, args.head_dim),
-                              jnp.int8),
-                    jnp.zeros((batch, args.kv_heads, S), jnp.float32),
+                return make_quantized_kv(
+                    batch, args.kv_heads, S, args.head_dim
                 )
 
             return cls(

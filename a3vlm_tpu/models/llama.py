@@ -66,20 +66,20 @@ class KVCache(NamedTuple):
         # Pallas decode-attention kernel eligible (it wants S % 8 == 0) for
         # arbitrary prompt lengths; kv_valid_len masks the padding
         S = -(-S // 8) * 8
+        if dtype == jnp.int8 and not layered:
+            raise ValueError(
+                "int8 KV caches require layered=True (QuantizedKV buffers; "
+                "the stacked/scan cache has no scale plane)"
+            )
         if layered:
             if dtype == jnp.int8:
                 # int8 KV cache (serving extension): per-token scales;
                 # update/attend handled by ops.decode_attention helpers
-                from a3vlm_tpu.ops.decode_attention import QuantizedKV
+                from a3vlm_tpu.ops.decode_attention import make_quantized_kv
 
                 def make():
-                    return QuantizedKV(
-                        jnp.zeros(
-                            (batch_size, args.kv_heads, S, args.head_dim),
-                            jnp.int8,
-                        ),
-                        jnp.zeros((batch_size, args.kv_heads, S),
-                                  jnp.float32),
+                    return make_quantized_kv(
+                        batch_size, args.kv_heads, S, args.head_dim
                     )
 
                 return cls(
@@ -198,9 +198,9 @@ def decode_cache_specs(
     h_ax = "model" if args.kv_heads % axes.get("model", 1) == 0 else None
     spec = P(b_ax, h_ax, None, None)
     if quant:
-        from a3vlm_tpu.ops.decode_attention import QuantizedKV
+        from a3vlm_tpu.ops.decode_attention import quantized_kv_spec
 
-        spec = QuantizedKV(spec, P(b_ax, h_ax, None))
+        spec = quantized_kv_spec(b_ax, h_ax)
     per_layer = tuple(spec for _ in range(args.n_layers))
     return KVCache(per_layer, per_layer)
 

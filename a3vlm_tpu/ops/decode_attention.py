@@ -85,6 +85,29 @@ def dequantize_kv(kv: QuantizedKV, dtype=jnp.bfloat16):
     return (kv.qv.astype(jnp.float32) * kv.scale[..., None]).astype(dtype)
 
 
+def kv_cache_dtype(kv_bits):
+    """The one place the kv_cache_bits -> cache dtype policy lives."""
+    if kv_bits == 8:
+        return jnp.int8
+    return (jnp.bfloat16 if jax.devices()[0].platform == "tpu"
+            else jnp.float32)
+
+
+def make_quantized_kv(batch, kv_heads, seq_len, head_dim) -> QuantizedKV:
+    """Zero-initialized int8 panel + f32 scale plane (one layer)."""
+    return QuantizedKV(
+        jnp.zeros((batch, kv_heads, seq_len, head_dim), jnp.int8),
+        jnp.zeros((batch, kv_heads, seq_len), jnp.float32),
+    )
+
+
+def quantized_kv_spec(b_ax, h_ax) -> QuantizedKV:
+    """PartitionSpecs matching make_quantized_kv's pytree."""
+    from jax.sharding import PartitionSpec as P
+
+    return QuantizedKV(P(b_ax, h_ax, None, None), P(b_ax, h_ax, None))
+
+
 def _decode_kernel(valid_ref, q_ref, k_ref, v_ref, o_ref, *, sm_scale):
     b = pl.program_id(0)
     q = q_ref[0].astype(jnp.float32)  # [Hkv, G, D]
@@ -652,16 +675,26 @@ def attend_decode_cache(xq, cache_k, cache_v, *, mask, kv_valid_len,
         and mask == "causal"
         and xq.shape[1] > 1
         and impl in ("auto", "flash")
-        and not isinstance(cache_k, QuantizedKV)
         and jax.devices()[0].platform == "tpu"
     ):
+        # NOTE: the flash route masks keys uniformly at the static
+        # valid_static; callers must pass kv_valid_len == valid_static for
+        # every batch element (the chunked-prefill contract) — ragged
+        # per-row valid lengths would silently diverge from the XLA path.
         from a3vlm_tpu.ops.flash_attention import flash_attention_bhsd
 
         Sq = xq.shape[1]
-        keys = (cache_k if layout == "bhsd"
-                else cache_k.transpose(0, 2, 1, 3)).astype(xq.dtype)
-        values = (cache_v if layout == "bhsd"
-                  else cache_v.transpose(0, 2, 1, 3)).astype(xq.dtype)
+        if isinstance(cache_k, QuantizedKV):
+            # per-chunk dequant into transient bf16 panels: still O(cache)
+            # transient instead of the XLA fallback's O(chunk x cache) f32
+            # score tensors (2.1 GB at batch 16 / 2k ctx)
+            keys = dequantize_kv(cache_k, xq.dtype)
+            values = dequantize_kv(cache_v, xq.dtype)
+        else:
+            keys = (cache_k if layout == "bhsd"
+                    else cache_k.transpose(0, 2, 1, 3)).astype(xq.dtype)
+            values = (cache_v if layout == "bhsd"
+                      else cache_v.transpose(0, 2, 1, 3)).astype(xq.dtype)
         bq = min(512, -(-Sq // 128) * 128)
         bk = 1024 if keys.shape[2] % 1024 == 0 else 512
         pad_q = (-Sq) % bq

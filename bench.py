@@ -150,19 +150,16 @@ def _13b_args(**kw):
 # ---------------------------------------------------------------------------
 
 
-def bench_decode_full(args, bits=4, batch=16, prompt=128, steps=64, rounds=3,
-                      kv_bits=None):
+def bench_decode_full(args, bits=4, batch=16, prompt=128, steps=64, rounds=3):
     """FULL-DEPTH decode throughput: prefill + ``steps`` greedy decode steps
     through every layer of the real model shape, measured as one jitted
     fori_loop; prefill time subtracted via a prefill-only jit of the same
     form (both use the layered per-layer KV cache, the production decode
-    layout). ``kv_bits=8``: int8 KV cache (QuantizedKV) — at batch 16 /
-    S=1920 the bf16 cache alone is 16.1 GB and OOMs the chip; int8 halves
-    it and is the only way this config runs at all."""
+    layout)."""
     from a3vlm_tpu.models import llama
 
     args = args.replace(max_batch_size=batch, max_seq_len=prompt + steps)
-    dtype = jnp.int8 if kv_bits == 8 else jnp.bfloat16
+    dtype = jnp.bfloat16
     # production decode layout: per-layer weight buffers (llama.unstack_layers)
     params = llama.unstack_layers(fabricate_llama(args, bits=bits))
 
@@ -384,9 +381,9 @@ def main(only=None):
     # decode-attention kernel under real cache traffic
     run("decode_7b_int4_b64", lambda: bench_decode_full(
         _7b_args(), bits=4, batch=64))
-    run("decode_7b_int4_b16_s2048_kv8", lambda: bench_decode_longctx(
+    run("decode_7b_int4_b16_s1920_kv8", lambda: bench_decode_longctx(
         _7b_args(), bits=4, batch=16, kv_bits=8))
-    run("decode_7b_int4_b8_s2048", lambda: bench_decode_longctx(
+    run("decode_7b_int4_b8_s1920", lambda: bench_decode_longctx(
         _7b_args(), bits=4, batch=8))
     run("clip_vit_l14_images_per_sec", bench_vit_encode)
     run("image_to_triad_p50_ms_fullscale", bench_image_to_triad_full)
