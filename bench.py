@@ -351,7 +351,42 @@ def bench_image_to_triad_full(rounds=3, gen_len=32, prompt_len=32, bits=4):
 # ---------------------------------------------------------------------------
 
 
+def _preflight(timeout_s: float = 300.0) -> bool:
+    """True iff the device answers a trivial op within ``timeout_s``. The
+    axon relay can go down for hours (CLAUDE.md); without this the whole
+    bench hangs instead of reporting. 300 s covers the relay's ~100 s
+    first-readback handshake."""
+    import threading
+
+    ok = threading.Event()
+
+    def probe():
+        try:
+            _sync(jnp.ones((8, 128)) @ jnp.ones((128, 8)))
+            ok.set()
+        except Exception:
+            pass
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return ok.is_set()
+
+
 def main(only=None):
+    if not _preflight():
+        print(
+            json.dumps(
+                {
+                    "metric": "decode_tokens_per_sec_per_chip_7b_fulldepth_int4",
+                    "value": "failed: device unresponsive (relay down?)",
+                    "unit": "tokens/s/chip",
+                    "vs_baseline": 1.0,
+                    "detail": {"preflight": "no device response in 300s"},
+                }
+            )
+        )
+        return
     platform = jax.devices()[0].platform
     results = {}
 
