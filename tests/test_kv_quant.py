@@ -83,6 +83,32 @@ def test_q8_spmd_sharded_cache_matches_local():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+def test_q8_kernel_bf16_inputs():
+    """The TPU decode path feeds bf16 queries; exercise the kernels'
+    bf16 dtype conversions in interpret mode."""
+    rng = np.random.default_rng(9)
+    B, Hkv, G, S, D = 2, 2, 1, 16, 128
+    q = jnp.asarray(rng.normal(size=(B, 1, Hkv * G, D)), jnp.bfloat16)
+    x_k = jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32)
+    x_v = jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32)
+    kq, ks = da.quantize_kv_tokens(x_k)
+    vq, vs = da.quantize_kv_tokens(x_v)
+    valid = jnp.asarray([9, 16], jnp.int32)
+    got = da.decode_attention_quant(
+        q, da.QuantizedKV(kq, ks), da.QuantizedKV(vq, vs), valid,
+        interpret=True,
+    ).astype(jnp.float32)
+    k_deq = da.dequantize_kv(da.QuantizedKV(kq, ks), jnp.float32)
+    v_deq = da.dequantize_kv(da.QuantizedKV(vq, vs), jnp.float32)
+    want = sdpa_reference(
+        q.astype(jnp.float32), k_deq.transpose(0, 2, 1, 3),
+        v_deq.transpose(0, 2, 1, 3), mask=None, kv_valid_len=valid,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=0.03, rtol=0.03
+    )
+
+
 def test_update_decode_cache_quantized_write():
     rng = np.random.default_rng(2)
     B, Hkv, S, D = 2, 3, 16, 8
