@@ -138,29 +138,103 @@ def _int4_matmul_xla(x, qw: QuantizedWeight):
     return xlo @ deq(lo, slo) + xhi @ deq(hi, shi)
 
 
-def _single_tpu() -> bool:
-    # pallas_call does not SPMD-partition: under a multi-device mesh with
-    # TP-sharded weights, XLA would all-gather every weight into every chip
-    # (the decode_attention.py note). Multi-device paths keep the XLA
-    # dequant dot, which partitions along the weight specs; a
-    # custom_partitioning wrapper over the kernels' (i, j) grid dims is the
-    # proper future fix.
-    devs = jax.devices()
-    return len(devs) == 1 and devs[0].platform == "tpu"
+def _on_tpu() -> bool:
+    return jax.devices()[0].platform == "tpu"
+
+
+def _int4_shapes_eligible(half: int, N: int, g: int) -> bool:
+    return (
+        half % 512 == 0 and 512 % g == 0 and 512 // g >= 8 and N % 128 == 0
+    )
 
 
 def _kernel_eligible(x, qw: QuantizedWeight) -> bool:
     if qw.q.ndim != 2:
         return False
     half, N = qw.q.shape
-    g = qw.group
-    return (
-        half % 512 == 0
-        and 512 % g == 0
-        and 512 // g >= 8
-        and N % 128 == 0
-        and _single_tpu()
+    return _int4_shapes_eligible(half, N, qw.group) and _on_tpu()
+
+
+def _int4_xla_2d(x, q, scale, *, group: int):
+    """2D-operand XLA two-dot path (the per-shard fallback inside the SPMD
+    wrapper when the local shard shapes miss kernel alignment)."""
+    half, N = q.shape
+    lo, hi = unpack_int4(q)
+    sg = half // group
+    slo, shi = scale[:sg], scale[sg:]
+
+    def deq(qh, sh):
+        qg = qh.reshape(sg, group, N).astype(jnp.float32)
+        return (qg * sh[:, None, :]).reshape(half, N).astype(x.dtype)
+
+    return x[:, :half] @ deq(lo, slo) + x[:, half:] @ deq(hi, shi)
+
+
+def _int4_local(x, q, scale, *, group: int, interpret: bool):
+    """Per-shard dispatch: fused kernel when the LOCAL shard shapes are
+    lane-aligned (traced with per-shard shapes inside custom_partitioning),
+    XLA two-dot otherwise."""
+    half, N = q.shape
+    if _int4_shapes_eligible(half, N, group) and (_on_tpu() or interpret):
+        return _int4_matmul_2d(x, q, scale, group=group, interpret=interpret)
+    return _int4_xla_2d(x, q, scale, group=group)
+
+
+@functools.lru_cache(maxsize=8)
+def _spmd_int4(group: int, interpret: bool):
+    """custom_partitioning wrapper so TP-sharded quantized decode keeps the
+    fused kernel (a bare pallas_call does not SPMD-partition — without this
+    a multi-device mesh all-gathers every packed weight, or the XLA dequant
+    dot moves dense-bf16 traffic; either way the round-2 kernel win dies).
+
+    Sharding contract: the OUTPUT dim N follows the weight's sharding
+    (all-column-parallel TP — for weight-bound decode the per-matmul
+    activation all-gather XLA inserts downstream is ~KBs vs the GBs of
+    weight traffic saved); K cannot shard — the split-half packing pairs
+    byte row r with rows (r, r + K/2), so a contiguous K-shard of the
+    packed bytes does not correspond to a contiguous K-shard of x.
+    Exactness on the mp=2 CPU mesh: tests/test_quant_matmul.py."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def _positional(x, q, scale):
+        return _int4_local(x, q, scale, group=group, interpret=interpret)
+
+    fn = custom_partitioning(_positional)
+
+    def _axes(arg_shapes):
+        qspec = getattr(arg_shapes[1].sharding, "spec", PartitionSpec())
+        n_ax = qspec[1] if len(qspec) > 1 else None
+        xspec = getattr(arg_shapes[0].sharding, "spec", PartitionSpec())
+        m_ax = xspec[0] if len(xspec) > 0 else None
+        return m_ax, n_ax
+
+    def partition(mesh, arg_shapes, result_shape):
+        m_ax, n_ax = _axes(arg_shapes)
+        return (
+            mesh,
+            _positional,
+            NamedSharding(mesh, PartitionSpec(m_ax, n_ax)),
+            (
+                NamedSharding(mesh, PartitionSpec(m_ax, None)),
+                NamedSharding(mesh, PartitionSpec(None, n_ax)),
+                NamedSharding(mesh, PartitionSpec(None, n_ax)),
+            ),
+        )
+
+    def infer(mesh, arg_shapes, result_shape):
+        m_ax, n_ax = _axes(arg_shapes)
+        return NamedSharding(mesh, PartitionSpec(m_ax, n_ax))
+
+    fn.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        # x [m, k] (k = 2*half), packed q [h, n], scales [g, n] -> [m, n];
+        # only m (batch) and n (output channels) may shard
+        sharding_rule="m k, h n, g n -> m n",
+        need_replication_factors=("k", "h", "g"),
     )
+    return fn
 
 
 def int4_matmul(x, qw: QuantizedWeight, interpret: bool = False):
@@ -170,9 +244,14 @@ def int4_matmul(x, qw: QuantizedWeight, interpret: bool = False):
     assert K == qw.in_dim, (K, qw.in_dim)
     if Kpad != K:
         x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, Kpad - K)])
+    lead = x.shape[:-1]
+    if qw.q.ndim == 2 and len(jax.devices()) > 1:
+        out = _spmd_int4(qw.group, bool(interpret))(
+            x.reshape(-1, Kpad), qw.q, qw.scale
+        )
+        return out.reshape(*lead, out.shape[-1])
     if not (interpret or _kernel_eligible(x, qw)):
         return _int4_matmul_xla(x, qw)
-    lead = x.shape[:-1]
     x2 = x.reshape(-1, Kpad)
     out = _int4_matmul_2d(
         x2, qw.q, qw.scale, group=qw.group, interpret=interpret
@@ -251,17 +330,80 @@ def _int8_kernel_eligible(qw: QuantizedWeight) -> bool:
     if qw.q.ndim != 2:
         return False
     K, N = qw.q.shape
-    return K % 256 == 0 and N % 128 == 0 and _single_tpu()
+    return K % 256 == 0 and N % 128 == 0 and _on_tpu()
+
+
+def _int8_local(x, q, scale, *, interpret: bool):
+    """Per-shard dispatch for the SPMD wrapper (local shard shapes)."""
+    K, N = q.shape
+    if K % 256 == 0 and N % 128 == 0 and (_on_tpu() or interpret):
+        return _int8_matmul_2d(x, q, scale, interpret=interpret)
+    return x @ (q.astype(jnp.float32) * scale).astype(x.dtype)
+
+
+@functools.lru_cache(maxsize=4)
+def _spmd_int8(interpret: bool):
+    """custom_partitioning wrapper for the int8 kernel — same
+    all-column-parallel contract as ``_spmd_int4`` (N follows the weight's
+    sharding; K replicated). int8 has no packing constraint on K, but the
+    kernel accumulates over the whole K per output block, so K-sharding
+    would need a psum epilogue — the column-parallel layout avoids any
+    collective inside the matmul."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def _positional(x, q, scale):
+        return _int8_local(x, q, scale, interpret=interpret)
+
+    fn = custom_partitioning(_positional)
+
+    def _axes(arg_shapes):
+        qspec = getattr(arg_shapes[1].sharding, "spec", PartitionSpec())
+        n_ax = qspec[1] if len(qspec) > 1 else None
+        xspec = getattr(arg_shapes[0].sharding, "spec", PartitionSpec())
+        m_ax = xspec[0] if len(xspec) > 0 else None
+        return m_ax, n_ax
+
+    def partition(mesh, arg_shapes, result_shape):
+        m_ax, n_ax = _axes(arg_shapes)
+        return (
+            mesh,
+            _positional,
+            NamedSharding(mesh, PartitionSpec(m_ax, n_ax)),
+            (
+                NamedSharding(mesh, PartitionSpec(m_ax, None)),
+                NamedSharding(mesh, PartitionSpec(None, n_ax)),
+                NamedSharding(mesh, PartitionSpec(None, n_ax)),
+            ),
+        )
+
+    def infer(mesh, arg_shapes, result_shape):
+        m_ax, n_ax = _axes(arg_shapes)
+        return NamedSharding(mesh, PartitionSpec(m_ax, n_ax))
+
+    fn.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="m k, k n, o n -> m n",
+        need_replication_factors=("k", "o"),
+    )
+    return fn
 
 
 def int8_matmul(x, qw: QuantizedWeight, interpret: bool = False):
     """x [..., K] @ int8 weight [K, N] (per-output-channel scale)."""
+    lead = x.shape[:-1]
+    if qw.q.ndim == 2 and len(jax.devices()) > 1:
+        out = _spmd_int8(bool(interpret))(
+            x.reshape(-1, x.shape[-1]), qw.q,
+            qw.scale.reshape(1, -1).astype(jnp.float32),
+        )
+        return out.reshape(*lead, out.shape[-1])
     if not (interpret or _int8_kernel_eligible(qw)):
         # XLA fallback: materializes the dequantized weight (correct but
         # 2x the weight traffic — the reason the kernel exists; the
         # round-1 "XLA fuses the dequant into the dot" claim was wrong)
         return x @ (qw.q.astype(jnp.float32) * qw.scale).astype(x.dtype)
-    lead = x.shape[:-1]
     out = _int8_matmul_2d(
         x.reshape(-1, x.shape[-1]), qw.q,
         qw.scale.reshape(1, -1).astype(jnp.float32),

@@ -26,6 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 
 GROUP_SIZE = 64  # int4 quant group along the input dim
+MODEL_AXIS = "model"  # TP mesh axis name (parallel/mesh.py; no import cycle)
 
 
 class QuantizedWeight:
@@ -202,6 +203,42 @@ def dequantize_params(qparams: Any, dtype=jnp.bfloat16) -> Any:
         lambda x: _dequantize_leaf(x, dtype) if _is_quantized_leaf(x) else x,
         qparams,
         is_leaf=_is_quantized_leaf,
+    )
+
+
+def quantized_partition_specs(dense_specs: Any, params: Any, n_model: int):
+    """PartitionSpecs for a (partially) quantized tree.
+
+    QuantizedWeight leaves shard their OUTPUT dim over "model"
+    (all-column-parallel TP): the int4 split-half packing pairs byte row r
+    with weight rows (r, r + K/2), so the dense row-parallel split of
+    wo/w2 (fairscale RowParallelLinear, llama_ens5.py:63-90) cannot be
+    expressed as a contiguous shard of the packed bytes — instead every
+    quantized matmul shards N and XLA all-gathers the (tiny, activation-
+    sized) outputs where consumers need them. Weights whose N doesn't
+    split into lane-aligned (128-multiple) shards stay replicated. Dense
+    leaves (norms, embeddings, blocklisted towers) keep their dense specs.
+    """
+    import jax.sharding as _sh
+
+    def leaf_fn(qw, spec):
+        if not isinstance(qw, QuantizedWeight):
+            return spec
+        lead = qw.q.ndim - 2
+        N = qw.q.shape[-1]
+        axes = [a for a in spec if a is not None] if spec is not None else []
+        wants_model = any(
+            a == MODEL_AXIS or (isinstance(a, tuple) and MODEL_AXIS in a)
+            for a in axes
+        )
+        if wants_model and n_model > 1 and N % (n_model * 128) == 0:
+            qs = _sh.PartitionSpec(*([None] * (lead + 1)), MODEL_AXIS)
+        else:
+            qs = _sh.PartitionSpec(*([None] * (lead + 2)))
+        return QuantizedWeight(qs, qs, qw.bits, qw.group, qw.in_dim)
+
+    return jax.tree_util.tree_map(
+        leaf_fn, params, dense_specs, is_leaf=_is_quantized_leaf
     )
 
 

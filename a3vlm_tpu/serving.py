@@ -54,7 +54,7 @@ class ModelServer:
         from a3vlm_tpu.models import ens5 as ens5_mod
         from a3vlm_tpu.models import llama as llama_mod
         from a3vlm_tpu.parallel import shard_params
-        from a3vlm_tpu.quant import QuantizedWeight
+        from a3vlm_tpu.quant import QuantizedWeight, quantized_partition_specs
 
         m = self.model
         has_quant = any(
@@ -64,14 +64,19 @@ class ModelServer:
                 is_leaf=lambda x: isinstance(x, QuantizedWeight),
             )
         )
-        if has_quant:
-            return  # quantized trees keep their placement
         if m.llama_type.startswith("llama_ens5"):
             specs = ens5_mod.ens5_partition_specs(m.cfg, m.params)
         elif m.llama_type == "llama":
             specs = llama_mod.llama_partition_specs(m.cfg)
         else:
             return
+        if has_quant:
+            # quantized leaves shard all-column-parallel (output dim over
+            # "model"); the fused kernels partition along it through the
+            # custom_partitioning wrappers in ops/quant_matmul.py
+            specs = quantized_partition_specs(
+                specs, m.params, self.mesh.shape.get("model", 1)
+            )
         m.params = shard_params(m.params, self.mesh, specs)
         m.mesh = self.mesh
         m._generator = None

@@ -171,6 +171,118 @@ def test_qmat_dispatch():
     )
 
 
+# ---------------------------------------------------------------------------
+# SPMD: TP-sharded quantized matmuls (custom_partitioning wrappers)
+# ---------------------------------------------------------------------------
+
+
+def _mesh_dp_mp(dp, mp):
+    from a3vlm_tpu.parallel import create_mesh
+
+    return create_mesh(mp, devices=jax.devices()[: dp * mp])
+
+
+@pytest.mark.parametrize("interpret", [True, False])
+def test_int4_spmd_mp2_matches_reference(interpret):
+    """int4 matmul with the packed weight N-sharded over model=2: kernel
+    (interpret) and local-XLA (interpret=False on CPU) per-shard paths both
+    match the unsharded reference."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    w = _rand_w(2048, 256, seed=20)
+    qw = _quantize_leaf_int4(w)
+    assert qw.q.shape == (1024, 256)
+    mesh = _mesh_dp_mp(2, 2)
+    qs = jax.device_put(qw.q, NamedSharding(mesh, P(None, "model")))
+    ss = jax.device_put(qw.scale, NamedSharding(mesh, P(None, "model")))
+    qw_sh = QuantizedWeight(qs, ss, 4, qw.group, qw.in_dim)
+    x = jnp.asarray(_rand_w(8, 2048, seed=21)).astype(jnp.float32)
+    x_sh = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+    ref = np.asarray(_int4_matmul_xla(x, qw)).astype(np.float32)
+    with mesh:
+        got = jax.jit(
+            lambda xx, ww: int4_matmul(xx, ww, interpret=interpret)
+        )(x_sh, qw_sh)
+    np.testing.assert_allclose(
+        np.asarray(got).astype(np.float32), ref, rtol=2e-2, atol=0.5
+    )
+
+
+@pytest.mark.parametrize("interpret", [True, False])
+def test_int8_spmd_mp2_matches_reference(interpret):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    w = _rand_w(512, 256, seed=22)
+    q8 = _quantize_leaf_int8(w)
+    mesh = _mesh_dp_mp(2, 2)
+    qs = jax.device_put(q8.q, NamedSharding(mesh, P(None, "model")))
+    ss = jax.device_put(q8.scale, NamedSharding(mesh, P(None, "model")))
+    q8_sh = QuantizedWeight(qs, ss, 8)
+    x = jnp.asarray(_rand_w(8, 512, seed=23)).astype(jnp.float32)
+    x_sh = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+    dense = q8.q.astype(jnp.float32) * q8.scale
+    ref = np.asarray(x @ dense)
+    with mesh:
+        got = jax.jit(
+            lambda xx, ww: int8_matmul(xx, ww, interpret=interpret)
+        )(x_sh, q8_sh)
+    np.testing.assert_allclose(
+        np.asarray(got).astype(np.float32), ref, rtol=2e-2, atol=0.5
+    )
+
+
+def test_int4_spmd_replicated_weight_ok():
+    """A replicated quantized weight under a multi-device runtime still
+    goes through the SPMD wrapper (n_ax=None) and matches."""
+    w = _rand_w(1024, 128, seed=24)
+    qw = _quantize_leaf_int4(w)
+    x = jnp.asarray(_rand_w(4, 1024, seed=25)).astype(jnp.float32)
+    ref = np.asarray(_int4_matmul_xla(x, qw)).astype(np.float32)
+    got = np.asarray(qmat(x, qw)).astype(np.float32)
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=0.5)
+
+
+def test_quantized_partition_specs_column_parallel():
+    """Quantized leaves get N-sharded specs when N splits lane-aligned;
+    dense leaves keep their dense specs; misaligned N stays replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    from a3vlm_tpu.config import ModelArgs
+    from a3vlm_tpu.models import llama
+    from a3vlm_tpu.parallel import shard_params
+    from a3vlm_tpu.quant import quantized_partition_specs
+
+    args = ModelArgs(dim=256, n_layers=2, n_heads=4, n_kv_heads=4,
+                     vocab_size=384, multiple_of=16, max_seq_len=64)
+    params = llama.init_llama_params(jax.random.PRNGKey(2), args)
+    qparams = quantize_params(params, bits=8)
+    dense_specs = llama.llama_partition_specs(args)
+    specs = quantized_partition_specs(dense_specs, qparams, n_model=2)
+    wq = specs["layers"]["attention"]["wq"]["weight"]
+    assert isinstance(wq, QuantizedWeight)
+    # stacked [L, K, N]: shard the last (output) axis
+    assert tuple(wq.q) == (None, None, "model")
+    # row-parallel w2 converts to column-parallel in the quantized tree
+    w2 = specs["layers"]["feed_forward"]["w2"]["weight"]
+    assert tuple(w2.q) == (None, None, "model")
+    # embeddings stay dense and keep the dense spec
+    assert tuple(specs["tok_embeddings"]["weight"]) == (None, "model")
+    # norms replicated
+    assert tuple(specs["norm"]["weight"]) == (None,)
+    # the spec tree must actually place the quantized tree on a mesh
+    mesh = _mesh_dp_mp(2, 2)
+    placed = shard_params(qparams, mesh, specs)
+    q_leaf = placed["layers"]["attention"]["wq"]["weight"].q
+    assert q_leaf.sharding.spec == P(None, None, "model")
+
+    # ffn output dim 688 (multiple_of=16) does not split into 2x128-lane
+    # shards -> replicated
+    F = params["layers"]["feed_forward"]["w1"]["weight"].shape[-1]
+    if F % 256 != 0:
+        w1 = specs["layers"]["feed_forward"]["w1"]["weight"]
+        assert tuple(w1.q) == (None, None, None)
+
+
 def test_quantize_params_keeps_embeddings_dense():
     from a3vlm_tpu.config import ModelArgs
     from a3vlm_tpu.models import llama
