@@ -61,10 +61,54 @@ def _int4_kernel(xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref, o_ref, acc_ref,
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("group", "interpret"))
-def _int4_matmul_2d(x, q, scale, *, group: int, interpret: bool = False):
+def _int4_kernel_v2(xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref, o_ref,
+                    acc_ref, *, group: int, nk: int):
+    """Group-factored variant: the per-weight f32 scale-multiply (plus the
+    jnp.repeat scale expansion, a full [BK, BN] f32 write) is replaced by
+    per-GROUP batched dots on unscaled bf16 nibbles and a tiny
+    [sg, BM, BN] scale-and-reduce epilogue. VPU work per packed byte drops
+    from ~10 ops (2 f32 converts, 2 f32 muls, 2 bf16 casts, expanded-scale
+    writes) to ~6 (3 shifts, 2 i32->bf16 converts, shared i8->i32) — the
+    dequant chain is the measured cap on int4 bandwidth (480 vs int8's
+    700 GB/s). MXU dots contract over g=group (64): half-depth MXU
+    efficiency, irrelevant in the weight-bandwidth-bound decode regime."""
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    BM = xlo_ref.shape[0]
+    BK, BN = q_ref.shape
+    sg = BK // group
+    packed = q_ref[:].astype(jnp.int32)  # [BK, BN]
+    lo = ((packed << 28) >> 28).astype(jnp.bfloat16)
+    hi = (packed >> 4).astype(jnp.bfloat16)
+
+    def half_acc(x_ref, w, s_ref):
+        # [sg, BM, g] @ [sg, g, BN] batched over groups -> [sg, BM, BN]
+        xg = x_ref[:].reshape(BM, sg, group).transpose(1, 0, 2)
+        wg = w.reshape(sg, group, BN)
+        part = jax.lax.dot_general(
+            xg, wg, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # [sg, BM, BN] f32
+        return jnp.sum(part * s_ref[:][:, None, :], axis=0)
+
+    acc_ref[:] += half_acc(xlo_ref, lo, slo_ref)
+    acc_ref[:] += half_acc(xhi_ref, hi, shi_ref)
+
+    @pl.when(pl.program_id(2) == nk - 1)
+    def _done():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("group", "interpret", "variant")
+)
+def _int4_matmul_2d(x, q, scale, *, group: int, interpret: bool = False,
+                    variant: str = "v1"):
     """x [M, Kpad] (bf16/f32), q [Kpad/2, N] int8 packed, scale [Kpad/g, N]
-    f32 -> [M, N] in x.dtype."""
+    f32 -> [M, N] in x.dtype. ``variant``: "v1" = expanded-scale kernel,
+    "v2" = group-factored scales (see _int4_kernel_v2)."""
     M, Kpad = x.shape
     half, N = q.shape
     assert Kpad == 2 * half, (x.shape, q.shape)
@@ -87,8 +131,9 @@ def _int4_matmul_2d(x, q, scale, *, group: int, interpret: bool = False):
     nm, nn, nk = Mpad // BM, -(-N // BN), half // BK
     sg = BK // group  # scale rows per K step
 
+    kernel = _int4_kernel if variant == "v1" else _int4_kernel_v2
     out = pl.pallas_call(
-        functools.partial(_int4_kernel, group=group, nk=nk),
+        functools.partial(kernel, group=group, nk=nk),
         grid=(nm, nn, nk),
         in_specs=[
             pl.BlockSpec((BM, BK), lambda i, j, k: (i, k),

@@ -348,6 +348,86 @@ def bench_image_to_triad_full(rounds=3, gen_len=32, prompt_len=32, bits=4):
     return _median(times)
 
 
+def bench_triad_decomposition(rounds=3, gen_len=32, prompt_len=32, bits=4):
+    """Component decomposition of the full-scale image->triad p50: the
+    four towers (five-crop encode), the 1519-token prefill, and the
+    ``gen_len``-step decode each timed in their own jit. Sum ~= the
+    one-jit p50 (minus XLA cross-stage fusion). This is the measured basis
+    for the v5e-8 projection in PERFORMANCE.md: batch-1 decode is weight-
+    bandwidth bound, so the decode component scales ~1/mp with the
+    all-column-parallel int4 sharding while towers scale with the
+    crop-batch sharding (5 crops over 8 chips)."""
+    from a3vlm_tpu.models import ens5, llama
+
+    largs = _7b_args()
+    W_cfg = ens5.Ens5Config(llama=largs, crop_shard_axes=None)
+    W = W_cfg.image_words
+    total = W + prompt_len + gen_len
+    largs = largs.replace(max_batch_size=1, max_seq_len=total)
+    cfg = ens5.Ens5Config(llama=largs, crop_shard_axes=None)
+
+    tower_shapes = jax.eval_shape(
+        lambda: ens5.init_ens5_params(jax.random.PRNGKey(0), cfg)
+    )
+    params = {
+        k: fabricate(v) for k, v in tower_shapes.items() if k != "llama"
+    }
+    params["llama"] = llama.unstack_layers(fabricate_llama(largs, bits=bits))
+    dtype = jnp.bfloat16
+
+    @jax.jit
+    def towers_only(p, image):
+        return ens5.build_image_tokens(p, cfg, image)
+
+    @jax.jit
+    def prefill_only(p, tokens, it):
+        cache = llama.KVCache.create(
+            cfg.llama, 1, max_seq_len=total, dtype=dtype, layered=True
+        )
+        logits, cache, _ = llama.prefill(
+            p["llama"], cfg.llama, cache, tokens, image_tokens=it
+        )
+        return logits, cache
+
+    @jax.jit
+    def decode_only(p, cache, tok):
+        def body(i, carry):
+            tok, cache = carry
+            logits, cache = llama.decode_step(
+                p["llama"], cfg.llama, cache, tok, W + prompt_len + i
+            )
+            return jnp.argmax(logits, -1).astype(jnp.int32)[:, None], cache
+
+        tok, _ = jax.lax.fori_loop(0, gen_len, body, (tok, cache))
+        return tok
+
+    image = jnp.zeros((1, 448, 448, 3), dtype)
+    tokens = jnp.ones((1, prompt_len), jnp.int32)
+    it = towers_only(params, image)
+    logits, cache = prefill_only(params, tokens, it)
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+    _sync(decode_only(params, cache, tok))  # compile all three
+
+    comp = {"towers_ms": [], "prefill_ms": [], "decode_ms": []}
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        it = towers_only(params, image)
+        _sync(it)
+        comp["towers_ms"].append((time.perf_counter() - t0) * 1e3)
+        t0 = time.perf_counter()
+        logits, cache2 = prefill_only(params, tokens, it)
+        _sync(logits)
+        comp["prefill_ms"].append((time.perf_counter() - t0) * 1e3)
+        t0 = time.perf_counter()
+        _sync(decode_only(params, cache2, tok))
+        comp["decode_ms"].append((time.perf_counter() - t0) * 1e3)
+    out = {k: round(_median(v), 1) for k, v in comp.items()}
+    out["sum_ms"] = round(sum(out.values()), 1)
+    out["gen_len"] = gen_len
+    out["per_decode_step_ms"] = round(out["decode_ms"] / gen_len, 2)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # train step (the reference's primary workload, engine_finetune.py:13-105)
 # ---------------------------------------------------------------------------
@@ -507,6 +587,7 @@ def main(only=None):
         _7b_args(), bits=4, batch=8))
     run("clip_vit_l14_images_per_sec", bench_vit_encode)
     run("image_to_triad_p50_ms_fullscale", bench_image_to_triad_full)
+    run("triad_decomposition", bench_triad_decomposition)
     # training throughput (the reference's primary workload): full towers
     # frozen + ~1B bf16 decoder, fwd+bwd+AdamW in one jit with remat
     run("train_step_multimodal", bench_train_step)
