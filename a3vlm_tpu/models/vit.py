@@ -46,6 +46,9 @@ class ViTConfig:
     patch_bias: bool = True  # conv-stem bias (CLIP: False)
     pos_grid_size: Optional[int] = None  # native pos-embed grid (DINOv2: 37)
     norm_eps: float = 1e-6
+    # route encoder attention through the batched Pallas kernel
+    # (ops/vit_attention.py) instead of XLA sdpa; opt-in pending on-chip A/B
+    attn_kernel: bool = False
 
     @property
     def grid(self) -> int:
@@ -148,7 +151,18 @@ def _vit_block(h, lp, cfg: ViTConfig):
     q = q.reshape(B, S, cfg.heads, cfg.head_dim)
     k = k.reshape(B, S, cfg.heads, cfg.head_dim)
     v = v.reshape(B, S, cfg.heads, cfg.head_dim)
-    out = attention(q, k, v, mask=None)
+    if cfg.attn_kernel:
+        from a3vlm_tpu.ops.vit_attention import (
+            vit_attention,
+            vit_attention_eligible,
+        )
+
+        if vit_attention_eligible(q.shape, q.dtype):
+            out = vit_attention(q, k, v)
+        else:
+            out = attention(q, k, v, mask=None)
+    else:
+        out = attention(q, k, v, mask=None)
     out = out.reshape(B, S, W) @ lp["attn"]["wo"]["weight"] + lp["attn"]["wo"]["bias"]
     if cfg.layer_scale:
         out = out * lp["ls1"]

@@ -257,12 +257,15 @@ def bench_decode_longctx(args, bits=4, batch=16, ctx=1856, steps=64,
 # ---------------------------------------------------------------------------
 
 
-def bench_vit_encode(batch=16, rounds=5):
+def bench_vit_encode(batch=16, rounds=5, attn_kernel=False):
     """CLIP ViT-L/14 @224 encode throughput (the per-crop unit of the ens5
-    tower ensemble)."""
+    tower ensemble). ``attn_kernel`` routes attention through the batched
+    Pallas kernel (ops/vit_attention.py) for the on-chip A/B."""
+    import dataclasses
+
     from a3vlm_tpu.models import vit
 
-    cfg = vit.CLIP_VIT_L14
+    cfg = dataclasses.replace(vit.CLIP_VIT_L14, attn_kernel=attn_kernel)
     shapes = jax.eval_shape(
         lambda: vit.init_vit_params(jax.random.PRNGKey(0), cfg)
     )

@@ -252,3 +252,46 @@ def test_decode_attention_kernel_matches_reference(group):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
     )
+
+
+def test_vit_attention_kernel_matches_xla():
+    """Batched ViT attention kernel (interpret) == the XLA sdpa path at the
+    tower shape class (S=257-like, D=64, heads batched in-kernel)."""
+    from a3vlm_tpu.ops.attention import attention
+    from a3vlm_tpu.ops.vit_attention import vit_attention
+
+    rng = np.random.default_rng(0)
+    B, S, H, D = 2, 65, 4, 64  # odd S exercises the register masking
+    q = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, S, H, D)), jnp.float32)
+    ref = np.asarray(attention(q, k, v, mask=None))
+    got = np.asarray(vit_attention(q, k, v, interpret=True))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+def test_vit_forward_attn_kernel_flag_interpret(monkeypatch):
+    """vit_forward with attn_kernel=True (forced eligible + interpret on
+    CPU) matches the default path."""
+    import dataclasses
+
+    from a3vlm_tpu.models import vit
+    from a3vlm_tpu.ops import vit_attention as va
+
+    cfg = vit.ViTConfig(
+        image_size=28, patch_size=7, width=64, layers=2, heads=4,
+        mlp_dim=128, ln_pre=True, patch_bias=False,
+    )
+    params = vit.init_vit_params(jax.random.PRNGKey(0), cfg)
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(2, 28, 28, 3)), jnp.float32
+    )
+    ref = np.asarray(vit.vit_forward(params, cfg, x))
+    orig = va.vit_attention
+    monkeypatch.setattr(va, "vit_attention_eligible", lambda *a: True)
+    monkeypatch.setattr(
+        va, "vit_attention", lambda q, k, v: orig(q, k, v, interpret=True)
+    )
+    cfg_k = dataclasses.replace(cfg, attn_kernel=True)
+    got = np.asarray(vit.vit_forward(params, cfg_k, x))
+    np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
