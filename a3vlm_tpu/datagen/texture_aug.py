@@ -138,30 +138,38 @@ def run_controlnet(
     images_per_prompt: int = 4,
     model_id: str = "runwayml/stable-diffusion-v1-5",
     controlnet_id: Optional[str] = None,
-):  # pragma: no cover - requires diffusers + accelerator
-    """SD + ControlNet generation (controlnet_render.py:122-194). Gated on
-    the optional diffusers dependency."""
-    try:
-        import torch
-        from diffusers import (
-            ControlNetModel,
-            StableDiffusionControlNetPipeline,
-        )
-    except ImportError as e:
-        raise ImportError(
-            "texture augmentation requires the optional `diffusers` package "
-            "and an accelerator; install it or skip this offline stage"
-        ) from e
+    pipe=None,
+):
+    """SD + ControlNet generation (controlnet_render.py:122-194).
 
-    controlnet_id = controlnet_id or (
-        "lllyasviel/control_v11f1p_sd15_depth"
-        if control == "depth"
-        else "lllyasviel/control_v11p_sd15_seg"
-    )
-    controlnet = ControlNetModel.from_pretrained(controlnet_id)
-    pipe = StableDiffusionControlNetPipeline.from_pretrained(
-        model_id, controlnet=controlnet
-    )
+    ``pipe``: injectable pipeline — anything callable as
+    ``pipe(prompt, image=..., num_images_per_prompt=N)`` returning an
+    object with an ``.images`` list of PIL images (the diffusers
+    StableDiffusionControlNetPipeline interface). When None, the real
+    diffusers pipeline is built (optional dependency; the generation loop
+    itself is covered by tests with a stub pipeline)."""
+    if pipe is None:  # pragma: no cover - requires diffusers + accelerator
+        try:
+            from diffusers import (
+                ControlNetModel,
+                StableDiffusionControlNetPipeline,
+            )
+        except ImportError as e:
+            raise ImportError(
+                "texture augmentation requires the optional `diffusers` "
+                "package and an accelerator; install it or skip this "
+                "offline stage"
+            ) from e
+
+        controlnet_id = controlnet_id or (
+            "lllyasviel/control_v11f1p_sd15_depth"
+            if control == "depth"
+            else "lllyasviel/control_v11p_sd15_seg"
+        )
+        controlnet = ControlNetModel.from_pretrained(controlnet_id)
+        pipe = StableDiffusionControlNetPipeline.from_pretrained(
+            model_id, controlnet=controlnet
+        )
     from PIL import Image
 
     with open(csv_path) as f:

@@ -340,3 +340,87 @@ def test_colorize_seg_and_csv_index(tmp_path):
     rows = list(_csv.DictReader(open(tmp_path / "index.csv")))
     assert rows[0]["category"] == "Box"
     assert "box" in rows[0]["prompt"]
+
+
+def test_run_controlnet_loop_with_stub_pipeline(tmp_path):
+    """The SD+ControlNet generation LOOP (controlnet_render.py:122-194)
+    executes end-to-end with an injected stub pipeline: reads the CSV
+    index, conditions on the depth/seg image, writes
+    {object}/controlnet_images*/{frame}_{i}.png."""
+    import cv2
+
+    from a3vlm_tpu.datagen.texture_aug import (
+        construct_dataset_index,
+        run_controlnet,
+    )
+
+    mask = np.zeros((16, 16), np.uint8)
+    mask[4:12] = 3
+    obj = tmp_path / "render" / "202"
+    (obj / "depth_images").mkdir(parents=True)
+    (obj / "mask").mkdir()
+    (obj / "meta.json").write_text(json.dumps({"model_cat": "Door"}))
+    cv2.imwrite(str(obj / "depth_images" / "000001.png"), mask)
+    cv2.imwrite(str(obj / "mask" / "000001.png"), mask)
+    prompts = tmp_path / "prompts.json"
+    prompts.write_text(json.dumps({"Door": ["a red door"]}))
+    csv_path = tmp_path / "index.csv"
+    construct_dataset_index(
+        str(tmp_path / "render"), str(prompts), str(csv_path)
+    )
+
+    from PIL import Image
+
+    class StubResult:
+        def __init__(self, images):
+            self.images = images
+
+    calls = []
+
+    def stub_pipe(prompt, image=None, num_images_per_prompt=1):
+        calls.append((prompt, image.size))
+        return StubResult(
+            [Image.new("RGB", (16, 16), (i * 40, 0, 0))
+             for i in range(num_images_per_prompt)]
+        )
+
+    out_root = tmp_path / "out"
+    run_controlnet(str(csv_path), str(out_root), control="depth",
+                   images_per_prompt=2, pipe=stub_pipe)
+    assert calls and calls[0][0] == "a red door"
+    outs = sorted((out_root / "202" / "controlnet_images").iterdir())
+    assert [p.name for p in outs] == ["1_0.png", "1_1.png"]
+
+    run_controlnet(str(csv_path), str(out_root), control="seg",
+                   images_per_prompt=1, pipe=stub_pipe)
+    segs = sorted((out_root / "202" / "controlnet_images_seg").iterdir())
+    assert [p.name for p in segs] == ["1_0.png"]
+
+
+def test_read_img_general_s3_route(tmp_path):
+    """The ceph/petrel s3:// route (reference data_reader.py:7-28) through
+    a registered object-store client."""
+    import io
+
+    from PIL import Image
+
+    from a3vlm_tpu.data import data_reader
+
+    buf = io.BytesIO()
+    Image.new("RGB", (8, 8), (0, 128, 0)).save(buf, format="PNG")
+
+    class FakeClient:
+        def get(self, path):
+            assert path.startswith("s3://")
+            return buf.getvalue()
+
+    data_reader.set_object_store_client(FakeClient())
+    try:
+        img = data_reader.read_img_general("s3://bucket/img.png")
+        assert img.size == (8, 8)
+        # local paths never touch the client
+        p = tmp_path / "local.png"
+        Image.new("RGB", (4, 4)).save(p)
+        assert data_reader.read_img_general(str(p)).size == (4, 4)
+    finally:
+        data_reader.set_object_store_client(None)
