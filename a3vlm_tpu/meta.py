@@ -263,7 +263,7 @@ class MetaModel:
             model.quantize()
         return model
 
-    def quantize(self, bits: int = 4) -> None:
+    def quantize(self, bits: int = 4, tp_align: int = 0) -> None:
         """Post-hoc weight-only quantization of the decoder (the NF4 eval
         path, eval_affordance_with_quant.py:327-342). Vision towers and
         projectors stay dense (quant blocklist).
@@ -273,15 +273,21 @@ class MetaModel:
         kernels on TPU (ops/quant_matmul.py) — the analogue of
         bitsandbytes' fused Linear8bitLt/Linear4bit forwards. (XLA alone
         does NOT fuse the dequant into the dot; it materializes the bf16
-        weight — the kernels exist because of that.)"""
+        weight — the kernels exist because of that.)
+
+        ``tp_align`` (model_parallel_size * 128): pad the ffn hidden dim so
+        TP output sharding of the quantized gate/up weights stays
+        lane-aligned at mp>2 (quant.quantize_params)."""
         from a3vlm_tpu.quant import quantize_params
 
         if self.llama_type in ("llama", "falcon"):
-            self.params = quantize_params(self.params, bits=bits)
+            self.params = quantize_params(
+                self.params, bits=bits, tp_align=tp_align
+            )
         else:
             self.params = dict(self.params)
             self.params["llama"] = quantize_params(
-                self.params["llama"], bits=bits
+                self.params["llama"], bits=bits, tp_align=tp_align
             )
         self._params_transform = None  # qmat consumes packed leaves directly
         self._generator = None

@@ -148,15 +148,31 @@ def _is_quantized_leaf(x) -> bool:
     return isinstance(x, QuantizedWeight)
 
 
+# ffn weight pairs whose hidden dim must pad TOGETHER for TP output
+# sharding: {gate/up name} pad out_dim, {down name} pad in_dim to the same
+# lane-aligned width (llama w1/w3 -> w2; falcon mlp up -> down)
+_TP_PAD_OUT = {"w1", "w3", "dense_h_to_4h"}
+_TP_PAD_IN = {"w2", "dense_4h_to_h"}
+
+
 def quantize_params(
     params: Any,
     bits: int = 4,
     blocklist: Sequence[str] = (),
+    tp_align: int = 0,
 ) -> Any:
     """Quantize linear ``weight`` leaves outside blocklisted top-level
     subtrees. Matches the reference's layer filter (util/quant.py:18-93,
     which swaps *Linear* modules): embeddings, norms/layernorms, and biases
-    stay dense."""
+    stay dense.
+
+    ``tp_align`` (= model_parallel_size * 128): zero-pads the ffn hidden
+    dim to this multiple so the gate/up weights' OUTPUT dim splits into
+    lane-aligned TP shards (quantized TP is all-column-parallel — the
+    split-half int4 packing cannot K-shard; see quantized_partition_specs).
+    7B's 11008 and 13B's 13824 don't divide at mp=4/8 without it. The
+    padded gate/up columns are exact zeros -> silu(0)*0 = 0 into the
+    down-projection's zero input rows: forward-identical to unpadded."""
     assert bits in (4, 8)
     # embeddings stay dense: the reference's bnb quantize() swaps *Linear*
     # modules only (util/quant.py:18-93) and the native qmat path gathers
@@ -172,6 +188,18 @@ def quantize_params(
             if isinstance(n, str)
         )
 
+    def _tp_pad(x, parent):
+        if not tp_align or parent not in (_TP_PAD_OUT | _TP_PAD_IN):
+            return x
+        axis = -1 if parent in _TP_PAD_OUT else -2
+        F = x.shape[axis]
+        pad = -F % tp_align
+        if not pad:
+            return x
+        widths = [(0, 0)] * x.ndim
+        widths[axis] = (0, pad)
+        return np.pad(x, widths)
+
     def quantize_tree(tree, root: str):
         def leaf_fn(path, x):
             x = np.asarray(x)
@@ -180,6 +208,7 @@ def quantize_params(
             names = [root] + keys[:-1]
             if x.ndim < 2 or _keep_dense(names, leaf_name):
                 return jnp.asarray(x)
+            x = _tp_pad(x, keys[-2] if len(keys) > 1 else None)
             if bits == 8 or x.shape[-2] % 2:
                 return _quantize_leaf_int8(x)
             return _quantize_leaf_int4(x)

@@ -42,8 +42,14 @@ class ModelServer:
                 tokenizer_path=tokenizer_path,
                 with_visual=True,
                 max_seq_len=max_seq_len,
-                quant=quant,
             )
+            if quant:
+                # tp_align pads the ffn hidden dim so the quantized gate/up
+                # weights' TP output shards stay lane-aligned at this mp
+                self.model.quantize(
+                    tp_align=model_parallel_size * 128
+                    if model_parallel_size > 1 else 0
+                )
         if kv_cache_bits is not None:
             # int8 KV cache (serving extension; ops/decode_attention.py)
             self.model.kv_cache_bits = kv_cache_bits

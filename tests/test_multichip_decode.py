@@ -129,3 +129,46 @@ def test_falcon_mp2_generation_parity(devices8, tiny_tokenizer):
         mesh=mesh,
     ).generate(prompts, **kw)
     assert out == ref
+
+
+def test_mp2_quantized_generation_parity(devices8, tiny_tokenizer):
+    """int4 decoder (tp_align-padded ffn, all-column-parallel TP via the
+    quant SPMD wrappers) + int8 KV cache on a (data=4, model=2) mesh ==
+    the single-device quantized run — the flagship quantized serving
+    configuration at tiny scale."""
+    from a3vlm_tpu.quant import quantize_params, quantized_partition_specs
+
+    tok = tiny_tokenizer
+    args = ModelArgs(
+        dim=256, n_layers=2, n_heads=4, n_kv_heads=4,
+        vocab_size=_padded_vocab(tok), multiple_of=16, max_seq_len=128,
+        max_batch_size=4,
+    )
+    params = llama.init_llama_params(jax.random.PRNGKey(7), args)
+    qparams = quantize_params(params, bits=4, tp_align=256)
+
+    prompts = [
+        "### Human: detect all manipulable object parts",
+        "provide the joint's type",
+        "the answer is",
+        "rotated bounding box",
+    ]
+    kw = dict(max_gen_len=8, temperature=0.0)
+
+    ref = Generator(
+        qparams, args, tok, vocab_limit=tok.n_words, kv_cache_bits=8
+    ).generate(prompts, **kw)
+
+    mesh = create_mesh(2, devices=devices8)
+    specs = quantized_partition_specs(
+        llama.llama_partition_specs(args), qparams, 2
+    )
+    sharded = shard_params(qparams, mesh, specs)
+    # the padded ffn dims must actually shard (the point of tp_align)
+    w1s = specs["layers"]["feed_forward"]["w1"]["weight"]
+    assert tuple(w1s.q) == (None, None, "model")
+    out = Generator(
+        sharded, args, tok, vocab_limit=tok.n_words, kv_cache_bits=8,
+        mesh=mesh,
+    ).generate(prompts, **kw)
+    assert out == ref

@@ -344,3 +344,57 @@ def test_quantized_decoder_forward_native(bits):
     q = np.asarray(q_logits).ravel()
     corr = np.corrcoef(d, q)[0, 1]
     assert corr > 0.98, corr
+
+
+@pytest.mark.parametrize("bits", [4, 8])
+def test_quantize_tp_align_pads_ffn_and_preserves_forward(bits):
+    """tp_align pads the ffn hidden dim (gate/up OUT + down IN together)
+    to lane-aligned TP shards; the padded tree's forward equals the
+    unpadded one (zero gate/up columns -> silu(0)*0=0 into zero down
+    rows)."""
+    from a3vlm_tpu.config import ModelArgs
+    from a3vlm_tpu.models import llama
+
+    args = ModelArgs(dim=256, n_layers=2, n_heads=4, n_kv_heads=4,
+                     vocab_size=384, multiple_of=16, max_seq_len=64)
+    params = llama.init_llama_params(jax.random.PRNGKey(3), args)
+    F = params["layers"]["feed_forward"]["w1"]["weight"].shape[-1]
+    q0 = quantize_params(params, bits=bits)
+    qa = quantize_params(params, bits=bits, tp_align=256)
+    Fpad = -(-F // 256) * 256
+    assert Fpad != F, "test config must exercise actual padding"
+    w1 = qa["layers"]["feed_forward"]["w1"]["weight"]
+    w2 = qa["layers"]["feed_forward"]["w2"]["weight"]
+    assert w1.q.shape[-1] == Fpad
+    in_rows = w2.q.shape[-2] * (2 if bits == 4 else 1)
+    assert in_rows >= Fpad  # down-proj input rows padded to match
+    # attention weights untouched
+    assert (
+        qa["layers"]["attention"]["wq"]["weight"].q.shape
+        == q0["layers"]["attention"]["wq"]["weight"].q.shape
+    )
+    # the tp_align tree must equal quantizing MANUALLY pre-padded weights
+    # (proves _tp_pad pads the right axes of the right leaves; note the
+    # in-pad can change w2's group geometry vs the unpadded tree, so
+    # unpadded-vs-padded logits are close but not bit-equal)
+    manual = jax.tree_util.tree_map(np.asarray, params)
+    ff = manual["layers"]["feed_forward"]
+    ff["w1"]["weight"] = np.pad(ff["w1"]["weight"],
+                                ((0, 0), (0, 0), (0, Fpad - F)))
+    ff["w3"]["weight"] = np.pad(ff["w3"]["weight"],
+                                ((0, 0), (0, 0), (0, Fpad - F)))
+    ff["w2"]["weight"] = np.pad(ff["w2"]["weight"],
+                                ((0, 0), (0, Fpad - F), (0, 0)))
+    qm = quantize_params(manual, bits=bits)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(qa), jax.tree_util.tree_leaves(qm)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    tokens = jnp.asarray(
+        np.random.default_rng(4).integers(0, 384, size=(2, 10)), jnp.int32
+    )
+    dense = np.asarray(llama.forward_train(params, args, tokens))
+    la = np.asarray(llama.forward_train(qa, args, tokens))
+    corr = np.corrcoef(dense.ravel(), la.ravel())[0, 1]
+    assert corr > 0.98, corr
