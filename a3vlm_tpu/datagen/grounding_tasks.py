@@ -145,21 +145,129 @@ def generate_bank_for_object(
     return path
 
 
-def generate_openai_tasks(*args, **kwargs):  # pragma: no cover
-    """GPT-4-backed generation (openai_grounding_tasks.py). Requires the
-    optional openai package + network; zero-egress environments use
-    generate_template_tasks instead."""
-    try:
-        import openai  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "openai package unavailable; use generate_template_tasks for "
-            "offline grounding-task banks"
-        ) from e
-    raise NotImplementedError(
-        "plug your GPT-4 prompt here; the offline template generator covers "
-        "the pipeline contract"
+DEFAULT_PROMPT = """Create grounding tasks for a {OBJECT_CLASS}.
+The object has these manipulable parts (name, joint type, open/close
+status): {LINK_INFO}
+Already generated (do not repeat): {HISTORY_GENERATION}
+For each part, produce a JSON object of the form
+{"<task_name>": {"description": "<one-sentence task>", "actions":
+["<action>[<part name>]", ..., "StatusComplete"]}} where <action> is one
+of flap_open, flap_close, slide_open, slide_close, slide_in, slide_out,
+rotate, press, wipe, pick, place. Provide output in valid JSON keyed by
+the object class."""
+
+_SYSTEM_MSG = (
+    "You are a good assistant, skilled in creating a grounding training "
+    "dataset for the given daily-use furniture class. Provide output in "
+    "valid JSON."
+)
+
+
+def _strip_json_fences(text: str) -> str:
+    """The reference's response cleanup (openai_grounding_tasks.py:140)."""
+    return (
+        text.split("```json")[-1].split("```")[0]
+        .replace("```json", "").replace("```", "").strip().rstrip()
     )
+
+
+def generate_openai_tasks(
+    data_dir: str,
+    data_name: str,
+    out_folder: str,
+    client=None,
+    prompt: str = DEFAULT_PROMPT,
+    max_tasks: int = 20,
+    failure_folder: Optional[str] = None,
+) -> str:
+    """GPT-4-backed bank generation (openai_grounding_tasks.py:104-151):
+    builds the {OBJECT_CLASS}/{LINK_INFO}/{HISTORY_GENERATION}-substituted
+    prompt, calls the model, strips ```json fences, parses, and
+    history-merges into the same ``{Category}_{idx}.json`` bank the offline
+    generator writes. Returns "SKIP" | "Success" | "Fail".
+
+    ``client``: injectable ``callable(system_msg, user_msg) -> str`` (the
+    chat-completion content). When None, the real OpenAI client is built
+    (optional dependency + OPENAI_API_KEY); the surrounding loop, prompt
+    substitution, fence-stripping, history merge, and failure capture are
+    covered by tests with a stub client."""
+    if client is None:  # pragma: no cover - requires openai + network
+        import os as _os
+
+        from openai import OpenAI
+
+        api_key = _os.getenv("OPENAI_API_KEY")
+        assert api_key is not None, "set OPENAI_API_KEY first"
+        _oai = OpenAI(api_key=api_key)
+
+        def client(system_msg, user_msg):
+            completion = _oai.chat.completions.create(
+                model="gpt-4",
+                messages=[
+                    {"role": "system", "content": system_msg},
+                    {"role": "user", "content": user_msg},
+                ],
+            )
+            return completion.choices[0].message.content
+
+    from a3vlm_tpu.codecs.vocab import OPEN_CLOSE_STATUS
+
+    obj = os.path.join(data_dir, data_name)
+    meta_json = os.path.join(obj, "meta.json")
+    if not os.path.exists(meta_json):
+        return "SKIP"
+    with open(meta_json) as f:
+        category = json.load(f).get("model_cat", "Unknown")
+    links = link_semantics_from_urdf(
+        os.path.join(obj, "semantics.txt"),
+        os.path.join(obj, "mobility.urdf"),
+        OPEN_CLOSE_STATUS.get(category),
+    )
+    link_info = [
+        {
+            "name": (f"opened_{sem}" if has_status else sem),
+            "joint_type": jt,
+            "status": "open/close" if has_status else "N.A.",
+        }
+        for _, jt, sem, has_status in links
+    ]
+    os.makedirs(out_folder, exist_ok=True)
+    path = os.path.join(out_folder, bank_filename(category, links))
+    history: dict = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            history = json.load(f)
+        if sum(len(t) for t in history.values()) >= max_tasks:
+            return "SKIP"
+
+    user_msg = (
+        prompt.replace("{OBJECT_CLASS}", category)
+        .replace("{LINK_INFO}", str(link_info))
+        .replace("{HISTORY_GENERATION}", str(history))
+    )
+    response = _strip_json_fences(client(_SYSTEM_MSG, user_msg))
+    try:
+        result = json.loads(response)
+    except Exception:
+        fail_dir = failure_folder or os.path.join(out_folder, "failures")
+        os.makedirs(fail_dir, exist_ok=True)
+        with open(
+            os.path.join(fail_dir, bank_filename(category, links) + ".txt"),
+            "w",
+        ) as f:
+            f.write(response)
+        return "Fail"
+    # history merge: keep every already-generated task the response omits
+    # (save_history_generated, openai_grounding_tasks.py:78-101)
+    merged = dict(result)
+    merged.setdefault(category, {})
+    for cat, tasks in history.items():
+        merged.setdefault(cat, {})
+        for name, task in tasks.items():
+            merged[cat].setdefault(name, task)
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=2)
+    return "Success"
 
 
 def main(argv=None):

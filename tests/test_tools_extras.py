@@ -424,3 +424,75 @@ def test_read_img_general_s3_route(tmp_path):
         assert data_reader.read_img_general(str(p)).size == (4, 4)
     finally:
         data_reader.set_object_store_client(None)
+
+
+def test_generate_openai_tasks_with_stub_client(tmp_path):
+    """The GPT-4 grounding path (openai_grounding_tasks.py:104-151) with an
+    injected chat client: prompt substitution, ```json fence stripping,
+    history merge, max_tasks skip, and failure capture."""
+    from a3vlm_tpu.datagen.grounding_tasks import generate_openai_tasks
+
+    obj = tmp_path / "obj" / "102"
+    obj.mkdir(parents=True)
+    (obj / "mobility.urdf").write_text(
+        '<robot name="b"><link name="link_0"/><link name="link_1"/>'
+        '<joint name="j" type="revolute"><parent link="link_0"/>'
+        '<child link="link_1"/><axis xyz="1 0 0"/>'
+        '<limit lower="0" upper="1"/></joint></robot>'
+    )
+    (obj / "semantics.txt").write_text(
+        "link_0 heavy box_body\nlink_1 hinge rotation_lid\n"
+    )
+    (obj / "meta.json").write_text(json.dumps({"model_cat": "Box"}))
+
+    prompts = []
+
+    def stub(system_msg, user_msg):
+        prompts.append(user_msg)
+        return (
+            "```json\n"
+            + json.dumps({"Box": {"open_lid": {
+                "description": "Open the lid.",
+                "actions": ["flap_open[rotation_lid]", "StatusComplete"],
+            }}})
+            + "\n```"
+        )
+
+    banks = tmp_path / "banks"
+    st = generate_openai_tasks(str(tmp_path / "obj"), "102", str(banks),
+                               client=stub)
+    assert st == "Success"
+    assert "Box" in prompts[0] and "rotation_lid" in prompts[0]
+    out = json.load(open(next(banks.glob("Box_*.json"))))
+    assert out["Box"]["open_lid"]["actions"][0] == "flap_open[rotation_lid]"
+
+    # second call: history merge keeps the old task alongside the new one
+    def stub2(system_msg, user_msg):
+        assert "open_lid" in user_msg  # history surfaced in the prompt
+        return json.dumps({"Box": {"close_lid": {
+            "description": "Close the lid.",
+            "actions": ["flap_close[rotation_lid]", "StatusComplete"],
+        }}})
+
+    st = generate_openai_tasks(str(tmp_path / "obj"), "102", str(banks),
+                               client=stub2)
+    assert st == "Success"
+    out = json.load(open(next(banks.glob("Box_*.json"))))
+    assert {"open_lid", "close_lid"} <= set(out["Box"])
+
+    # max_tasks reached -> SKIP without calling the client
+    st = generate_openai_tasks(
+        str(tmp_path / "obj"), "102", str(banks),
+        client=lambda *a: (_ for _ in ()).throw(AssertionError("called")),
+        max_tasks=2,
+    )
+    assert st == "SKIP"
+
+    # unparseable response -> Fail + captured raw text
+    st = generate_openai_tasks(
+        str(tmp_path / "obj"), "102", str(tmp_path / "banks2"),
+        client=lambda *a: "not json at all",
+    )
+    assert st == "Fail"
+    fails = list((tmp_path / "banks2" / "failures").iterdir())
+    assert len(fails) == 1 and "not json" in fails[0].read_text()
