@@ -541,7 +541,37 @@ def _preflight(timeout_s: float = 300.0) -> bool:
     return ok.is_set()
 
 
-def main(only=None):
+def _emit(results, platform, note_extra=""):
+    headline = results.get("decode_7b_int4")
+    detail = {
+        k: (round(v, 2) if isinstance(v, float) else v)
+        for k, v in results.items()
+        if k != "decode_7b_int4"
+    }
+    detail.update(
+        platform=platform,
+        decode_batch=16,
+        note="full-depth measured (32L/4096 7B, 40L/5120 13B), no "
+        "extrapolation; int4 = Pallas fused dequant-matmul; triad = "
+        "full towers bf16 + int4 7B decoder, 1455 image words" + note_extra,
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "decode_tokens_per_sec_per_chip_7b_fulldepth_int4",
+                "value": round(headline, 2)
+                if isinstance(headline, float)
+                else headline,
+                "unit": "tokens/s/chip",
+                "vs_baseline": 1.0,
+                "detail": detail,
+            }
+        ),
+        flush=True,
+    )
+
+
+def main(only=None, watchdog_s: float = 3000.0):
     if not _preflight():
         print(
             json.dumps(
@@ -558,9 +588,33 @@ def main(only=None):
     platform = jax.devices()[0].platform
     results = {}
 
+    # the relay can wedge MID-bench (signals can't interrupt a blocked RPC
+    # readback): a watchdog thread dumps whatever legs completed and exits
+    # so the driver records partial real numbers instead of a stall
+    import os
+    import threading
+
+    current = {"leg": None}
+
+    def _dump_and_exit():
+        results.setdefault(
+            "decode_7b_int4", f"failed: watchdog ({current['leg']} hung)"
+        )
+        results["watchdog"] = (
+            f"leg '{current['leg']}' exceeded {watchdog_s:.0f}s total "
+            "budget; partial results emitted"
+        )
+        _emit(results, platform, note_extra="; PARTIAL (watchdog)")
+        os._exit(0)
+
+    watchdog = threading.Timer(watchdog_s, _dump_and_exit)
+    watchdog.daemon = True
+    watchdog.start()
+
     def run(name, fn):
         if only and name != only:
             return
+        current["leg"] = name
         try:
             results[name] = fn()
         except Exception as e:  # OOM on smaller chips: report, don't die
@@ -595,36 +649,13 @@ def main(only=None):
     # frozen + ~1B bf16 decoder, fwd+bwd+AdamW in one jit with remat
     run("train_step_multimodal", bench_train_step)
 
-    headline = results.get("decode_7b_int4")
-    detail = {
-        k: (round(v, 2) if isinstance(v, float) else v)
-        for k, v in results.items()
-        if k != "decode_7b_int4"
-    }
-    detail.update(
-        platform=platform,
-        decode_batch=16,
-        note="full-depth measured (32L/4096 7B, 40L/5120 13B), no "
-        "extrapolation; int4 = Pallas fused dequant-matmul; triad = "
-        "full towers bf16 + int4 7B decoder, 1455 image words",
-    )
-    print(
-        json.dumps(
-            {
-                "metric": "decode_tokens_per_sec_per_chip_7b_fulldepth_int4",
-                "value": round(headline, 2)
-                if isinstance(headline, float)
-                else headline,
-                "unit": "tokens/s/chip",
-                "vs_baseline": 1.0,
-                "detail": detail,
-            }
-        )
-    )
+    watchdog.cancel()
+    _emit(results, platform)
 
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None)
+    ap.add_argument("--watchdog_s", type=float, default=3000.0)
     a = ap.parse_args()
-    main(only=a.only)
+    main(only=a.only, watchdog_s=a.watchdog_s)
