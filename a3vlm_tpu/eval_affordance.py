@@ -193,6 +193,11 @@ def main(argv=None):
                         "then names an entry")
     parser.add_argument("--tiny_random_model", action="store_true",
                         help="use a tiny random-weight model (smoke/demo)")
+    parser.add_argument("--model_parallel_size", type=int, default=1,
+                        help="TP degree over the ('data','model') mesh "
+                        "(the reference's torchrun --model_parallel_size, "
+                        "scripts/a3vlm_infer.sh); SPMD drives all chips "
+                        "from this one process")
     args = parser.parse_args(argv)
 
     if args.dataset_registry:
@@ -227,9 +232,21 @@ def main(argv=None):
         input_size = args.input_size
 
     if args.quant:
-        model.quantize(bits=args.quant_bits)
+        model.quantize(
+            bits=args.quant_bits,
+            tp_align=args.model_parallel_size * 128
+            if args.model_parallel_size > 1 else 0,
+        )
     if args.kv_cache_bits:
         model.kv_cache_bits = args.kv_cache_bits
+    if args.model_parallel_size > 1:
+        # shard params/cache over the mesh; ModelServer.generate has the
+        # same surface run_eval drives
+        from a3vlm_tpu.serving import ModelServer
+
+        model = ModelServer(
+            meta_model=model, model_parallel_size=args.model_parallel_size
+        )
 
     os.makedirs(args.output_dir, exist_ok=True)
     results_file = str(

@@ -46,6 +46,7 @@ class MetaModel:
         tokenizer: Optional[Tokenizer] = None,
         seed: int = 0,
         model_cfg=None,
+        vocab_align: int = 128,
     ):
         self.llama_type = llama_type
         self.with_visual = with_visual
@@ -55,8 +56,12 @@ class MetaModel:
         # the column-parallel lm head divides evenly on any mesh (the
         # reference relies on 32000 % mp == 0; arbitrary tokenizers don't).
         # padded logits are masked out of losses and sampling (true_vocab).
+        # ``vocab_align`` > 128 (mp * 128) keeps the head's TP shards
+        # lane-aligned at mp > 2 — 32000 doesn't divide at mp=4/8, and a
+        # replicated int4 head would be ~10% of per-step decode traffic.
         self.true_vocab = self.tokenizer.n_words
-        padded_vocab = -(-self.true_vocab // 128) * 128
+        align = max(128, vocab_align)
+        padded_vocab = -(-self.true_vocab // align) * align
         overrides = dict(max_seq_len=max_seq_len, vocab_size=padded_vocab)
         self._gen_ops = None  # default llama ops
         if llama_type == "llama":
@@ -176,6 +181,7 @@ class MetaModel:
         max_seq_len: int = 4096,
         dtype=jnp.bfloat16,
         quant: bool = False,
+        vocab_align: int = 128,
     ) -> "MetaModel":
         """(meta.py:88-222). Probes meta.json (llama_type), config.json
         (llama_config) and the tokenizer under pretrained_path; loads
@@ -214,6 +220,7 @@ class MetaModel:
             with_visual=with_visual,
             max_seq_len=max_seq_len,
             dtype=dtype,
+            vocab_align=vocab_align,
         )
 
         merged = None
@@ -259,9 +266,37 @@ class MetaModel:
                 model.params["llama"] = to_dev(decoder)
                 # projectors + image tags, when present in the checkpoint
                 model.params.update(to_dev(_import_ens5_extras(merged)))
+            model._pad_vocab_entries()
         if quant:
             model.quantize()
         return model
+
+    def _pad_vocab_entries(self) -> None:
+        """Zero-pad imported embedding rows / lm-head columns up to the
+        config's padded vocab. Checkpoints carry the true vocab; every
+        logits consumer masks the tail with ``true_vocab``, and token ids
+        never index past the tokenizer's n_words."""
+        V = self.args.vocab_size
+        tree = (
+            self.params["llama"]
+            if self.llama_type.startswith(("llama_ens5", "internlm"))
+            else self.params
+        )
+        emb_key = (
+            "word_embeddings"
+            if self.llama_type == "falcon"
+            else "tok_embeddings"
+        )
+        emb = jnp.asarray(tree[emb_key]["weight"])
+        if emb.shape[0] < V:
+            tree[emb_key]["weight"] = jnp.pad(
+                emb, ((0, V - emb.shape[0]), (0, 0))
+            )
+        head = jnp.asarray(tree["output"]["weight"])
+        if head.shape[-1] < V:
+            tree["output"]["weight"] = jnp.pad(
+                head, ((0, 0), (0, V - head.shape[-1]))
+            )
 
     def quantize(self, bits: int = 4, tp_align: int = 0) -> None:
         """Post-hoc weight-only quantization of the decoder (the NF4 eval

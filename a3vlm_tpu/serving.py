@@ -42,6 +42,10 @@ class ModelServer:
                 tokenizer_path=tokenizer_path,
                 with_visual=True,
                 max_seq_len=max_seq_len,
+                # mp-aligned vocab pad: keeps the column-parallel lm head's
+                # TP shards lane-aligned at mp > 2 (tail masked via
+                # true_vocab)
+                vocab_align=model_parallel_size * 128,
             )
             if quant:
                 # tp_align pads the ffn hidden dim so the quantized gate/up

@@ -214,3 +214,44 @@ def test_vqa_dataset_npy_point_cloud(tmp_path):
     assert item["image"].shape == (64, 64, 3)
     assert np.isfinite(item["image"]).all()
     assert np.abs(item["image"]).sum() > 0
+
+
+def test_eval_cli_model_parallel(tmp_path, tiny_tokenizer_dir):
+    """--model_parallel_size 2: the eval CLI routes through ModelServer
+    (params + cache sharded over the mesh) and produces the same record
+    schema (the reference's torchrun MP eval, scripts/a3vlm_infer.sh)."""
+    from PIL import Image
+
+    from a3vlm_tpu import eval_affordance
+
+    img_path = tmp_path / "demo.png"
+    Image.new("RGB", (64, 64), (90, 120, 40)).save(img_path)
+    demo = [
+        {
+            "image": str(img_path),
+            "conversations": [
+                {"from": "human",
+                 "value": "What is the status of the door?"},
+                {"from": "gpt", "value": ""},
+            ],
+        }
+    ] * 2
+    task_json = tmp_path / "demo.json"
+    task_json.write_text(json.dumps(demo))
+
+    results_file = eval_affordance.main(
+        [
+            "--dataset", str(task_json),
+            "--output_dir", str(tmp_path / "out"),
+            "--tokenizer_path", tiny_tokenizer_dir,
+            "--tiny_random_model",
+            "--model_parallel_size", "2",
+            "--batch_size", "2",
+            "--max_gen_len", "4",
+            "--max_seq_len", "384",
+            "--temperature", "0.0",
+        ]
+    )
+    with open(results_file) as f:
+        results = json.load(f)
+    assert len(results) == 2 and all("answer" in r for r in results)

@@ -240,3 +240,55 @@ def test_reference_ens5_tp_shards_from_pretrained(tmp_path,
     model.params = jax.tree_util.tree_map(jnp.asarray, restored)
     out = model.generate(["hello"], max_gen_len=4, temperature=0.0)
     assert isinstance(out[0], str)
+
+
+def test_from_pretrained_vocab_align_pads_imported_weights(tmp_path,
+                                                           tiny_tokenizer_dir):
+    """vocab_align > 128 (mp*128 for mp>2 serving): the config's vocab
+    rounds up and IMPORTED checkpoint weights (true-vocab sized) are
+    zero-padded — embedding rows and lm-head columns — with generation
+    still working (tail masked via true_vocab)."""
+    import shutil
+
+    from a3vlm_tpu.meta import MetaModel
+    from a3vlm_tpu.tokenizer import Tokenizer
+
+    tok = Tokenizer(tiny_tokenizer_dir)
+    v128 = -(-tok.n_words // 128) * 128
+    v512 = -(-tok.n_words // 512) * 512
+    assert v512 != v128, "tokenizer must exercise a real align difference"
+
+    args = ModelArgs(dim=64, n_layers=2, n_heads=4, n_kv_heads=2,
+                     vocab_size=v128, multiple_of=16, max_seq_len=64)
+    full = _torch_llama_sd(args, seed=9)
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir()
+    torch.save({"model": full}, ckpt / "consolidated.00-of-01.model.pth")
+    (ckpt / "meta.json").write_text(json.dumps({"llama_type": "llama"}))
+    (ckpt / "config.json").write_text(json.dumps(
+        {"dim": 64, "n_layers": 2, "n_heads": 4, "n_kv_heads": 2,
+         "multiple_of": 16}
+    ))
+    for fn in ("tokenizer.json", "tokenizer_config.json",
+               "special_tokens_map.json"):
+        try:
+            shutil.copy(f"{tiny_tokenizer_dir}/{fn}", ckpt / fn)
+        except FileNotFoundError:
+            pass
+
+    model = MetaModel.from_pretrained(
+        str(ckpt), llama_type="llama", tokenizer_path=tiny_tokenizer_dir,
+        max_seq_len=64, dtype=jnp.float32, vocab_align=512,
+    )
+    assert model.args.vocab_size == v512
+    assert model.params["tok_embeddings"]["weight"].shape == (v512, 64)
+    assert model.params["output"]["weight"].shape == (64, v512)
+    # pad tail is zeros; real region intact
+    np.testing.assert_array_equal(
+        np.asarray(model.params["output"]["weight"])[:, :v128],
+        full["output.weight"].numpy().T,
+    )
+    assert not np.asarray(
+        model.params["output"]["weight"])[:, v128:].any()
+    out = model.generate(["hello"], max_gen_len=4, temperature=0.0)
+    assert isinstance(out[0], str)
