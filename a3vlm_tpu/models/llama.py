@@ -570,3 +570,37 @@ def decode_step(
     h = rms_norm(h, params["norm"]["weight"], args.norm_eps)
     logits = qmat(h[:, -1, :], params["output"]["weight"])
     return logits.astype(jnp.float32), cache
+
+
+def decode_step_ragged(
+    params: Params,
+    args: ModelArgs,
+    cache: KVCache,
+    token: jnp.ndarray,
+    seq_pos: jnp.ndarray,
+    impl: str = "auto",
+):
+    """One-token decode with PER-SLOT positions — the continuous-batching
+    step (no reference analogue; the torch server decodes lockstep batches
+    only, multi_gpu_wrapper.py:260-320). ``token``: [B, 1]; ``seq_pos``:
+    [B] — slot b's token sits at absolute position seq_pos[b], its cache
+    row is written there, and its attention covers [0, seq_pos[b]]
+    (per-row valid lengths are native to both the decode-attention kernel
+    and the XLA mask path). RoPE uses per-batch frequency rows. Cache must
+    be the layered bhsd layout. Returns ([B, V] float32 logits, cache)."""
+    seq_pos = jnp.asarray(seq_pos, jnp.int32)
+    h = embed_tokens(params, token)
+    h, cache = forward_hidden(
+        params,
+        args,
+        h,
+        seq_pos[:, None],
+        None,
+        cache=cache,
+        write_pos=seq_pos,
+        kv_valid_len=seq_pos + 1,
+        impl=impl,
+    )
+    h = rms_norm(h, params["norm"]["weight"], args.norm_eps)
+    logits = qmat(h[:, -1, :], params["output"]["weight"])
+    return logits.astype(jnp.float32), cache

@@ -615,7 +615,15 @@ def update_decode_cache(cache_k, cache_v, xk, xv, write_pos, layout="bshd"):
     ``layout``: "bshd" caches are [B, S, Hkv, D]; "bhsd" (the layered decode
     layout) are [B, Hkv, S, D] — panel-contiguous for the kernel and with
     4x cheaper per-step writes. ``QuantizedKV`` caches (bhsd only)
-    quantize the incoming tokens on write."""
+    quantize the incoming tokens on write.
+
+    ``write_pos`` may be a PER-BATCH vector [B] (continuous-batching ragged
+    decode: each slot writes its token at its own position; bhsd only)."""
+    if isinstance(write_pos, jnp.ndarray) and write_pos.ndim == 1:
+        assert layout == "bhsd", "ragged cache writes are bhsd-layered only"
+        return _update_decode_cache_ragged(
+            cache_k, cache_v, xk, xv, write_pos
+        )
     if isinstance(cache_k, QuantizedKV):
         assert layout == "bhsd", "quantized KV caches are bhsd-layered only"
         kq, kscale = quantize_kv_tokens(xk)
@@ -649,6 +657,44 @@ def update_decode_cache(cache_k, cache_v, xk, xv, write_pos, layout="bshd"):
     return (
         jax.lax.dynamic_update_slice(cache_k, k, idx),
         jax.lax.dynamic_update_slice(cache_v, v, idx),
+    )
+
+
+def _update_decode_cache_ragged(cache_k, cache_v, xk, xv, write_pos):
+    """Per-slot cache writes: slot b's [S_new] tokens land at
+    [write_pos[b], write_pos[b] + S_new). vmap'd dynamic_update_slice over
+    the batch dim — XLA lowers this to an in-place scatter on the donated
+    buffers, no full-panel copies."""
+
+    def dus4(cache, val, pos):
+        # per-element: cache [H, S, D], val [H, S_new, D]
+        return jax.vmap(
+            lambda c, v, p: jax.lax.dynamic_update_slice(c, v, (0, p, 0))
+        )(cache, val, pos)
+
+    def dus3(cache, val, pos):
+        return jax.vmap(
+            lambda c, v, p: jax.lax.dynamic_update_slice(c, v, (0, p))
+        )(cache, val, pos)
+
+    if isinstance(cache_k, QuantizedKV):
+        kq, kscale = quantize_kv_tokens(xk)
+        vq, vscale = quantize_kv_tokens(xv)
+        return (
+            QuantizedKV(
+                dus4(cache_k.qv, kq, write_pos),
+                dus3(cache_k.scale, kscale, write_pos),
+            ),
+            QuantizedKV(
+                dus4(cache_v.qv, vq, write_pos),
+                dus3(cache_v.scale, vscale, write_pos),
+            ),
+        )
+    k = xk.transpose(0, 2, 1, 3).astype(cache_k.dtype)
+    v = xv.transpose(0, 2, 1, 3).astype(cache_v.dtype)
+    return (
+        dus4(cache_k, k, write_pos),
+        dus4(cache_v, v, write_pos),
     )
 
 

@@ -43,13 +43,19 @@ def apply_rotary_emb(
     freqs_cis: jnp.ndarray,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Rotate q/k. ``xq``: [B, S, Hq, D], ``xk``: [B, S, Hk, D],
-    ``freqs_cis``: [S, D//2, 2] (already sliced to the right positions).
+    ``freqs_cis``: [S, D//2, 2] (already sliced to the right positions), or
+    [B, S, D//2, 2] for PER-BATCH positions (ragged continuous-batching
+    decode, where each slot sits at its own absolute position).
 
     Rotation happens in float32 and is cast back to the input dtype, matching
     torch's complex64 math on bf16 inputs.
     """
-    cos = freqs_cis[..., 0][None, :, None, :]  # [1, S, 1, D//2]
-    sin = freqs_cis[..., 1][None, :, None, :]
+    if freqs_cis.ndim == 4:  # [B, S, D//2, 2]
+        cos = freqs_cis[..., 0][:, :, None, :]  # [B, S, 1, D//2]
+        sin = freqs_cis[..., 1][:, :, None, :]
+    else:
+        cos = freqs_cis[..., 0][None, :, None, :]  # [1, S, 1, D//2]
+        sin = freqs_cis[..., 1][None, :, None, :]
 
     def rot(x):
         xf = x.astype(jnp.float32)

@@ -1,0 +1,193 @@
+"""Continuous batching for serving — a TPU-native extension beyond the
+reference (its server decodes lockstep batches only,
+multi_gpu_wrapper.py:260-320; eval_affordance_v2.py:330-384 waits for the
+whole batch to finish before admitting more work).
+
+Design: a fixed pool of B cache SLOTS over one layered bhsd KV cache
+(static shapes — nothing recompiles as requests come and go):
+
+- admission: a free slot prefills its request alone (batch-1 prefill into
+  a temp cache sized to the prompt) and the panels are scattered into the
+  slot's rows of the pooled cache.
+- decode: ONE jitted ragged step advances every slot per iteration
+  (`llama.decode_step_ragged` — per-slot positions/valid lengths; the
+  decode-attention kernel takes per-row valid natively, so ragged costs
+  nothing extra).
+- completion: a slot that hits EOS/max length is freed and the next
+  queued request admitted between steps. Finished slots keep riding the
+  batched step (they rewrite their own last cache row; rows beyond a
+  slot's valid length are never attended), which is the standard
+  idle-slot tradeoff.
+
+Greedy decoding (the eval CLI's temperature-0 path); cache rows beyond a
+request's extent are always overwritten before they become attendable, so
+slot reuse needs no cache zeroing.
+"""
+
+from __future__ import annotations
+
+import functools
+from collections import deque
+from typing import Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from a3vlm_tpu.config import ModelArgs
+from a3vlm_tpu.models import llama
+from a3vlm_tpu.ops.decode_attention import kv_cache_dtype
+
+
+@functools.partial(jax.jit, static_argnames=("args",), donate_argnames=("cache",))
+def _ragged_step(params, args, cache, token, pos):
+    logits, cache = llama.decode_step_ragged(params, args, cache, token, pos)
+    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    return nxt, cache
+
+
+@functools.partial(jax.jit, static_argnames=("args",))
+def _prefill_jit(params, args, cache, tokens):
+    """Batch-1 admission prefill (one compile per distinct rounded prompt
+    length — bucketing hook if length churn ever matters)."""
+    logits, cache, _ = llama.prefill(params, args, cache, tokens)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+
+
+@functools.partial(jax.jit, static_argnames=("slot",), donate_argnames=("cache",))
+def _write_slot(cache, temp, slot: int):
+    """Scatter a temp batch-1 cache's panels into pooled-cache slot rows.
+    Temp length <= pool length; surplus pool rows keep stale data (never
+    attendable before being rewritten)."""
+
+    def put(pool, tmp):
+        # pool [B, H, S, D] or [B, H, S]; tmp [1, h, s(, d)]
+        return jax.lax.dynamic_update_slice(
+            pool, tmp.astype(pool.dtype), (slot,) + (0,) * (pool.ndim - 1)
+        )
+
+    return jax.tree_util.tree_map(put, cache, temp)
+
+
+class ContinuousBatcher:
+    """Slot-based continuous batching over a pooled KV cache.
+
+    ``params`` must be the decode layout (``llama.unstack_layers``).
+    Greedy decoding; per-request max_gen_len and EOS stop."""
+
+    def __init__(
+        self,
+        params,
+        args: ModelArgs,
+        tokenizer,
+        slots: int = 4,
+        max_seq_len: Optional[int] = None,
+        kv_cache_bits: Optional[int] = None,
+    ):
+        self.params = llama.unstack_layers(params)
+        self.args = args
+        self.tokenizer = tokenizer
+        self.slots = slots
+        self.max_seq_len = max_seq_len or args.max_seq_len
+        self.kv_bits = kv_cache_bits
+        dtype = kv_cache_dtype(kv_cache_bits)
+        self.cache = llama.KVCache.create(
+            args, slots, max_seq_len=self.max_seq_len, dtype=dtype,
+            layered=True,
+        )
+        self.token = jnp.zeros((slots, 1), jnp.int32)
+        self.pos = jnp.zeros((slots,), jnp.int32)
+        self._host_pos = np.zeros((slots,), np.int64)
+        self._active = [None] * slots  # request index or None
+        self.steps = 0  # batched ragged steps taken (for tests/metrics)
+
+    # -- internal ------------------------------------------------------------
+
+    def _admit(self, slot: int, req_idx: int, toks: list[int]):
+        dtype = kv_cache_dtype(self.kv_bits)
+        total = -(-len(toks) // 8) * 8  # KVCache.create rounds to /8
+
+        cache1 = llama.KVCache.create(
+            self.args, 1, max_seq_len=total, dtype=dtype, layered=True
+        )
+        tokens = jnp.asarray([toks], jnp.int32)
+        first_arr, cache1 = _prefill_jit(
+            self.params, self.args, cache1, tokens
+        )
+        first = int(first_arr[0])
+        self.cache = _write_slot(self.cache, cache1, slot)
+        self.token = self.token.at[slot, 0].set(first)
+        self.pos = self.pos.at[slot].set(len(toks))
+        self._host_pos[slot] = len(toks)
+        self._active[slot] = req_idx
+        return first
+
+    # -- API -----------------------------------------------------------------
+
+    def generate(
+        self,
+        prompts: Sequence[str],
+        max_gen_len: int = 64,
+        additional_stop_tokens: Sequence[int] = (),
+    ) -> list[str]:
+        """Run all prompts to completion through the slot pool; requests
+        are admitted as slots free up (arrival order), so short requests
+        don't hold back long ones. Returns decoded generations in input
+        order."""
+        tok = self.tokenizer
+        reqs = [tok.encode(p, bos=True, eos=False) for p in prompts]
+        for r in reqs:
+            assert len(r) + max_gen_len <= self.max_seq_len, (
+                len(r), max_gen_len, self.max_seq_len,
+            )
+        queue = deque(range(len(reqs)))
+        out_tokens: dict[int, list[int]] = {i: [] for i in range(len(reqs))}
+        stops = {tok.eos_id, *additional_stop_tokens}
+
+        while queue or any(a is not None for a in self._active):
+            # admission between steps
+            for slot in range(self.slots):
+                if self._active[slot] is None and queue:
+                    idx = queue.popleft()
+                    first = self._admit(slot, idx, reqs[idx])
+                    out_tokens[idx].append(first)
+                    if first in stops or max_gen_len <= 1:
+                        self._active[slot] = None
+            if not any(a is not None for a in self._active):
+                continue
+
+            nxt, self.cache = _ragged_step(
+                self.params, self.args, self.cache, self.token, self.pos
+            )
+            self.steps += 1
+            nxt_host = np.asarray(nxt)
+            new_token = self.token
+            new_pos = self.pos
+            for slot in range(self.slots):
+                idx = self._active[slot]
+                if idx is None:
+                    continue  # idle slot: token/pos unchanged (rewrites
+                    # its own last row harmlessly)
+                t = int(nxt_host[slot])
+                out_tokens[idx].append(t)
+                self._host_pos[slot] += 1
+                new_token = new_token.at[slot, 0].set(t)
+                new_pos = new_pos.at[slot].set(int(self._host_pos[slot]))
+                done = (
+                    t in stops
+                    or len(out_tokens[idx]) >= max_gen_len
+                    or self._host_pos[slot] + 1 >= self.max_seq_len
+                )
+                if done:
+                    self._active[slot] = None
+            self.token, self.pos = new_token, new_pos
+
+        results = []
+        for i in range(len(reqs)):
+            toks = out_tokens[i]
+            for s in stops:
+                if s in toks:
+                    toks = toks[: toks.index(s)]
+            results.append(tok.decode(toks))
+        return results

@@ -1,0 +1,164 @@
+"""Continuous batching (serving extension): the ragged decode step and the
+slot-pool batcher must reproduce per-request greedy decoding exactly while
+overlapping requests of different lengths in one pooled cache."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from a3vlm_tpu.config import ModelArgs
+from a3vlm_tpu.models import llama
+from a3vlm_tpu.serving_batch import ContinuousBatcher
+
+
+def _tiny_args(vocab: int) -> ModelArgs:
+    return ModelArgs(
+        dim=64, n_layers=2, n_heads=4, n_kv_heads=2, vocab_size=vocab,
+        multiple_of=16, max_seq_len=96, max_batch_size=4,
+    )
+
+
+def _padded_vocab(tok) -> int:
+    return -(-tok.n_words // 128) * 128
+
+
+def _ref_generate(params, args, toks, max_gen_len, stops, dtype):
+    """Per-request batch-1 greedy loop through the standard decode path."""
+    cache = llama.KVCache.create(
+        args, 1, max_seq_len=args.max_seq_len, dtype=dtype, layered=True
+    )
+    logits, cache, _ = llama.prefill(
+        params, args, cache, jnp.asarray([toks], jnp.int32)
+    )
+    t = int(jnp.argmax(logits, axis=-1)[0])
+    out = [t]
+    pos = len(toks)
+    while t not in stops and len(out) < max_gen_len:
+        logits, cache = llama.decode_step(
+            params, args, cache, jnp.asarray([[t]], jnp.int32), pos
+        )
+        t = int(jnp.argmax(logits, axis=-1)[0])
+        out.append(t)
+        pos += 1
+    for s in stops:
+        if s in out:
+            out = out[: out.index(s)]
+    return out
+
+
+def test_decode_step_ragged_uniform_matches_decode_step(tiny_tokenizer):
+    """At uniform positions the ragged step must equal the scalar-position
+    step bit-for-bit (same ops, vectorized position plumbing)."""
+    tok = tiny_tokenizer
+    args = _tiny_args(_padded_vocab(tok))
+    params = llama.unstack_layers(
+        llama.init_llama_params(jax.random.PRNGKey(0), args)
+    )
+    toks = jnp.asarray(
+        np.random.default_rng(0).integers(1, 700, size=(2, 12)), jnp.int32
+    )
+    cache = llama.KVCache.create(
+        args, 2, max_seq_len=32, dtype=jnp.float32, layered=True
+    )
+    logits, cache, _ = llama.prefill(params, args, cache, toks)
+    nxt = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+
+    l_scalar, c_scalar = llama.decode_step(params, args, cache, nxt, 12)
+    l_ragged, c_ragged = llama.decode_step_ragged(
+        params, args, cache, nxt, jnp.asarray([12, 12], jnp.int32)
+    )
+    np.testing.assert_array_equal(np.asarray(l_scalar), np.asarray(l_ragged))
+    np.testing.assert_array_equal(
+        np.asarray(c_scalar.k[0]), np.asarray(c_ragged.k[0])
+    )
+
+
+def test_decode_step_ragged_mixed_positions(tiny_tokenizer):
+    """Slots at DIFFERENT positions: each slot's logits must equal the
+    batch-1 run of that slot alone at its own position."""
+    tok = tiny_tokenizer
+    args = _tiny_args(_padded_vocab(tok))
+    params = llama.unstack_layers(
+        llama.init_llama_params(jax.random.PRNGKey(1), args)
+    )
+    rng = np.random.default_rng(1)
+    S = 32
+    prompts = [rng.integers(1, 700, size=n).tolist() for n in (7, 13)]
+
+    # batch-1 references
+    ref_logits = []
+    for toks in prompts:
+        cache = llama.KVCache.create(
+            args, 1, max_seq_len=S, dtype=jnp.float32, layered=True
+        )
+        logits, cache, _ = llama.prefill(
+            params, args, cache, jnp.asarray([toks], jnp.int32)
+        )
+        t = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+        lg, _ = llama.decode_step(params, args, cache, t, len(toks))
+        ref_logits.append(np.asarray(lg)[0])
+
+    # pooled ragged batch: prefill each prompt alone, scatter into slots
+    from a3vlm_tpu.serving_batch import _write_slot
+
+    pool = llama.KVCache.create(
+        args, 2, max_seq_len=S, dtype=jnp.float32, layered=True
+    )
+    firsts, poss = [], []
+    for b, toks in enumerate(prompts):
+        c1 = llama.KVCache.create(
+            args, 1, max_seq_len=S, dtype=jnp.float32, layered=True
+        )
+        logits, c1, _ = llama.prefill(
+            params, args, c1, jnp.asarray([toks], jnp.int32)
+        )
+        pool = _write_slot(pool, c1, b)
+        firsts.append(int(jnp.argmax(logits, -1)[0]))
+        poss.append(len(toks))
+    lg, _ = llama.decode_step_ragged(
+        params, args, pool,
+        jnp.asarray([[firsts[0]], [firsts[1]]], jnp.int32),
+        jnp.asarray(poss, jnp.int32),
+    )
+    got = np.asarray(lg)
+    np.testing.assert_allclose(got[0], ref_logits[0], rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(got[1], ref_logits[1], rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("kv_bits", [None, 8])
+def test_continuous_batcher_matches_per_request(tiny_tokenizer, kv_bits):
+    """5 ragged prompts through a 2-slot pool == per-request greedy
+    decoding; the pool must actually overlap requests (fewer batched steps
+    than the serial sum)."""
+    from a3vlm_tpu.ops.decode_attention import kv_cache_dtype
+
+    tok = tiny_tokenizer
+    args = _tiny_args(_padded_vocab(tok))
+    params = llama.init_llama_params(jax.random.PRNGKey(2), args)
+    prompts = [
+        "### Human: detect all manipulable object parts",
+        "the answer is",
+        "provide the joint's type and its 2D rotated bounding box",
+        "rotated bounding box",
+        "Hi my darling",
+    ]
+    max_gen = 6
+    dtype = kv_cache_dtype(kv_bits)
+    dec_params = llama.unstack_layers(params)
+    expected = [
+        _ref_generate(
+            dec_params, args, tok.encode(p, bos=True, eos=False), max_gen,
+            {tok.eos_id}, dtype,
+        )
+        for p in prompts
+    ]
+
+    batcher = ContinuousBatcher(
+        params, args, tok, slots=2, kv_cache_bits=kv_bits
+    )
+    got = batcher.generate(prompts, max_gen_len=max_gen)
+    assert got == [tok.decode(e) for e in expected]
+    # overlap: the 2-slot pool advances two requests per step
+    serial_steps = sum(max(len(e) - 1, 0) for e in expected)
+    assert 0 < batcher.steps < serial_steps
