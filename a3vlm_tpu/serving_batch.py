@@ -128,18 +128,25 @@ class ContinuousBatcher:
     def generate(
         self,
         prompts: Sequence[str],
-        max_gen_len: int = 64,
+        max_gen_len: int | Sequence[int] = 64,
         additional_stop_tokens: Sequence[int] = (),
     ) -> list[str]:
         """Run all prompts to completion through the slot pool; requests
         are admitted as slots free up (arrival order), so short requests
-        don't hold back long ones. Returns decoded generations in input
+        don't hold back long ones. ``max_gen_len`` may be per-request (a
+        ragged-workload knob). Returns decoded generations in input
         order."""
         tok = self.tokenizer
         reqs = [tok.encode(p, bos=True, eos=False) for p in prompts]
-        for r in reqs:
-            assert len(r) + max_gen_len <= self.max_seq_len, (
-                len(r), max_gen_len, self.max_seq_len,
+        gen_lims = (
+            list(max_gen_len)
+            if not isinstance(max_gen_len, int)
+            else [max_gen_len] * len(reqs)
+        )
+        assert len(gen_lims) == len(reqs)
+        for r, g in zip(reqs, gen_lims):
+            assert len(r) + g <= self.max_seq_len, (
+                len(r), g, self.max_seq_len,
             )
         queue = deque(range(len(reqs)))
         out_tokens: dict[int, list[int]] = {i: [] for i in range(len(reqs))}
@@ -152,7 +159,7 @@ class ContinuousBatcher:
                     idx = queue.popleft()
                     first = self._admit(slot, idx, reqs[idx])
                     out_tokens[idx].append(first)
-                    if first in stops or max_gen_len <= 1:
+                    if first in stops or gen_lims[idx] <= 1:
                         self._active[slot] = None
             if not any(a is not None for a in self._active):
                 continue
@@ -176,7 +183,7 @@ class ContinuousBatcher:
                 new_pos = new_pos.at[slot].set(int(self._host_pos[slot]))
                 done = (
                     t in stops
-                    or len(out_tokens[idx]) >= max_gen_len
+                    or len(out_tokens[idx]) >= gen_lims[idx]
                     or self._host_pos[slot] + 1 >= self.max_seq_len
                 )
                 if done:
