@@ -48,10 +48,14 @@ def _ragged_step(params, args, cache, token, pos):
 
 
 @functools.partial(jax.jit, static_argnames=("args",))
-def _prefill_jit(params, args, cache, tokens):
+def _prefill_jit(params, args, cache, tokens, image_tokens=None):
     """Batch-1 admission prefill (one compile per distinct rounded prompt
-    length — bucketing hook if length churn ever matters)."""
-    logits, cache, _ = llama.prefill(params, args, cache, tokens)
+    length — bucketing hook if length churn ever matters). With
+    ``image_tokens`` the request's image words are spliced after BOS
+    (the ens5 serving layout, llama_ens5.py:490-512)."""
+    logits, cache, _ = llama.prefill(
+        params, args, cache, tokens, image_tokens=image_tokens
+    )
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
 
 
@@ -84,9 +88,18 @@ class ContinuousBatcher:
         slots: int = 4,
         max_seq_len: Optional[int] = None,
         kv_cache_bits: Optional[int] = None,
+        ens5_params=None,
+        ens5_cfg=None,
     ):
+        """``ens5_params``/``ens5_cfg``: pass the full multimodal tree +
+        Ens5Config to serve IMAGE-conditioned requests — admission encodes
+        the request's image through the tower ensemble and splices the
+        image words into its prefill (the A3VLM serving mode)."""
         self.params = llama.unstack_layers(params)
         self.args = args
+        self.ens5_params = ens5_params
+        self.ens5_cfg = ens5_cfg
+        self._encode_jit = None
         self.tokenizer = tokenizer
         self.slots = slots
         self.max_seq_len = max_seq_len or args.max_seq_len
@@ -104,22 +117,38 @@ class ContinuousBatcher:
 
     # -- internal ------------------------------------------------------------
 
-    def _admit(self, slot: int, req_idx: int, toks: list[int]):
+    def _admit(self, slot: int, req_idx: int, toks: list[int], image=None):
         dtype = kv_cache_dtype(self.kv_bits)
-        total = -(-len(toks) // 8) * 8  # KVCache.create rounds to /8
+        image_tokens = None
+        spliced = len(toks)
+        if image is not None:
+            assert self.ens5_params is not None and self.ens5_cfg is not None
+            if self._encode_jit is None:
+                from a3vlm_tpu.models import ens5
+
+                self._encode_jit = jax.jit(
+                    lambda p, im: ens5.build_image_tokens(
+                        p, self.ens5_cfg, im
+                    )
+                )
+            image_tokens = self._encode_jit(
+                self.ens5_params, jnp.asarray(image)[None]
+            )
+            spliced += self.ens5_cfg.image_words
+        total = -(-spliced // 8) * 8  # KVCache.create rounds to /8
 
         cache1 = llama.KVCache.create(
             self.args, 1, max_seq_len=total, dtype=dtype, layered=True
         )
         tokens = jnp.asarray([toks], jnp.int32)
         first_arr, cache1 = _prefill_jit(
-            self.params, self.args, cache1, tokens
+            self.params, self.args, cache1, tokens, image_tokens
         )
         first = int(first_arr[0])
         self.cache = _write_slot(self.cache, cache1, slot)
         self.token = self.token.at[slot, 0].set(first)
-        self.pos = self.pos.at[slot].set(len(toks))
-        self._host_pos[slot] = len(toks)
+        self.pos = self.pos.at[slot].set(spliced)
+        self._host_pos[slot] = spliced
         self._active[slot] = req_idx
         return first
 
@@ -130,6 +159,7 @@ class ContinuousBatcher:
         prompts: Sequence[str],
         max_gen_len: int | Sequence[int] = 64,
         additional_stop_tokens: Sequence[int] = (),
+        images: Optional[Sequence] = None,
     ) -> list[str]:
         """Run all prompts to completion through the slot pool; requests
         are admitted as slots free up (arrival order), so short requests
@@ -144,9 +174,14 @@ class ContinuousBatcher:
             else [max_gen_len] * len(reqs)
         )
         assert len(gen_lims) == len(reqs)
-        for r, g in zip(reqs, gen_lims):
-            assert len(r) + g <= self.max_seq_len, (
-                len(r), g, self.max_seq_len,
+        W = (
+            self.ens5_cfg.image_words
+            if images is not None and self.ens5_cfg is not None else 0
+        )
+        for i, (r, g) in enumerate(zip(reqs, gen_lims)):
+            w = W if images is not None and images[i] is not None else 0
+            assert len(r) + w + g <= self.max_seq_len, (
+                len(r), w, g, self.max_seq_len,
             )
         queue = deque(range(len(reqs)))
         out_tokens: dict[int, list[int]] = {i: [] for i in range(len(reqs))}
@@ -157,7 +192,10 @@ class ContinuousBatcher:
             for slot in range(self.slots):
                 if self._active[slot] is None and queue:
                     idx = queue.popleft()
-                    first = self._admit(slot, idx, reqs[idx])
+                    first = self._admit(
+                        slot, idx, reqs[idx],
+                        image=None if images is None else images[idx],
+                    )
                     out_tokens[idx].append(first)
                     if first in stops or gen_lims[idx] <= 1:
                         self._active[slot] = None

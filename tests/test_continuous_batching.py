@@ -162,3 +162,60 @@ def test_continuous_batcher_matches_per_request(tiny_tokenizer, kv_bits):
     # overlap: the 2-slot pool advances two requests per step
     serial_steps = sum(max(len(e) - 1, 0) for e in expected)
     assert 0 < batcher.steps < serial_steps
+
+
+def test_continuous_batcher_image_conditioned(tiny_tokenizer):
+    """Image-conditioned requests (tiny ens5): admission encodes each
+    request's image and splices the image words; outputs match per-request
+    prefill+decode."""
+    from a3vlm_tpu.models import ens5
+
+    tok = tiny_tokenizer
+    cfg = ens5.tiny_ens5_config(vocab_size=_padded_vocab(tok))
+    args = cfg.llama.replace(max_seq_len=256)
+    cfg = __import__("dataclasses").replace(cfg, llama=args)
+    params = ens5.init_ens5_params(jax.random.PRNGKey(3), cfg)
+    dec = llama.unstack_layers(params["llama"])
+    rng = np.random.default_rng(3)
+    images = [
+        rng.uniform(size=(cfg.image_size, cfg.image_size, 3)).astype(
+            np.float32
+        )
+        for _ in range(3)
+    ]
+    prompts = ["### Human: status of the door?", "detect parts",
+               "the answer is"]
+    max_gen = 5
+    W = cfg.image_words
+
+    expected = []
+    for p, im in zip(prompts, images):
+        toks = tok.encode(p, bos=True, eos=False)
+        it = ens5.build_image_tokens(params, cfg, jnp.asarray(im)[None])
+        cache = llama.KVCache.create(
+            args, 1, max_seq_len=256, dtype=jnp.float32, layered=True
+        )
+        logits, cache, _ = llama.prefill(
+            dec, args, cache, jnp.asarray([toks], jnp.int32),
+            image_tokens=it,
+        )
+        t = int(jnp.argmax(logits, -1)[0])
+        out = [t]
+        pos = len(toks) + W
+        while t != tok.eos_id and len(out) < max_gen:
+            logits, cache = llama.decode_step(
+                dec, args, cache, jnp.asarray([[t]], jnp.int32), pos
+            )
+            t = int(jnp.argmax(logits, -1)[0])
+            out.append(t)
+            pos += 1
+        if tok.eos_id in out:
+            out = out[: out.index(tok.eos_id)]
+        expected.append(tok.decode(out))
+
+    batcher = ContinuousBatcher(
+        params["llama"], args, tok, slots=2, max_seq_len=256,
+        ens5_params=params, ens5_cfg=cfg,
+    )
+    got = batcher.generate(prompts, max_gen_len=max_gen, images=images)
+    assert got == expected
