@@ -38,17 +38,37 @@ import jax.numpy as jnp
 from a3vlm_tpu.config import ModelArgs
 from a3vlm_tpu.models import llama
 from a3vlm_tpu.ops.decode_attention import kv_cache_dtype
+from a3vlm_tpu.ops.sampling import sample_top_p
 
 
-@functools.partial(jax.jit, static_argnames=("args",), donate_argnames=("cache",))
-def _ragged_step(params, args, cache, token, pos):
+def _pick(logits, rng, vocab_limit, temperature, top_p):
+    """Greedy or top-p selection with the padded-vocab tail masked
+    (MetaModel lane-pads the vocab; tail logits must never win)."""
+    if vocab_limit is not None and vocab_limit < logits.shape[-1]:
+        logits = logits.at[:, vocab_limit:].set(-jnp.inf)
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    probs = jax.nn.softmax(logits / temperature, axis=-1)
+    return sample_top_p(rng, probs, top_p).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("args", "vocab_limit", "temperature", "top_p"),
+    donate_argnames=("cache",),
+)
+def _ragged_step(params, args, cache, token, pos, rng, vocab_limit,
+                 temperature, top_p):
     logits, cache = llama.decode_step_ragged(params, args, cache, token, pos)
-    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    return nxt, cache
+    return _pick(logits, rng, vocab_limit, temperature, top_p), cache
 
 
-@functools.partial(jax.jit, static_argnames=("args",))
-def _prefill_jit(params, args, cache, tokens, image_tokens=None):
+@functools.partial(
+    jax.jit,
+    static_argnames=("args", "vocab_limit", "temperature", "top_p"),
+)
+def _prefill_jit(params, args, cache, tokens, image_tokens, rng,
+                 vocab_limit, temperature, top_p):
     """Batch-1 admission prefill (one compile per distinct rounded prompt
     length — bucketing hook if length churn ever matters). With
     ``image_tokens`` the request's image words are spliced after BOS
@@ -56,7 +76,7 @@ def _prefill_jit(params, args, cache, tokens, image_tokens=None):
     logits, cache, _ = llama.prefill(
         params, args, cache, tokens, image_tokens=image_tokens
     )
-    return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+    return _pick(logits, rng, vocab_limit, temperature, top_p), cache
 
 
 @functools.partial(jax.jit, static_argnames=("slot",), donate_argnames=("cache",))
@@ -90,6 +110,8 @@ class ContinuousBatcher:
         kv_cache_bits: Optional[int] = None,
         ens5_params=None,
         ens5_cfg=None,
+        vocab_limit: Optional[int] = None,
+        seed: int = 0,
     ):
         """``ens5_params``/``ens5_cfg``: pass the full multimodal tree +
         Ens5Config to serve IMAGE-conditioned requests — admission encodes
@@ -99,6 +121,8 @@ class ContinuousBatcher:
         self.args = args
         self.ens5_params = ens5_params
         self.ens5_cfg = ens5_cfg
+        self.vocab_limit = vocab_limit
+        self._rng = jax.random.PRNGKey(seed)
         self._encode_jit = None
         self.tokenizer = tokenizer
         self.slots = slots
@@ -141,8 +165,10 @@ class ContinuousBatcher:
             self.args, 1, max_seq_len=total, dtype=dtype, layered=True
         )
         tokens = jnp.asarray([toks], jnp.int32)
+        self._rng, sub = jax.random.split(self._rng)
         first_arr, cache1 = _prefill_jit(
-            self.params, self.args, cache1, tokens, image_tokens
+            self.params, self.args, cache1, tokens, image_tokens, sub,
+            self.vocab_limit, self._temperature, self._top_p,
         )
         first = int(first_arr[0])
         self.cache = _write_slot(self.cache, cache1, slot)
@@ -160,6 +186,8 @@ class ContinuousBatcher:
         max_gen_len: int | Sequence[int] = 64,
         additional_stop_tokens: Sequence[int] = (),
         images: Optional[Sequence] = None,
+        temperature: float = 0.0,
+        top_p: float = 0.95,
     ) -> list[str]:
         """Run all prompts to completion through the slot pool; requests
         are admitted as slots free up (arrival order), so short requests
@@ -167,6 +195,8 @@ class ContinuousBatcher:
         ragged-workload knob). Returns decoded generations in input
         order."""
         tok = self.tokenizer
+        self._temperature = float(temperature)
+        self._top_p = float(top_p)
         reqs = [tok.encode(p, bos=True, eos=False) for p in prompts]
         gen_lims = (
             list(max_gen_len)
@@ -202,8 +232,10 @@ class ContinuousBatcher:
             if not any(a is not None for a in self._active):
                 continue
 
+            self._rng, sub = jax.random.split(self._rng)
             nxt, self.cache = _ragged_step(
-                self.params, self.args, self.cache, self.token, self.pos
+                self.params, self.args, self.cache, self.token, self.pos,
+                sub, self.vocab_limit, self._temperature, self._top_p,
             )
             self.steps += 1
             nxt_host = np.asarray(nxt)

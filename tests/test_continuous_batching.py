@@ -219,3 +219,28 @@ def test_continuous_batcher_image_conditioned(tiny_tokenizer):
     )
     got = batcher.generate(prompts, max_gen_len=max_gen, images=images)
     assert got == expected
+
+
+def test_continuous_batcher_sampling_and_vocab_limit(tiny_tokenizer):
+    """temperature>0 sampling stays inside vocab_limit and is reproducible
+    for a fixed seed."""
+    tok = tiny_tokenizer
+    args = _tiny_args(_padded_vocab(tok))
+    params = llama.init_llama_params(jax.random.PRNGKey(5), args)
+    prompts = ["detect parts", "### Human: hi"]
+
+    def run(seed):
+        b = ContinuousBatcher(
+            params, args, tok, slots=2, vocab_limit=tok.n_words, seed=seed
+        )
+        outs = b.generate(prompts, max_gen_len=6, temperature=0.8,
+                          top_p=0.9)
+        return outs, b
+
+    out_a, ba = run(0)
+    out_b, _ = run(0)
+    assert out_a == out_b  # same seed -> same samples
+    # all emitted ids inside the true vocab (padded tail masked)
+    for p, o in zip(prompts, out_a):
+        ids = tok.encode(o, bos=False, eos=False)
+        assert all(i < tok.n_words for i in ids)
