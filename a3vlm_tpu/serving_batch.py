@@ -112,6 +112,7 @@ class ContinuousBatcher:
         ens5_cfg=None,
         vocab_limit: Optional[int] = None,
         seed: int = 0,
+        mesh=None,
     ):
         """``ens5_params``/``ens5_cfg``: pass the full multimodal tree +
         Ens5Config to serve IMAGE-conditioned requests — admission encodes
@@ -124,6 +125,10 @@ class ContinuousBatcher:
         self.vocab_limit = vocab_limit
         self._rng = jax.random.PRNGKey(seed)
         self._encode_jit = None
+        # multichip serving: pooled cache sharded slots-on-"data" /
+        # kv-heads-on-"model" (params are expected pre-sharded, e.g. via
+        # parallel.shard_params + quantized_partition_specs)
+        self.mesh = mesh
         self.tokenizer = tokenizer
         self.slots = slots
         self.max_seq_len = max_seq_len or args.max_seq_len
@@ -133,6 +138,16 @@ class ContinuousBatcher:
             args, slots, max_seq_len=self.max_seq_len, dtype=dtype,
             layered=True,
         )
+        if mesh is not None:
+            from jax.sharding import NamedSharding
+
+            specs = llama.decode_cache_specs(
+                args, mesh, slots, quant=kv_cache_bits == 8
+            )
+            self.cache = jax.tree_util.tree_map(
+                lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)),
+                self.cache, specs,
+            )
         self.token = jnp.zeros((slots, 1), jnp.int32)
         self.pos = jnp.zeros((slots,), jnp.int32)
         self._host_pos = np.zeros((slots,), np.int64)

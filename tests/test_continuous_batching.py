@@ -244,3 +244,28 @@ def test_continuous_batcher_sampling_and_vocab_limit(tiny_tokenizer):
     for p, o in zip(prompts, out_a):
         ids = tok.encode(o, bos=False, eos=False)
         assert all(i < tok.n_words for i in ids)
+
+
+def test_continuous_batcher_mp2_matches_single(devices8, tiny_tokenizer):
+    """The slot pool on a (data=4, model=2) mesh (sharded params + pooled
+    cache) reproduces the unsharded batcher's outputs."""
+    from a3vlm_tpu.parallel import create_mesh, shard_params
+
+    tok = tiny_tokenizer
+    args = _tiny_args(_padded_vocab(tok))
+    params = llama.init_llama_params(jax.random.PRNGKey(6), args)
+    prompts = [
+        "### Human: detect all manipulable object parts",
+        "the answer is",
+        "rotated bounding box",
+    ]
+    ref = ContinuousBatcher(
+        params, args, tok, slots=2, vocab_limit=tok.n_words
+    ).generate(prompts, max_gen_len=6)
+
+    mesh = create_mesh(2, devices=devices8)
+    sharded = shard_params(params, mesh, llama.llama_partition_specs(args))
+    got = ContinuousBatcher(
+        sharded, args, tok, slots=2, vocab_limit=tok.n_words, mesh=mesh
+    ).generate(prompts, max_gen_len=6)
+    assert got == ref
