@@ -79,6 +79,63 @@ def _prefill_jit(params, args, cache, tokens, image_tokens, rng,
     return _pick(logits, rng, vocab_limit, temperature, top_p), cache
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("args", "start", "vocab_limit", "temperature", "top_p"),
+    donate_argnames=("cache",),
+)
+def _extend_jit(params, args, cache, tokens, start, rng, vocab_limit,
+                temperature, top_p):
+    """Extend a batch-1 cache that already holds a ``start``-token prefix
+    with ``tokens`` (no BOS — the prefix owns it): the prefix-cache
+    admission path. Same machinery as chunked prefill (write at
+    [start, start+T), right-aligned causal attention over the populated
+    prefix)."""
+    h = llama.embed_tokens(params, tokens)
+    B, T, _ = h.shape
+    out, cache = llama.forward_hidden(
+        params,
+        args,
+        h,
+        jnp.arange(start, start + T),
+        "causal",
+        cache=cache,
+        write_pos=start,
+        kv_valid_len=jnp.full((B,), start + T, jnp.int32),
+        attend_cache=True,
+        attend_valid_static=start + T,
+    )
+    from a3vlm_tpu.ops.norms import rms_norm
+
+    h_last = rms_norm(out[:, -1, :], params["norm"]["weight"], args.norm_eps)
+    from a3vlm_tpu.ops.quant_matmul import qmat
+
+    logits = qmat(h_last, params["output"]["weight"]).astype(jnp.float32)
+    return _pick(logits, rng, vocab_limit, temperature, top_p), cache
+
+
+@functools.partial(jax.jit, static_argnames=("rows",), donate_argnames=("dst",))
+def _copy_prefix(dst, src, rows: int):
+    """Copy the first ``rows`` cache rows of a batch-1 prefix cache into a
+    (longer) batch-1 temp cache."""
+
+    def put(d, s):
+        sl = (slice(None), slice(None), slice(0, rows))
+        return d.at[sl].set(s[sl].astype(d.dtype))
+
+    return jax.tree_util.tree_map(put, dst, src)
+
+
+class CachedPrefix:
+    """A reusable KV prefix (e.g. [BOS | image words] — the shared part of
+    every eval query against one object render). ``cache``: batch-1
+    layered panels holding rows [0, length)."""
+
+    def __init__(self, cache, length: int):
+        self.cache = cache
+        self.length = length
+
+
 @functools.partial(jax.jit, static_argnames=("slot",), donate_argnames=("cache",))
 def _write_slot(cache, temp, slot: int):
     """Scatter a temp batch-1 cache's panels into pooled-cache slot rows.
@@ -156,23 +213,76 @@ class ContinuousBatcher:
 
     # -- internal ------------------------------------------------------------
 
-    def _admit(self, slot: int, req_idx: int, toks: list[int], image=None):
+    def make_prefix(self, image=None, tokens=None) -> CachedPrefix:
+        """Precompute a reusable KV prefix: ``[BOS | image words]`` (when
+        ``image`` is given) optionally followed by ``tokens`` (a shared
+        system prompt). The eval workload asks ~12 task-stream questions
+        per object render (vqa_task_construction.py) — sharing the
+        1456-token image prefix turns each follow-up admission into a
+        text-only extension."""
+        dtype = kv_cache_dtype(self.kv_bits)
+        toks = [self.tokenizer.bos_id] + list(tokens or [])
+        image_tokens = None
+        length = len(toks)
+        if image is not None:
+            image_tokens = self._encode_image(image)
+            length += self.ens5_cfg.image_words
+        total = -(-length // 8) * 8
+        cache1 = llama.KVCache.create(
+            self.args, 1, max_seq_len=total, dtype=dtype, layered=True
+        )
+        self._rng, sub = jax.random.split(self._rng)
+        _, cache1 = _prefill_jit(
+            self.params, self.args, cache1,
+            jnp.asarray([toks], jnp.int32), image_tokens, sub,
+            self.vocab_limit, 0.0, 1.0,
+        )
+        return CachedPrefix(cache1, length)
+
+    def _encode_image(self, image):
+        assert self.ens5_params is not None and self.ens5_cfg is not None
+        if self._encode_jit is None:
+            from a3vlm_tpu.models import ens5
+
+            self._encode_jit = jax.jit(
+                lambda p, im: ens5.build_image_tokens(p, self.ens5_cfg, im)
+            )
+        return self._encode_jit(self.ens5_params, jnp.asarray(image)[None])
+
+    def _admit_with_prefix(self, slot, req_idx, toks, prefix: CachedPrefix):
+        """Prefix-cache admission: copy the shared rows, extend with the
+        request's text only (no image encode, no full prefill)."""
+        dtype = kv_cache_dtype(self.kv_bits)
+        text = toks[1:] if toks and toks[0] == self.tokenizer.bos_id else toks
+        spliced = prefix.length + len(text)
+        total = -(-spliced // 8) * 8
+        temp = llama.KVCache.create(
+            self.args, 1, max_seq_len=total, dtype=dtype, layered=True
+        )
+        temp = _copy_prefix(temp, prefix.cache, prefix.length)
+        self._rng, sub = jax.random.split(self._rng)
+        first_arr, temp = _extend_jit(
+            self.params, self.args, temp,
+            jnp.asarray([text], jnp.int32), prefix.length, sub,
+            self.vocab_limit, self._temperature, self._top_p,
+        )
+        first = int(first_arr[0])
+        self.cache = _write_slot(self.cache, temp, slot)
+        self.token = self.token.at[slot, 0].set(first)
+        self.pos = self.pos.at[slot].set(spliced)
+        self._host_pos[slot] = spliced
+        self._active[slot] = req_idx
+        return first
+
+    def _admit(self, slot: int, req_idx: int, toks: list[int], image=None,
+               prefix: Optional[CachedPrefix] = None):
+        if prefix is not None:
+            return self._admit_with_prefix(slot, req_idx, toks, prefix)
         dtype = kv_cache_dtype(self.kv_bits)
         image_tokens = None
         spliced = len(toks)
         if image is not None:
-            assert self.ens5_params is not None and self.ens5_cfg is not None
-            if self._encode_jit is None:
-                from a3vlm_tpu.models import ens5
-
-                self._encode_jit = jax.jit(
-                    lambda p, im: ens5.build_image_tokens(
-                        p, self.ens5_cfg, im
-                    )
-                )
-            image_tokens = self._encode_jit(
-                self.ens5_params, jnp.asarray(image)[None]
-            )
+            image_tokens = self._encode_image(image)
             spliced += self.ens5_cfg.image_words
         total = -(-spliced // 8) * 8  # KVCache.create rounds to /8
 
@@ -203,6 +313,7 @@ class ContinuousBatcher:
         images: Optional[Sequence] = None,
         temperature: float = 0.0,
         top_p: float = 0.95,
+        prefixes: Optional[Sequence] = None,
     ) -> list[str]:
         """Run all prompts to completion through the slot pool; requests
         are admitted as slots free up (arrival order), so short requests
@@ -224,7 +335,10 @@ class ContinuousBatcher:
             if images is not None and self.ens5_cfg is not None else 0
         )
         for i, (r, g) in enumerate(zip(reqs, gen_lims)):
-            w = W if images is not None and images[i] is not None else 0
+            if prefixes is not None and prefixes[i] is not None:
+                w = prefixes[i].length
+            else:
+                w = W if images is not None and images[i] is not None else 0
             assert len(r) + w + g <= self.max_seq_len, (
                 len(r), w, g, self.max_seq_len,
             )
@@ -240,6 +354,7 @@ class ContinuousBatcher:
                     first = self._admit(
                         slot, idx, reqs[idx],
                         image=None if images is None else images[idx],
+                        prefix=None if prefixes is None else prefixes[idx],
                     )
                     out_tokens[idx].append(first)
                     if first in stops or gen_lims[idx] <= 1:

@@ -269,3 +269,43 @@ def test_continuous_batcher_mp2_matches_single(devices8, tiny_tokenizer):
         sharded, args, tok, slots=2, vocab_limit=tok.n_words, mesh=mesh
     ).generate(prompts, max_gen_len=6)
     assert got == ref
+
+
+def test_prefix_cached_admission_matches_full_prefill(tiny_tokenizer):
+    """Prefix caching: precompute the [BOS | image words] KV once, admit
+    each question as a text-only extension — outputs match full-prefill
+    admissions on the same image (the eval workload asks ~12 questions per
+    object render)."""
+    from a3vlm_tpu.models import ens5
+
+    tok = tiny_tokenizer
+    cfg = ens5.tiny_ens5_config(vocab_size=_padded_vocab(tok))
+    args = cfg.llama.replace(max_seq_len=256)
+    cfg = __import__("dataclasses").replace(cfg, llama=args)
+    params = ens5.init_ens5_params(jax.random.PRNGKey(7), cfg)
+    rng = np.random.default_rng(7)
+    image = rng.uniform(size=(cfg.image_size, cfg.image_size, 3)).astype(
+        np.float32
+    )
+    prompts = ["### Human: status of the door?", "detect parts",
+               "provide the joint type"]
+    max_gen = 5
+
+    full = ContinuousBatcher(
+        params["llama"], args, tok, slots=2, max_seq_len=256,
+        ens5_params=params, ens5_cfg=cfg, vocab_limit=tok.n_words,
+    )
+    expected = full.generate(
+        prompts, max_gen_len=max_gen, images=[image] * 3
+    )
+
+    cached = ContinuousBatcher(
+        params["llama"], args, tok, slots=2, max_seq_len=256,
+        ens5_params=params, ens5_cfg=cfg, vocab_limit=tok.n_words,
+    )
+    prefix = cached.make_prefix(image=image)
+    assert prefix.length == 1 + cfg.image_words
+    got = cached.generate(
+        prompts, max_gen_len=max_gen, prefixes=[prefix] * 3
+    )
+    assert got == expected

@@ -255,3 +255,46 @@ def test_eval_cli_model_parallel(tmp_path, tiny_tokenizer_dir):
     with open(results_file) as f:
         results = json.load(f)
     assert len(results) == 2 and all("answer" in r for r in results)
+
+
+def test_eval_cli_continuous_batching(tmp_path, tiny_tokenizer_dir):
+    """--continuous_batching: grouped per-image prefix reuse through the
+    slot pool, same record schema."""
+    from PIL import Image
+
+    from a3vlm_tpu import eval_affordance
+
+    img_a = tmp_path / "a.png"
+    img_b = tmp_path / "b.png"
+    Image.new("RGB", (64, 64), (90, 120, 40)).save(img_a)
+    Image.new("RGB", (64, 64), (10, 20, 200)).save(img_b)
+    demo = []
+    for img in (img_a, img_a, img_b):  # two questions share image a
+        demo.append(
+            {
+                "image": str(img),
+                "conversations": [
+                    {"from": "human", "value": "What is the status?"},
+                    {"from": "gpt", "value": ""},
+                ],
+            }
+        )
+    task_json = tmp_path / "demo.json"
+    task_json.write_text(json.dumps(demo))
+
+    results_file = eval_affordance.main(
+        [
+            "--dataset", str(task_json),
+            "--output_dir", str(tmp_path / "out"),
+            "--tokenizer_path", tiny_tokenizer_dir,
+            "--tiny_random_model",
+            "--continuous_batching",
+            "--batch_size", "2",
+            "--max_gen_len", "4",
+            "--max_seq_len", "384",
+            "--temperature", "0.0",
+        ]
+    )
+    with open(results_file) as f:
+        results = json.load(f)
+    assert len(results) == 3 and all("answer" in r for r in results)
