@@ -160,6 +160,8 @@ def main():
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--max_gen_len", type=int, default=64)
     ap.add_argument("--tiny", action="store_true")
+    ap.add_argument("--continuous_batching", action="store_true",
+                    help="slot pool + per-image KV-prefix reuse")
     a = ap.parse_args()
 
     if a.tiny:
@@ -191,10 +193,16 @@ def main():
           f"bucket histogram={dict(sorted(hist.items()))}", flush=True)
 
     t0 = time.perf_counter()
-    outputs = eval_affordance.run_eval(
-        model, ds, batch_size=a.batch_size, max_gen_len=a.max_gen_len,
-        temperature=0.0,
-    )
+    if a.continuous_batching:
+        outputs = eval_affordance.run_eval_continuous(
+            model, ds, batch_size=a.batch_size, max_gen_len=a.max_gen_len,
+            temperature=0.0,
+        )
+    else:
+        outputs = eval_affordance.run_eval(
+            model, ds, batch_size=a.batch_size, max_gen_len=a.max_gen_len,
+            temperature=0.0,
+        )
     wall = time.perf_counter() - t0
     fails = sum(o["fail"] for o in outputs)
     recompiles = generation._generate_loop._cache_size()

@@ -23,5 +23,6 @@ run decomp     900  python bench.py --only triad_decomposition
 run train      1200 python bench.py --only train_step_multimodal
 run cbbench    1800 python scripts/cb_bench.py
 run evalscale  3000 python scripts/eval_at_scale.py --n 512
+run evalcb     3000 python scripts/eval_at_scale.py --n 512 --continuous_batching
 run e2e        2400 python tools_e2e_smoke.py
 echo "=== all done; logs in $OUT ==="
