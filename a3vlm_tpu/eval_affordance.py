@@ -207,6 +207,9 @@ def run_eval_continuous(
             temperature=temperature,
             top_p=top_p,
             prefixes=[prefix] * len(items),
+            additional_stop_symbols=[
+                conv_templates["v1"]().response_end_signal
+            ],
         )
         del prefix  # one image's KV prefix at a time (HBM)
         for it, raw in zip(items, results):

@@ -310,6 +310,7 @@ class ContinuousBatcher:
         prompts: Sequence[str],
         max_gen_len: int | Sequence[int] = 64,
         additional_stop_tokens: Sequence[int] = (),
+        additional_stop_symbols: Sequence[str] = (),
         images: Optional[Sequence] = None,
         temperature: float = 0.0,
         top_p: float = 0.95,
@@ -386,6 +387,14 @@ class ContinuousBatcher:
                     or len(out_tokens[idx]) >= gen_lims[idx]
                     or self._host_pos[slot] + 1 >= self.max_seq_len
                 )
+                if not done and additional_stop_symbols:
+                    # multi-token stop strings (the '###' conversation
+                    # separator): host-side suffix check on the decoded
+                    # tail, like Generator's in-loop stop matching
+                    tail = tok.decode(out_tokens[idx][-8:])
+                    done = any(
+                        sym in tail for sym in additional_stop_symbols
+                    )
                 if done:
                     self._active[slot] = None
             self.token, self.pos = new_token, new_pos
@@ -396,5 +405,9 @@ class ContinuousBatcher:
             for s in stops:
                 if s in toks:
                     toks = toks[: toks.index(s)]
-            results.append(tok.decode(toks))
+            text = tok.decode(toks)
+            for sym in additional_stop_symbols:
+                if sym in text:
+                    text = text.split(sym)[0]
+            results.append(text)
         return results

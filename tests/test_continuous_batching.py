@@ -309,3 +309,23 @@ def test_prefix_cached_admission_matches_full_prefill(tiny_tokenizer):
         prompts, max_gen_len=max_gen, prefixes=[prefix] * 3
     )
     assert got == expected
+
+
+def test_continuous_batcher_stop_symbols(tiny_tokenizer):
+    """Multi-token stop strings truncate the decoded output (the '###'
+    conversation separator contract run_eval relies on)."""
+    tok = tiny_tokenizer
+    args = _tiny_args(_padded_vocab(tok))
+    params = llama.init_llama_params(jax.random.PRNGKey(8), args)
+    prompts = ["detect parts"]
+    base = ContinuousBatcher(
+        params, args, tok, slots=1, vocab_limit=tok.n_words
+    ).generate(prompts, max_gen_len=10)[0]
+    if len(base) < 2:
+        pytest.skip("degenerate generation; nothing to split")
+    # use a substring the model actually produced as the stop symbol
+    sym = base[len(base) // 2:]
+    got = ContinuousBatcher(
+        params, args, tok, slots=1, vocab_limit=tok.n_words
+    ).generate(prompts, max_gen_len=10, additional_stop_symbols=[sym])[0]
+    assert sym not in got and len(got) <= len(base)
