@@ -16,7 +16,11 @@ from io import BytesIO
 import numpy as np
 from PIL import Image
 
-Image.MAX_IMAGE_PIXELS = None
+# NOTE: the reference sets Image.MAX_IMAGE_PIXELS = None process-wide
+# (data_reader.py:4); we deliberately KEEP PIL's decompression-bomb guard —
+# one adversarial PNG in an untrusted task JSON would otherwise allocate
+# unbounded memory. Callers with legitimately huge images can raise the
+# limit themselves.
 
 _client = None
 

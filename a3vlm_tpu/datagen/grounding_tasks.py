@@ -214,7 +214,11 @@ def generate_openai_tasks(
 
     obj = os.path.join(data_dir, data_name)
     meta_json = os.path.join(obj, "meta.json")
-    if not os.path.exists(meta_json):
+    if not (
+        os.path.exists(meta_json)
+        and os.path.isfile(os.path.join(obj, "semantics.txt"))
+        and os.path.isfile(os.path.join(obj, "mobility.urdf"))
+    ):
         return "SKIP"
     with open(meta_json) as f:
         category = json.load(f).get("model_cat", "Unknown")

@@ -192,14 +192,17 @@ def run_eval_continuous(
         ens5_cfg=model.cfg,
         vocab_limit=model.true_vocab,
     )
-    # group query indices by image (prefix reuse unit)
-    groups: dict[str, list[int]] = {}
+    # group MATERIALIZED items by their actual image path (prefix reuse
+    # unit): VQADataset substitutes the next item for corrupt images, so
+    # grouping must use the record each __getitem__ actually returned or a
+    # resampled item would decode against the wrong render
+    groups: dict[str, list[dict]] = {}
     for i in range(len(dataset)):
-        groups.setdefault(dataset.data[i]["image"], []).append(i)
+        it = dataset[i]
+        groups.setdefault(it["image_path"], []).append(it)
 
     outputs = []
-    for img_path, idxs in groups.items():
-        items = [dataset[i] for i in idxs]
+    for img_path, items in groups.items():
         prefix = cb.make_prefix(image=np.asarray(items[0]["image"]))
         results = cb.generate(
             [it["prompt"] for it in items],
@@ -297,6 +300,10 @@ def main(argv=None):
             tokenizer_path=args.tokenizer_path,
             with_visual=True,
             max_seq_len=args.max_seq_len,
+            # mp-aligned vocab pad: keeps the column-parallel lm head's TP
+            # shards lane-aligned (without it the quantized head stays
+            # replicated at mp>2)
+            vocab_align=args.model_parallel_size * 128,
         )
         input_size = args.input_size
 

@@ -63,19 +63,46 @@ def _ragged_step(params, args, cache, token, pos, rng, vocab_limit,
     return _pick(logits, rng, vocab_limit, temperature, top_p), cache
 
 
+def _bucket(n: int) -> int:
+    """Admission length bucket: next power of two (min 16). Compiles are
+    20-120 s each over the TPU relay, so shapes must be bounded — raw
+    per-length jits would dwarf the prefix-caching savings on real task
+    JSONs (ragged question lengths)."""
+    b = 16
+    while b < n:
+        b *= 2
+    return b
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("args", "vocab_limit", "temperature", "top_p"),
 )
-def _prefill_jit(params, args, cache, tokens, image_tokens, rng,
+def _prefill_jit(params, args, cache, tokens, image_tokens, last_idx, rng,
                  vocab_limit, temperature, top_p):
-    """Batch-1 admission prefill (one compile per distinct rounded prompt
-    length — bucketing hook if length churn ever matters). With
-    ``image_tokens`` the request's image words are spliced after BOS
+    """Batch-1 admission prefill on BUCKET-padded tokens. ``last_idx``:
+    the true last spliced position (pad tokens sit after it; causal
+    attention keeps them invisible to real positions, and their garbage
+    cache rows are rewritten by decode before ever becoming attendable).
+    With ``image_tokens`` the request's image words are spliced after BOS
     (the ens5 serving layout, llama_ens5.py:490-512)."""
-    logits, cache, _ = llama.prefill(
-        params, args, cache, tokens, image_tokens=image_tokens
+    from a3vlm_tpu.ops.norms import rms_norm
+    from a3vlm_tpu.ops.quant_matmul import qmat
+
+    h = llama.embed_tokens(params, tokens)
+    if image_tokens is not None:
+        h = jnp.concatenate(
+            [h[:, :1], image_tokens.astype(h.dtype), h[:, 1:]], axis=1
+        )
+    S = h.shape[1]
+    h, cache = llama.forward_hidden(
+        params, args, h, jnp.arange(S), "causal", cache=cache,
+        write_pos=0, attend_cache=False,
     )
+    h_last = jax.lax.dynamic_index_in_dim(h, last_idx, axis=1,
+                                          keepdims=False)
+    h_last = rms_norm(h_last, params["norm"]["weight"], args.norm_eps)
+    logits = qmat(h_last, params["output"]["weight"]).astype(jnp.float32)
     return _pick(logits, rng, vocab_limit, temperature, top_p), cache
 
 
@@ -84,13 +111,13 @@ def _prefill_jit(params, args, cache, tokens, image_tokens, rng,
     static_argnames=("args", "start", "vocab_limit", "temperature", "top_p"),
     donate_argnames=("cache",),
 )
-def _extend_jit(params, args, cache, tokens, start, rng, vocab_limit,
-                temperature, top_p):
+def _extend_jit(params, args, cache, tokens, start, last_idx, rng,
+                vocab_limit, temperature, top_p):
     """Extend a batch-1 cache that already holds a ``start``-token prefix
-    with ``tokens`` (no BOS — the prefix owns it): the prefix-cache
-    admission path. Same machinery as chunked prefill (write at
-    [start, start+T), right-aligned causal attention over the populated
-    prefix)."""
+    with BUCKET-padded ``tokens`` (no BOS — the prefix owns it): the
+    prefix-cache admission path. Same machinery as chunked prefill (write
+    at [start, start+Tb), right-aligned causal attention over the
+    populated prefix); ``last_idx`` is the true last text index."""
     h = llama.embed_tokens(params, tokens)
     B, T, _ = h.shape
     out, cache = llama.forward_hidden(
@@ -106,10 +133,11 @@ def _extend_jit(params, args, cache, tokens, start, rng, vocab_limit,
         attend_valid_static=start + T,
     )
     from a3vlm_tpu.ops.norms import rms_norm
-
-    h_last = rms_norm(out[:, -1, :], params["norm"]["weight"], args.norm_eps)
     from a3vlm_tpu.ops.quant_matmul import qmat
 
+    h_last = jax.lax.dynamic_index_in_dim(out, last_idx, axis=1,
+                                          keepdims=False)
+    h_last = rms_norm(h_last, params["norm"]["weight"], args.norm_eps)
     logits = qmat(h_last, params["output"]["weight"]).astype(jnp.float32)
     return _pick(logits, rng, vocab_limit, temperature, top_p), cache
 
@@ -136,17 +164,18 @@ class CachedPrefix:
         self.length = length
 
 
-@functools.partial(jax.jit, static_argnames=("slot",), donate_argnames=("cache",))
-def _write_slot(cache, temp, slot: int):
+@functools.partial(jax.jit, donate_argnames=("cache",))
+def _write_slot(cache, temp, slot):
     """Scatter a temp batch-1 cache's panels into pooled-cache slot rows.
+    ``slot`` is a TRACED index (one compile per temp shape, not per slot).
     Temp length <= pool length; surplus pool rows keep stale data (never
     attendable before being rewritten)."""
+    slot = jnp.asarray(slot, jnp.int32)
 
     def put(pool, tmp):
         # pool [B, H, S, D] or [B, H, S]; tmp [1, h, s(, d)]
-        return jax.lax.dynamic_update_slice(
-            pool, tmp.astype(pool.dtype), (slot,) + (0,) * (pool.ndim - 1)
-        )
+        idx = (slot,) + (0,) * (pool.ndim - 1)
+        return jax.lax.dynamic_update_slice(pool, tmp.astype(pool.dtype), idx)
 
     return jax.tree_util.tree_map(put, cache, temp)
 
@@ -205,8 +234,10 @@ class ContinuousBatcher:
                 lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)),
                 self.cache, specs,
             )
-        self.token = jnp.zeros((slots, 1), jnp.int32)
-        self.pos = jnp.zeros((slots,), jnp.int32)
+        # host-side mirrors are the source of truth for tokens/positions:
+        # they upload as TWO arrays per step instead of per-slot device
+        # .at[].set dispatches (each a milliseconds round trip on the relay)
+        self._host_tok = np.zeros((slots, 1), np.int32)
         self._host_pos = np.zeros((slots,), np.int64)
         self._active = [None] * slots  # request index or None
         self.steps = 0  # batched ragged steps taken (for tests/metrics)
@@ -234,8 +265,8 @@ class ContinuousBatcher:
         self._rng, sub = jax.random.split(self._rng)
         _, cache1 = _prefill_jit(
             self.params, self.args, cache1,
-            jnp.asarray([toks], jnp.int32), image_tokens, sub,
-            self.vocab_limit, 0.0, 1.0,
+            jnp.asarray([toks], jnp.int32), image_tokens,
+            jnp.int32(length - 1), sub, self.vocab_limit, 0.0, 1.0,
         )
         return CachedPrefix(cache1, length)
 
@@ -255,7 +286,9 @@ class ContinuousBatcher:
         dtype = kv_cache_dtype(self.kv_bits)
         text = toks[1:] if toks and toks[0] == self.tokenizer.bos_id else toks
         spliced = prefix.length + len(text)
-        total = -(-spliced // 8) * 8
+        Tb = _bucket(len(text))
+        padded = list(text) + [0] * (Tb - len(text))
+        total = -(-(prefix.length + Tb) // 8) * 8
         temp = llama.KVCache.create(
             self.args, 1, max_seq_len=total, dtype=dtype, layered=True
         )
@@ -263,13 +296,13 @@ class ContinuousBatcher:
         self._rng, sub = jax.random.split(self._rng)
         first_arr, temp = _extend_jit(
             self.params, self.args, temp,
-            jnp.asarray([text], jnp.int32), prefix.length, sub,
+            jnp.asarray([padded], jnp.int32), prefix.length,
+            jnp.int32(len(text) - 1), sub,
             self.vocab_limit, self._temperature, self._top_p,
         )
         first = int(first_arr[0])
         self.cache = _write_slot(self.cache, temp, slot)
-        self.token = self.token.at[slot, 0].set(first)
-        self.pos = self.pos.at[slot].set(spliced)
+        self._host_tok[slot, 0] = first
         self._host_pos[slot] = spliced
         self._active[slot] = req_idx
         return first
@@ -281,24 +314,28 @@ class ContinuousBatcher:
         dtype = kv_cache_dtype(self.kv_bits)
         image_tokens = None
         spliced = len(toks)
+        W = 0
         if image is not None:
             image_tokens = self._encode_image(image)
-            spliced += self.ens5_cfg.image_words
-        total = -(-spliced // 8) * 8  # KVCache.create rounds to /8
+            W = self.ens5_cfg.image_words
+            spliced += W
+        Tb = _bucket(len(toks))
+        padded = list(toks) + [0] * (Tb - len(toks))
+        total = -(-(W + Tb) // 8) * 8  # KVCache.create rounds to /8
 
         cache1 = llama.KVCache.create(
             self.args, 1, max_seq_len=total, dtype=dtype, layered=True
         )
-        tokens = jnp.asarray([toks], jnp.int32)
+        tokens = jnp.asarray([padded], jnp.int32)
         self._rng, sub = jax.random.split(self._rng)
         first_arr, cache1 = _prefill_jit(
-            self.params, self.args, cache1, tokens, image_tokens, sub,
+            self.params, self.args, cache1, tokens, image_tokens,
+            jnp.int32(spliced - 1), sub,
             self.vocab_limit, self._temperature, self._top_p,
         )
         first = int(first_arr[0])
         self.cache = _write_slot(self.cache, cache1, slot)
-        self.token = self.token.at[slot, 0].set(first)
-        self.pos = self.pos.at[slot].set(spliced)
+        self._host_tok[slot, 0] = first
         self._host_pos[slot] = spliced
         self._active[slot] = req_idx
         return first
@@ -365,13 +402,13 @@ class ContinuousBatcher:
 
             self._rng, sub = jax.random.split(self._rng)
             nxt, self.cache = _ragged_step(
-                self.params, self.args, self.cache, self.token, self.pos,
+                self.params, self.args, self.cache,
+                jnp.asarray(self._host_tok),
+                jnp.asarray(self._host_pos.astype(np.int32)),
                 sub, self.vocab_limit, self._temperature, self._top_p,
             )
             self.steps += 1
             nxt_host = np.asarray(nxt)
-            new_token = self.token
-            new_pos = self.pos
             for slot in range(self.slots):
                 idx = self._active[slot]
                 if idx is None:
@@ -380,8 +417,7 @@ class ContinuousBatcher:
                 t = int(nxt_host[slot])
                 out_tokens[idx].append(t)
                 self._host_pos[slot] += 1
-                new_token = new_token.at[slot, 0].set(t)
-                new_pos = new_pos.at[slot].set(int(self._host_pos[slot]))
+                self._host_tok[slot, 0] = t
                 done = (
                     t in stops
                     or len(out_tokens[idx]) >= gen_lims[idx]
@@ -397,7 +433,6 @@ class ContinuousBatcher:
                     )
                 if done:
                     self._active[slot] = None
-            self.token, self.pos = new_token, new_pos
 
         results = []
         for i in range(len(reqs)):

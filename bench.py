@@ -542,6 +542,8 @@ def _preflight(timeout_s: float = 300.0) -> bool:
 
 
 def _emit(results, platform, note_extra=""):
+    results = dict(results)  # snapshot: the watchdog thread emits while
+    # the main thread may still be inserting a finishing leg's result
     headline = results.get("decode_7b_int4")
     detail = {
         k: (round(v, 2) if isinstance(v, float) else v)

@@ -49,14 +49,14 @@ class SyntheticTok:
         return " ".join(map(str, toks))
 
 
-def make_workload(n, rng):
+def make_workload(n, rng, prefix="req"):
     plens = rng.choice([64, 128, 256, 512], size=n)
     glens = rng.integers(16, 129, size=n)
     table = {
-        f"req:{i}": rng.integers(10, 31000, size=plens[i]).tolist()
+        f"{prefix}:{i}": rng.integers(10, 31000, size=plens[i]).tolist()
         for i in range(n)
     }
-    return table, [f"req:{i}" for i in range(n)], glens.tolist()
+    return table, [f"{prefix}:{i}" for i in range(n)], glens.tolist()
 
 
 def main():
@@ -98,7 +98,9 @@ def main():
     cb = ContinuousBatcher(params, args, tok, slots=a.slots,
                            kv_cache_bits=8)
     # warm the compiles (one step + the 4 prefill buckets) before timing
-    warm_table, warm_prompts, _ = make_workload(4, np.random.default_rng(1))
+    warm_table, warm_prompts, _ = make_workload(
+        4, np.random.default_rng(1), prefix="warm"
+    )
     tok.table.update(warm_table)
     cb.generate(warm_prompts, max_gen_len=2)
     t0 = time.perf_counter()

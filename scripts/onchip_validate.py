@@ -123,13 +123,17 @@ def leg_quant_chunked_prefill():
 
 
 def leg_spmd_wrapper_single_device():
-    """The round-3 custom_partitioning wrappers on ONE chip must equal the
-    direct kernel dispatch (same kernels, no partitioning)."""
+    """The round-3 custom_partitioning WRAPPERS invoked directly under jit
+    on the chip: on one device the partition fn never fires (the
+    CPU-mesh tests own partitioning exactness), but this compiles the
+    custom_partitioning -> Mosaic kernel lowering on real TPU, which the
+    public int4_matmul/int8_matmul API would otherwise skip at
+    len(devices)==1."""
     from a3vlm_tpu.ops.quant_matmul import (
         _int4_matmul_2d,
         _int8_matmul_2d,
-        int4_matmul,
-        int8_matmul,
+        _spmd_int4,
+        _spmd_int8,
     )
     from a3vlm_tpu.quant import _quantize_leaf_int4, _quantize_leaf_int8
 
@@ -138,14 +142,13 @@ def leg_spmd_wrapper_single_device():
     x = jnp.asarray(rng.normal(size=(16, 2048)), jnp.bfloat16)
     q4 = _quantize_leaf_int4(w)
     direct = _int4_matmul_2d(x, q4.q, q4.scale, group=q4.group)
-    via_api = int4_matmul(x, q4)
-    check("int4_api_vs_kernel", _err(direct, via_api), 1e-6)
+    via_spmd = jax.jit(_spmd_int4(q4.group, False))(x, q4.q, q4.scale)
+    check("int4_spmd_wrapper_vs_kernel", _err(direct, via_spmd), 1e-6)
     q8 = _quantize_leaf_int8(w)
-    direct8 = _int8_matmul_2d(
-        x, q8.q, q8.scale.reshape(1, -1).astype(jnp.float32)
-    )
-    via8 = int8_matmul(x, q8)
-    check("int8_api_vs_kernel", _err(direct8, via8), 1e-6)
+    s8 = q8.scale.reshape(1, -1).astype(jnp.float32)
+    direct8 = _int8_matmul_2d(x, q8.q, s8)
+    via8 = jax.jit(_spmd_int8(False))(x, q8.q, s8)
+    check("int8_spmd_wrapper_vs_kernel", _err(direct8, via8), 1e-6)
 
 
 def main():
