@@ -23,22 +23,33 @@ def _padded_vocab(tok) -> int:
     return -(-tok.n_words // 128) * 128
 
 
-def _ref_generate(params, args, toks, max_gen_len, stops, dtype):
-    """Per-request batch-1 greedy loop through the standard decode path."""
+def _ref_generate(params, args, toks, max_gen_len, stops, dtype,
+                  vocab_limit=None):
+    """Per-request batch-1 greedy loop through the standard decode path.
+    ``vocab_limit`` masks the lane-padded vocab tail like the batcher
+    does (without it the two can pick different argmax winners whenever a
+    padded-tail logit leads)."""
+
+    def pick(lg):
+        lg = np.asarray(lg)
+        if vocab_limit is not None:
+            lg = lg[..., :vocab_limit]
+        return int(np.argmax(lg, axis=-1)[0])
+
     cache = llama.KVCache.create(
         args, 1, max_seq_len=args.max_seq_len, dtype=dtype, layered=True
     )
     logits, cache, _ = llama.prefill(
         params, args, cache, jnp.asarray([toks], jnp.int32)
     )
-    t = int(jnp.argmax(logits, axis=-1)[0])
+    t = pick(logits)
     out = [t]
     pos = len(toks)
     while t not in stops and len(out) < max_gen_len:
         logits, cache = llama.decode_step(
             params, args, cache, jnp.asarray([[t]], jnp.int32), pos
         )
-        t = int(jnp.argmax(logits, axis=-1)[0])
+        t = pick(logits)
         out.append(t)
         pos += 1
     for s in stops:
@@ -329,3 +340,85 @@ def test_continuous_batcher_stop_symbols(tiny_tokenizer):
         params, args, tok, slots=1, vocab_limit=tok.n_words
     ).generate(prompts, max_gen_len=10, additional_stop_symbols=[sym])[0]
     assert sym not in got and len(got) <= len(base)
+
+
+def test_continuous_batcher_int4_weights(tiny_tokenizer):
+    """int4 decoder weights + int8 KV through the slot pool (the quantized
+    serving combo) == per-request quantized greedy decoding."""
+    from a3vlm_tpu.ops.decode_attention import kv_cache_dtype
+    from a3vlm_tpu.quant import quantize_params
+
+    tok = tiny_tokenizer
+    args = _tiny_args(_padded_vocab(tok))
+    params = quantize_params(
+        llama.init_llama_params(jax.random.PRNGKey(9), args), bits=4
+    )
+    prompts = ["detect all manipulable object parts", "the answer is",
+               "rotated bounding box"]
+    max_gen = 6
+    dec = llama.unstack_layers(params)
+    expected = [
+        _ref_generate(
+            dec, args, tok.encode(p, bos=True, eos=False), max_gen,
+            {tok.eos_id}, kv_cache_dtype(8), vocab_limit=tok.n_words,
+        )
+        for p in prompts
+    ]
+    got = ContinuousBatcher(
+        params, args, tok, slots=2, kv_cache_bits=8,
+        vocab_limit=tok.n_words,
+    ).generate(prompts, max_gen_len=max_gen)
+    # vocab_limit masks the padded tail for the batcher but not the raw
+    # reference loop; compare against limit-masked reference decode
+    exp_txt = [tok.decode(e) for e in expected]
+    assert got == exp_txt
+
+
+@pytest.mark.parametrize("seed", [11, 12])
+def test_continuous_batcher_fuzz_schedules(tiny_tokenizer, seed):
+    """Randomized workloads (ragged prompt lengths, ragged gen limits,
+    random slot counts) must always reproduce per-request decoding —
+    fuzzes the admission/completion schedule space beyond the fixed
+    cases."""
+    rng = np.random.default_rng(seed)
+    tok = tiny_tokenizer
+    args = _tiny_args(_padded_vocab(tok))
+    params = llama.init_llama_params(jax.random.PRNGKey(seed), args)
+    words = ["detect", "parts", "joint", "box", "the", "answer", "is",
+             "rotated", "bounding", "Hi", "darling", "###", "Human:"]
+    n = int(rng.integers(4, 8))
+    prompts = [
+        " ".join(rng.choice(words, size=int(rng.integers(2, 14))))
+        for _ in range(n)
+    ]
+    gens = [int(g) for g in rng.integers(1, 8, size=n)]
+    slots = int(rng.integers(1, 4))
+
+    dec = llama.unstack_layers(params)
+    expected = [
+        tok.decode(
+            _ref_generate(dec, args, tok.encode(p, bos=True, eos=False),
+                          g, {tok.eos_id}, jnp.float32,
+                          vocab_limit=tok.n_words)
+        )
+        for p, g in zip(prompts, gens)
+    ]
+    got = ContinuousBatcher(
+        params, args, tok, slots=slots, vocab_limit=tok.n_words
+    ).generate(prompts, max_gen_len=gens)
+    assert got == expected, (slots, gens, [len(p) for p in prompts])
+
+
+def test_continuous_batcher_near_max_prompt(tiny_tokenizer):
+    """A prompt whose length bucket would overshoot the pool falls back to
+    exact-fit padding (the temp cache must fit a slot's rows)."""
+    tok = tiny_tokenizer
+    args = _tiny_args(_padded_vocab(tok))  # max_seq_len 96
+    params = llama.init_llama_params(jax.random.PRNGKey(10), args)
+    long_prompt = " ".join(["detect"] * 70)
+    n = len(tok.encode(long_prompt, bos=True, eos=False))
+    assert n > 64 and n + 2 <= 96, n  # bucket(n)=128 > pool 96
+    got = ContinuousBatcher(
+        params, args, tok, slots=1, vocab_limit=tok.n_words
+    ).generate([long_prompt], max_gen_len=2)
+    assert isinstance(got[0], str)
