@@ -75,9 +75,17 @@ class CheckpointManager:
         llama_config: Optional[dict] = None,
         trainable_mask: Optional[Any] = None,
         extra: Optional[dict] = None,
+        wait: bool = True,
     ) -> str:
+        """``wait=False`` makes the save ASYNC: orbax's device-to-host copy
+        + write proceed while training continues (a 13B save otherwise
+        blocks the loop for the whole write). The ``_DONE`` marker is only
+        touched once the write really finished — on the next save, or an
+        explicit ``wait_until_finished()`` (called at train end). Resume
+        never sees a torn checkpoint: ``latest()`` requires ``_DONE``."""
         import orbax.checkpoint as ocp
 
+        self.wait_until_finished()
         ckpt_dir = self.output_dir / _ckpt_name(epoch, it)
         ckpt_dir.mkdir(parents=True, exist_ok=True)
 
@@ -85,14 +93,19 @@ class CheckpointManager:
             # only_save_trainable (misc.py:347-353): frozen leaves dropped
             params = _filter_by_mask(params, trainable_mask)
 
-        checkpointer = ocp.StandardCheckpointer()
-        checkpointer.save(
-            (ckpt_dir / "model").absolute(), params, force=True
-        )
+        # one checkpointer per artifact; orbax saves finalize (temp-dir
+        # rename) only on wait_until_finished — the sync path waits here,
+        # the async path defers to the next save / explicit barrier
+        pending = []
+
+        def _save(path, tree):
+            c = ocp.StandardCheckpointer()
+            c.save(path, tree, force=True)
+            pending.append(c)
+
+        _save((ckpt_dir / "model").absolute(), params)
         if opt_state is not None:
-            checkpointer.save(
-                (ckpt_dir / "optimizer").absolute(), opt_state, force=True
-            )
+            _save((ckpt_dir / "optimizer").absolute(), opt_state)
         other = {
             "epoch": epoch,
             "iter": it if it is not None else 0,
@@ -114,9 +127,23 @@ class CheckpointManager:
                 json.dump({"llama_type": llama_type}, f)
         if tokenizer is not None:
             tokenizer.save(str(ckpt_dir))
-        checkpointer.wait_until_finished()
-        (ckpt_dir / "_DONE").touch()
+        if wait:
+            for c in pending:
+                c.wait_until_finished()
+            (ckpt_dir / "_DONE").touch()
+        else:
+            self._pending = (pending, ckpt_dir)
         return str(ckpt_dir)
+
+    def wait_until_finished(self) -> None:
+        """Finalize an outstanding async save (write barrier + _DONE)."""
+        outstanding = getattr(self, "_pending", None)
+        if outstanding is not None:
+            checkpointers, ckpt_dir = outstanding
+            for c in checkpointers:
+                c.wait_until_finished()
+            (ckpt_dir / "_DONE").touch()
+            self._pending = None
 
     # -- restore ---------------------------------------------------------------
 

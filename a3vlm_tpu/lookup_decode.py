@@ -1,0 +1,171 @@
+"""Prompt-lookup speculative decoding (batch-1, greedy, whole-loop jit).
+
+A draft-model-free speculative decoder for the image->triad latency path:
+triad answers are highly structured (repeated ``<rb>``/``<axis>`` tags,
+fixed-format number lists, phrases copied from the instruction), so the
+NEXT tokens frequently already appear after an earlier occurrence of the
+current bigram. Each iteration:
+
+1. finds the most recent earlier occurrence of the last emitted bigram in
+   [prompt + generated so far] (vectorized match, in-jit),
+2. takes the K-1 tokens that followed it as a DRAFT,
+3. runs ONE K-token verify forward through the decode cache (batch-1
+   decode is weight-bandwidth bound — a K-token step streams the same
+   weight bytes as a 1-token step, so verification is nearly free),
+4. accepts the longest matching prefix and emits ``accepted + 1`` tokens
+   (the standard speculative guarantee: output is EXACTLY the greedy
+   sequence).
+
+Cache discipline: the verify step writes all K rows at [pos, pos+K);
+rejected rows hold garbage but the next window [pos+m, pos+m+K) rewrites
+them before they can ever be attended (same write-before-attend invariant
+as the continuous batcher's bucket padding). No reference analogue — the
+torch stack decodes one token per step (llama_ens5.py:513-531).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from a3vlm_tpu.models import llama
+from a3vlm_tpu.ops.norms import rms_norm
+from a3vlm_tpu.ops.quant_matmul import qmat
+
+
+def _verify_step(params, args, cache, tokens_k, pos):
+    """Run K draft tokens through the decode cache at absolute positions
+    [pos, pos+K); returns (greedy preds [K], cache). Multi-token cache
+    attention goes through the right-aligned-causal XLA path (the fused
+    decode kernel is Sq==1-only)."""
+    K = tokens_k.shape[-1]
+    h = llama.embed_tokens(params, tokens_k[None])  # [1, K, D]
+    positions = pos + jnp.arange(K)
+    h, cache = llama.forward_hidden(
+        params,
+        args,
+        h,
+        positions[None],  # [1, K]: per-batch position rows (ragged form)
+        "causal",
+        cache=cache,
+        write_pos=jnp.full((1,), pos, jnp.int32),
+        kv_valid_len=jnp.full((1,), pos + K, jnp.int32),
+    )
+    h = rms_norm(h, params["norm"]["weight"], args.norm_eps)
+    logits = qmat(h[0], params["output"]["weight"]).astype(jnp.float32)
+    return logits, cache
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("args", "gen_len", "draft_k", "vocab_limit",
+                     "stop_token"),
+    donate_argnames=("cache",),
+)
+def lookup_generate(
+    params,
+    args,
+    cache,
+    prompt_ids,  # [P] int32 (text ids only; cache already prefilled)
+    start_pos,  # scalar: absolute position of the NEXT token (P + W)
+    first_token,  # scalar: greedy token after prefill
+    gen_len: int,
+    draft_k: int = 8,
+    vocab_limit=None,
+    stop_token: int = -1,
+):
+    """Greedy speculative generation; returns (tokens [gen_len], count).
+
+    ``tokens[:count]`` equals exactly what one-token-at-a-time greedy
+    decoding would produce (stopping at ``stop_token`` if emitted)."""
+    P = prompt_ids.shape[0]
+    K = draft_k
+    BUF = P + gen_len + K + 2
+    buf = jnp.zeros((BUF,), jnp.int32)
+    buf = jax.lax.dynamic_update_slice(buf, prompt_ids, (0,))
+    buf = buf.at[P].set(first_token)
+
+    def mask_logits(lg):
+        if vocab_limit is not None and vocab_limit < lg.shape[-1]:
+            lg = lg.at[..., vocab_limit:].set(-jnp.inf)
+        return lg
+
+    def find_draft(buf, n_buf, last_tok):
+        """Most recent i < n_buf-1 with buf[i]==buf[n_buf-2] and
+        buf[i+1]==buf[n_buf-1]; draft = buf[i+2 : i+2+K-1]."""
+        b0 = buf[jnp.maximum(n_buf - 2, 0)]
+        b1 = buf[n_buf - 1]
+        idx = jnp.arange(BUF)
+        hit = (
+            (buf == b0)
+            & (jnp.roll(buf, -1) == b1)
+            & (idx + 2 < n_buf)  # strictly earlier occurrence
+            & (n_buf >= 2)
+        )
+        best = jnp.max(jnp.where(hit, idx, -1))
+        found = best >= 0
+        cont_start = jnp.maximum(best + 2, 0)
+        cont = jax.lax.dynamic_slice(buf, (cont_start,), (K - 1,))
+        # no match: draft repeats the last token (harmless; accepted=0
+        # still emits the one verified token)
+        cont = jnp.where(found, cont, jnp.full((K - 1,), last_tok))
+        return cont
+
+    def cond(state):
+        buf, n_emit, pos, cache, done = state
+        return (~done) & (n_emit < gen_len)
+
+    def body(state):
+        buf, n_emit, pos, cache, done = state
+        n_buf = P + n_emit
+        last = buf[n_buf - 1]
+        draft = find_draft(buf, n_buf, last)
+        tokens_k = jnp.concatenate([last[None], draft])  # [K]
+        logits, cache = _verify_step(params, args, cache, tokens_k, pos)
+        preds = jnp.argmax(mask_logits(logits), axis=-1).astype(jnp.int32)
+
+        # accepted[i]: draft token i+1 matched pred i, all previous too
+        match = preds[: K - 1] == draft
+        accepted = jnp.sum(jnp.cumprod(match.astype(jnp.int32)))
+        m = accepted + 1  # emitted this round
+        m = jnp.minimum(m, gen_len - n_emit)
+
+        # stop-token truncation: emit up to and including the first stop
+        emit_idx = jnp.arange(K)
+        is_stop = preds == stop_token
+        first_stop = jnp.min(jnp.where(is_stop, emit_idx, K))
+        m = jnp.minimum(m, first_stop + 1)
+        done = first_stop < m
+
+        # write all K preds after the current end; only m count
+        buf = jax.lax.dynamic_update_slice(buf, preds, (n_buf,))
+        return buf, n_emit + m, pos + m, cache, done
+
+    first_is_stop = jnp.asarray(first_token, jnp.int32) == stop_token
+    buf, n_emit, pos, cache, done = jax.lax.while_loop(
+        cond, body, (buf, jnp.int32(1), jnp.asarray(start_pos, jnp.int32),
+                     cache, first_is_stop),
+    )
+    out = jax.lax.dynamic_slice(buf, (P,), (gen_len,))
+    return out, n_emit
+
+
+def greedy_reference(params, args, cache, start_pos, first_token,
+                     gen_len, vocab_limit=None, stop_token=-1):
+    """One-token-at-a-time greedy loop (the exactness oracle for tests)."""
+    out = [int(first_token)]
+    pos = int(start_pos)
+    t = int(first_token)
+    while len(out) < gen_len and t != stop_token:
+        logits, cache = llama.decode_step(
+            params, args, cache, jnp.asarray([[t]], jnp.int32), pos
+        )
+        lg = logits[0]
+        if vocab_limit is not None:
+            lg = lg[:vocab_limit]
+        t = int(jnp.argmax(lg))
+        out.append(t)
+        pos += 1
+    return out

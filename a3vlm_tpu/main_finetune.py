@@ -296,6 +296,9 @@ def main(argv=None):
                 llama_type=model.llama_type,
                 llama_config={"max_seq_len": args.max_words},
                 trainable_mask=trainable if args.only_save_trainable else None,
+                # in-epoch saves are ASYNC: training continues while orbax
+                # writes; finalized by the next save / end-of-train barrier
+                wait=it is None,
             )
 
         for epoch in range(start_epoch, args.epochs):
@@ -323,6 +326,7 @@ def main(argv=None):
             ):
                 save_fn(state, epoch)
             jsonl.write({"epoch": epoch, **stats})
+        ckpt_mgr.wait_until_finished()  # async in-epoch save barrier
     if args.profile_dir:
         jax.profiler.stop_trace()
     print("training done")

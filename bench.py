@@ -351,6 +351,91 @@ def bench_image_to_triad_full(rounds=3, gen_len=32, prompt_len=32, bits=4):
     return _median(times)
 
 
+def bench_lookup_overhead(bits=4, batch=1, ctx=1536, steps=32, draft_k=8,
+                          rounds=3):
+    """Speculative-decode economics on chip: a K-token verify step vs a
+    1-token decode step at batch 1 (the image->triad regime). Batch-1
+    decode is weight-bandwidth bound, so the verify step should cost
+    ~1x a plain step — making the prompt-lookup speedup ~= the mean
+    accepted run length (acceptance is content-dependent; fabricated
+    weights can't measure it honestly, so this leg reports the COST ratio
+    and the break-even acceptance instead)."""
+    from a3vlm_tpu.lookup_decode import _verify_step
+    from a3vlm_tpu.models import llama
+
+    total = ctx + steps * draft_k + 8
+    args = _7b_args(max_batch_size=batch, max_seq_len=total)
+    params = llama.unstack_layers(fabricate_llama(args, bits=bits))
+
+    def make_cache():
+        cache = llama.KVCache.create(
+            args, batch, max_seq_len=total, dtype=jnp.bfloat16,
+            layered=True,
+        )
+        return jax.tree_util.tree_map(
+            lambda x: jnp.full(x.shape, 0.01, x.dtype), cache
+        )
+
+    @jax.jit
+    def decode_n(p, tok):
+        cache = make_cache()
+
+        def body(i, carry):
+            tok, cache, _ = carry
+            logits, cache = llama.decode_step(p, args, cache, tok, ctx + i)
+            return (
+                jnp.argmax(logits, -1).astype(jnp.int32)[:, None],
+                cache, logits,
+            )
+
+        _, _, logits = jax.lax.fori_loop(
+            0, steps, body,
+            (tok, cache, jnp.zeros((batch, args.vocab_size), jnp.float32)),
+        )
+        return logits
+
+    @jax.jit
+    def verify_n(p, toks_k):
+        cache = make_cache()
+
+        def body(i, carry):
+            toks, cache, _ = carry
+            logits, cache = _verify_step(
+                p, args, cache, toks, ctx + i * draft_k
+            )
+            nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+            return nxt[:draft_k], cache, logits
+
+        _, _, logits = jax.lax.fori_loop(
+            0, steps, body,
+            (toks_k, cache,
+             jnp.zeros((draft_k, args.vocab_size), jnp.float32)),
+        )
+        return logits
+
+    tok1 = jnp.ones((batch, 1), jnp.int32)
+    tokk = jnp.ones((draft_k,), jnp.int32)
+    _sync(decode_n(params, tok1))
+    _sync(verify_n(params, tokk))
+    t_dec, t_ver = [], []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        _sync(decode_n(params, tok1))
+        t_dec.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        _sync(verify_n(params, tokk))
+        t_ver.append(time.perf_counter() - t0)
+    ratio = _median(t_ver) / max(_median(t_dec), 1e-9)
+    return {
+        "verify_over_decode_cost": round(ratio, 3),
+        "draft_k": draft_k,
+        "decode_step_ms": round(_median(t_dec) / steps * 1e3, 2),
+        "verify_step_ms": round(_median(t_ver) / steps * 1e3, 2),
+        "breakeven_accepted_tokens": round(ratio, 2),
+        "note": "speedup ~= mean_accepted_run / ratio (content-dependent)",
+    }
+
+
 def bench_triad_decomposition(rounds=3, gen_len=32, prompt_len=32, bits=4):
     """Component decomposition of the full-scale image->triad p50: the
     four towers (five-crop encode), the 1519-token prefill, and the
@@ -647,6 +732,7 @@ def main(only=None, watchdog_s: float = 3000.0):
     run("clip_vit_l14_images_per_sec", bench_vit_encode)
     run("image_to_triad_p50_ms_fullscale", bench_image_to_triad_full)
     run("triad_decomposition", bench_triad_decomposition)
+    run("lookup_verify_overhead", bench_lookup_overhead)
     # training throughput (the reference's primary workload): full towers
     # frozen + ~1B bf16 decoder, fwd+bwd+AdamW in one jit with remat
     run("train_step_multimodal", bench_train_step)

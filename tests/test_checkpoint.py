@@ -185,3 +185,39 @@ def test_extract_apply_diff_roundtrip():
     restored = ti.apply_diff_checkpoint(base, diff)
     np.testing.assert_allclose(restored["a"], ft["a"], atol=1e-6)
     np.testing.assert_array_equal(restored["b"], ft["b"])
+
+
+def test_async_save_finalizes_and_resumes(tmp_path):
+    """wait=False saves return before finalization: _DONE (the latest()
+    gate) appears only after wait_until_finished, and the checkpoint then
+    restores bit-exact."""
+    import jax
+    import jax.numpy as jnp
+
+    from a3vlm_tpu.checkpoint.manager import (
+        CheckpointManager,
+        find_latest_checkpoint,
+    )
+
+    params = {"w": jnp.arange(8.0), "b": jnp.ones((4,))}
+    mgr = CheckpointManager(str(tmp_path))
+    d = mgr.save(0, 5, params=params, step=5, wait=False)
+    import os
+
+    # not finalized -> invisible to resume discovery
+    assert not os.path.exists(os.path.join(d, "_DONE"))
+    assert find_latest_checkpoint(str(tmp_path)) is None
+    mgr.wait_until_finished()
+    assert os.path.exists(os.path.join(d, "_DONE"))
+    assert find_latest_checkpoint(str(tmp_path)) == d
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), params
+    )
+    restored = mgr.restore_params(d, abstract)
+    assert float(jnp.sum(restored["w"])) == float(jnp.sum(params["w"]))
+
+    # a second save finalizes any outstanding one implicitly
+    d2 = mgr.save(1, None, params=params, step=9, wait=False)
+    d3 = mgr.save(2, None, params=params, step=10)
+    assert os.path.exists(os.path.join(d2, "_DONE"))
+    assert os.path.exists(os.path.join(d3, "_DONE"))
