@@ -79,7 +79,13 @@ def lookup_generate(
     """Greedy speculative generation; returns (tokens [gen_len], count).
 
     ``tokens[:count]`` equals exactly what one-token-at-a-time greedy
-    decoding would produce (stopping at ``stop_token`` if emitted)."""
+    decoding would produce (stopping at ``stop_token`` if emitted).
+
+    CACHE SIZING: the final verify window can write up to ``draft_k``
+    rows past the last emitted position — size the cache with
+    ``start_pos + gen_len + draft_k + 1`` rows (dynamic_update_slice
+    would otherwise clamp the window onto the last rows and corrupt
+    them)."""
     P = prompt_ids.shape[0]
     K = draft_k
     BUF = P + gen_len + K + 2

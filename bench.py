@@ -294,7 +294,8 @@ def bench_vit_encode(batch=16, rounds=5, attn_kernel=False):
 # ---------------------------------------------------------------------------
 
 
-def bench_image_to_triad_full(rounds=3, gen_len=32, prompt_len=32, bits=4):
+def bench_image_to_triad_full(rounds=3, gen_len=32, prompt_len=32, bits=4,
+                              lookup=False):
     """End-to-end image->triad latency at FULL SCALE: the four full-size
     towers (default Ens5Config = CLIP-L + EVA ViT-g + BLIP-2 Q-Former +
     ConvNeXt-XXL + DINOv2-g, bf16) over a real 448px five-crop, the exact
@@ -306,7 +307,8 @@ def bench_image_to_triad_full(rounds=3, gen_len=32, prompt_len=32, bits=4):
     largs = _7b_args()
     W_cfg = ens5.Ens5Config(llama=largs, crop_shard_axes=None)
     W = W_cfg.image_words
-    total = W + prompt_len + gen_len
+    # lookup decode writes up to draft_k rows past the last emitted token
+    total = W + prompt_len + gen_len + (8 + 1 if lookup else 0)
     largs = largs.replace(max_batch_size=1, max_seq_len=total)
     cfg = ens5.Ens5Config(llama=largs, crop_shard_axes=None)
 
@@ -328,6 +330,20 @@ def bench_image_to_triad_full(rounds=3, gen_len=32, prompt_len=32, bits=4):
         logits, cache, _ = llama.prefill(
             p["llama"], cfg.llama, cache, tokens, image_tokens=it
         )
+        if lookup:
+            # prompt-lookup speculative decode. NOTE: fabricated weights
+            # emit constant tokens -> near-perfect draft acceptance, so
+            # this leg is an UPPER BOUND on the lookup win (real
+            # acceptance is content-dependent; see lookup_verify_overhead
+            # for the honest cost side)
+            from a3vlm_tpu.lookup_decode import lookup_generate
+
+            first = jnp.argmax(logits, -1).astype(jnp.int32)[0]
+            out, _ = lookup_generate(
+                p["llama"], cfg.llama, cache, tokens[0],
+                W + prompt_len, first, gen_len=gen_len, draft_k=8,
+            )
+            return out[-1:]
         tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
 
         def body(i, carry):
@@ -733,6 +749,8 @@ def main(only=None, watchdog_s: float = 3000.0):
     run("image_to_triad_p50_ms_fullscale", bench_image_to_triad_full)
     run("triad_decomposition", bench_triad_decomposition)
     run("lookup_verify_overhead", bench_lookup_overhead)
+    run("image_to_triad_p50_ms_lookup_ub", lambda: bench_image_to_triad_full(
+        lookup=True))
     # training throughput (the reference's primary workload): full towers
     # frozen + ~1B bf16 decoder, fwd+bwd+AdamW in one jit with remat
     run("train_step_multimodal", bench_train_step)
