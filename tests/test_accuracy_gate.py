@@ -62,7 +62,7 @@ def task_files(tmp_path_factory):
     return tmp, rec_file, joint_file
 
 
-def _train_to_memorization(model, yaml_cfg, max_epochs=250):
+def _train_to_memorization(model, yaml_cfg, max_epochs=400):
     import jax
 
     from a3vlm_tpu.data.dialog import FinetuneDialogDataset
@@ -113,10 +113,13 @@ def _train_to_memorization(model, yaml_cfg, max_epochs=250):
         loss = float(m["loss"])
         if epoch % 20 == 0:
             print(f"gate train epoch {epoch} loss {loss:.4f}")
-        if loss < 0.004:
+        if loss < 0.002:
             break
     print(f"gate train done: epoch {epoch} loss {loss:.4f}")
-    assert loss < 0.05, f"tiny ens5 failed to memorize (final loss {loss})"
+    # deeper memorization margin: the IoU gate sits near its 0.6
+    # threshold and XLA-CPU thread scheduling makes reductions only
+    # approximately run-to-run deterministic under suite load
+    assert loss < 0.03, f"tiny ens5 failed to memorize (final loss {loss})"
     model.params = state.params
     return model
 
