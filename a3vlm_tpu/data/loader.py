@@ -30,12 +30,29 @@ class DataLoader:
         batch_size: int,
         accum_steps: int = 1,
         prefetch: int = 2,
+        workers: int = 0,
     ):
+        """``workers`` > 0 fetches the items of each micro-batch through a
+        thread pool (the torch num_workers role at thread granularity —
+        image decode and cv2/PIL transforms release the GIL, so multi-core
+        hosts overlap per-item work; item ORDER inside the batch is
+        preserved)."""
         self.dataset = dataset
         self.sampler = sampler
         self.batch_size = batch_size
         self.accum_steps = accum_steps
         self.prefetch = prefetch
+        self.workers = workers
+        self._pool = None
+        if workers > 0:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._pool = ThreadPoolExecutor(max_workers=workers)
+
+    def _fetch(self, indices):
+        if self._pool is None:
+            return [self.dataset[i] for i in indices]
+        return list(self._pool.map(self.dataset.__getitem__, indices))
 
     def __len__(self):
         return len(self.sampler) // (self.batch_size * self.accum_steps)
@@ -48,9 +65,7 @@ class DataLoader:
             for a in range(self.accum_steps):
                 s = start + a * self.batch_size
                 micro.append(
-                    _stack(
-                        [self.dataset[i] for i in indices[s : s + self.batch_size]]
-                    )
+                    _stack(self._fetch(indices[s : s + self.batch_size]))
                 )
             batch = {k: np.stack([m[k] for m in micro]) for k in micro[0]}
             if self.accum_steps == 1:

@@ -51,6 +51,10 @@ def get_args_parser():
     p.add_argument("--save_iteration_interval", type=int, default=5000)
     p.add_argument("--only_save_trainable", action="store_true")
     p.add_argument("--cache_ann_on_disk", action="store_true")
+    p.add_argument("--num_workers", type=int, default=0,
+                   help="thread-pool item fetching inside each batch "
+                   "(the torch num_workers role; decode/transforms "
+                   "release the GIL)")
     p.add_argument("--lora_rank", type=int, default=0)
     p.add_argument("--output_dir", default="./output")
     p.add_argument("--resume", default="", help="'' | auto | ckpt dir")
@@ -169,7 +173,8 @@ def main(argv=None):
         acc_grad=args.accum_iter, seed=args.seed,
     )
     loader = DataLoader(
-        dataset, sampler, batch_size=global_bs, accum_steps=args.accum_iter
+        dataset, sampler, batch_size=global_bs, accum_steps=args.accum_iter,
+        workers=args.num_workers,
     )
     updates_per_epoch = max(len(loader), 1)
 

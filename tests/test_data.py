@@ -293,3 +293,47 @@ def test_fps_and_pc_norm():
     assert sampled.shape == (128, 6)
     normed = transforms.pc_norm(pc)
     assert np.max(np.linalg.norm(normed[:, :3], axis=1)) <= 1.0 + 1e-5
+
+
+def test_loader_thread_workers_preserve_order_and_errors():
+    """workers>0: batches are identical to the serial loader (order
+    preserved) and item exceptions propagate to the consumer."""
+    import numpy as np
+
+    from a3vlm_tpu.data.loader import DataLoader
+
+    class DS:
+        def __len__(self):
+            return 32
+
+        def __getitem__(self, i):
+            return {"x": np.full((3,), i, np.int32)}
+
+    class Sampler:
+        def __iter__(self):
+            return iter(range(32))
+
+        def __len__(self):
+            return 32
+
+        def set_epoch(self, *a):
+            pass
+
+    serial = [b["x"].copy() for b in DataLoader(DS(), Sampler(), 4)]
+    threaded = [
+        b["x"].copy() for b in DataLoader(DS(), Sampler(), 4, workers=3)
+    ]
+    assert len(serial) == len(threaded) == 8
+    for a, b in zip(serial, threaded):
+        np.testing.assert_array_equal(a, b)
+
+    class BadDS(DS):
+        def __getitem__(self, i):
+            if i == 5:
+                raise RuntimeError("boom")
+            return super().__getitem__(i)
+
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="boom"):
+        list(DataLoader(BadDS(), Sampler(), 4, workers=2))
