@@ -1,0 +1,222 @@
+"""Score an eval results JSON (the records eval_affordance dumps —
+{answer, format_answer, annotation, question, image, fail}) with the
+paper's metric families. The reference stops at dumping raw records
+(eval_affordance_v2.py:386-401; scoring happened out-of-repo), so this
+closes the loop: results -> per-task-type metrics in one command.
+
+Task flavors are classified from the question text (the instruction
+vocabulary of codecs/vocab.py):
+
+- 2D rotated box (REC/joint-REC): rotated IoU, mIoU + acc@0.25/0.5,
+  joint-type accuracy when <tag>'d.
+- 3D bounding box: 8-corner parse; mean corner distance, center error,
+  and acc@corner-dist thresholds (exact 3D OBB IoU is intentionally not
+  approximated), joint-type accuracy when tagged.
+- 3D axis: endpoint L2 + direction angle error (degrees, sign-invariant).
+- status: Opened/Closed string accuracy.
+- detection (all parts): greedy IoU matching, precision/recall@0.5.
+
+Usage:  python -m a3vlm_tpu.tools.score_results results_demo.json [...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+
+import numpy as np
+
+from a3vlm_tpu.codecs.triad import (
+    parse_axis_3d,
+    parse_bbox_3d_eight_points,
+    parse_rotated_box,
+    parse_tagged_answer,
+)
+from a3vlm_tpu.datagen.utils import rotated_box_iou
+
+
+def classify(question: str) -> str:
+    q = question.lower()
+    if "status" in q or "opened or closed" in q:
+        return "status"
+    if "axis" in q:
+        return "axis"
+    if "all manipulable" in q or "detect all" in q:
+        return "detection"
+    if "3d" in q:
+        return "box3d"
+    return "box2d"
+
+
+def _boxes2d(text: str) -> list[list[float]]:
+    out = []
+    for part in text.split("]"):
+        b = parse_rotated_box(part + "]")
+        if b is not None:
+            out.append(b)
+    return out
+
+
+def _iou2d(a, b) -> float:
+    def to_px(x):
+        return (x[0] * 100, x[1] * 100, x[2] * 100, x[3] * 100,
+                math.degrees(x[4]))
+
+    try:
+        return float(rotated_box_iou(to_px(a), to_px(b)))
+    except Exception:
+        return 0.0
+
+
+def score_records(records: list[dict]) -> dict:
+    acc: dict[str, dict] = {}
+
+    def bucket(kind):
+        return acc.setdefault(
+            kind,
+            {"n": 0, "iou": [], "type_ok": [], "corner_dist": [],
+             "center_err": [], "angle_err": [], "endpoint_err": [],
+             "status_ok": [], "tp": 0, "fp": 0, "fn": 0, "parse_fail": 0},
+        )
+
+    for r in records:
+        kind = classify(r.get("question", ""))
+        b = bucket(kind)
+        b["n"] += 1
+        ans = r.get("format_answer") or r.get("answer") or ""
+        gt = r.get("annotation") or ""
+        if kind == "status":
+            pa = "opened" if "open" in ans.lower() else (
+                "closed" if "close" in ans.lower() else "?")
+            ga = "opened" if "open" in gt.lower() else (
+                "closed" if "close" in gt.lower() else "?")
+            b["status_ok"].append(pa == ga and pa != "?")
+            continue
+        if kind == "axis":
+            pa, ga = parse_axis_3d(ans), parse_axis_3d(gt)
+            if pa is None or ga is None:
+                b["parse_fail"] += 1
+                continue
+            b["endpoint_err"].append(
+                float(np.linalg.norm(pa - ga, axis=-1).mean())
+            )
+            dp = pa[1] - pa[0]
+            dg = ga[1] - ga[0]
+            denom = np.linalg.norm(dp) * np.linalg.norm(dg)
+            if denom < 1e-9:
+                b["parse_fail"] += 1
+                continue
+            cos = abs(float(np.dot(dp, dg) / denom))
+            b["angle_err"].append(math.degrees(math.acos(min(cos, 1.0))))
+            continue
+        if kind == "box3d":
+            _, ptype, ans_s = parse_tagged_answer(ans)
+            _, gtype, gt_s = parse_tagged_answer(gt)
+            if ptype is not None or gtype is not None:
+                b["type_ok"].append(ptype == gtype)
+            pa = parse_bbox_3d_eight_points(ans_s)
+            ga = parse_bbox_3d_eight_points(gt_s)
+            if pa is None or ga is None:
+                b["parse_fail"] += 1
+                continue
+            b["corner_dist"].append(
+                float(np.linalg.norm(pa - ga, axis=-1).mean())
+            )
+            b["center_err"].append(
+                float(np.linalg.norm(pa.mean(0) - ga.mean(0)))
+            )
+            continue
+        if kind == "detection":
+            pb, gb = _boxes2d(ans), _boxes2d(gt)
+            matched = set()
+            for p in pb:
+                best, best_j = 0.0, -1
+                for j, g in enumerate(gb):
+                    if j in matched:
+                        continue
+                    i = _iou2d(p, g)
+                    if i > best:
+                        best, best_j = i, j
+                if best >= 0.5:
+                    matched.add(best_j)
+                    b["tp"] += 1
+                else:
+                    b["fp"] += 1
+            b["fn"] += len(gb) - len(matched)
+            continue
+        # box2d REC (possibly tagged with the joint type)
+        _, ptype, ans_s = parse_tagged_answer(ans)
+        _, gtype, gt_s = parse_tagged_answer(gt)
+        if ptype is not None or gtype is not None:
+            b["type_ok"].append(ptype == gtype)
+        pa, ga = parse_rotated_box(ans_s), parse_rotated_box(gt_s)
+        if pa is None or ga is None:
+            b["parse_fail"] += 1
+            b["iou"].append(0.0)
+            continue
+        b["iou"].append(_iou2d(pa, ga))
+
+    out = {}
+    for kind, b in acc.items():
+        row: dict = {"n": b["n"], "parse_fail": b["parse_fail"]}
+        if b["iou"]:
+            ious = np.asarray(b["iou"])
+            row.update(
+                miou=round(float(ious.mean()), 4),
+                acc_at_25=round(float((ious >= 0.25).mean()), 4),
+                acc_at_50=round(float((ious >= 0.5).mean()), 4),
+            )
+        if b["type_ok"]:
+            row["joint_type_acc"] = round(float(np.mean(b["type_ok"])), 4)
+        if b["corner_dist"]:
+            cd = np.asarray(b["corner_dist"])
+            row.update(
+                mean_corner_dist=round(float(cd.mean()), 4),
+                acc_corner_at_0p25=round(float((cd <= 0.25).mean()), 4),
+                mean_center_err=round(float(np.mean(b["center_err"])), 4),
+            )
+        if b["angle_err"]:
+            row.update(
+                mean_axis_angle_deg=round(float(np.mean(b["angle_err"])), 2),
+                acc_axis_at_10deg=round(
+                    float((np.asarray(b["angle_err"]) <= 10.0).mean()), 4
+                ),
+                mean_endpoint_err=round(
+                    float(np.mean(b["endpoint_err"])), 4
+                ),
+            )
+        if b["status_ok"]:
+            row["status_acc"] = round(float(np.mean(b["status_ok"])), 4)
+        if b["tp"] + b["fp"] + b["fn"] > 0:
+            p = b["tp"] / max(b["tp"] + b["fp"], 1)
+            r_ = b["tp"] / max(b["tp"] + b["fn"], 1)
+            row.update(
+                precision_at_50=round(p, 4),
+                recall_at_50=round(r_, 4),
+                f1_at_50=round(2 * p * r_ / max(p + r_, 1e-9), 4),
+            )
+        out[kind] = row
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("score eval results JSON")
+    ap.add_argument("results", nargs="+")
+    ap.add_argument("--out", default=None, help="write summary JSON here")
+    a = ap.parse_args(argv)
+    records = []
+    for f in a.results:
+        with open(f) as fh:
+            records.extend(json.load(fh))
+    summary = score_records(records)
+    text = json.dumps(summary, indent=2, sort_keys=True)
+    print(text)
+    if a.out:
+        with open(a.out, "w") as fh:
+            fh.write(text)
+    return summary
+
+
+if __name__ == "__main__":
+    main()

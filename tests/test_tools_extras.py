@@ -496,3 +496,64 @@ def test_generate_openai_tasks_with_stub_client(tmp_path):
     assert st == "Fail"
     fails = list((tmp_path / "banks2" / "failures").iterdir())
     assert len(fails) == 1 and "not json" in fails[0].read_text()
+
+
+def test_score_results_metrics(tmp_path):
+    """The scoring CLI computes the paper-style metric families from a
+    results JSON: perfect predictions score 1.0/0.0-error; off predictions
+    degrade; parse failures are counted."""
+    from a3vlm_tpu.tools.score_results import main as score_main
+
+    box = "[0.50,0.50,0.30,0.20,0.00]"
+    box_shift = "[0.80,0.80,0.30,0.20,0.00]"
+    corners = "[" + ",".join(["[50.00,50.00,40.00]"] * 8) + "]"
+    axis = "[10.00,10.00,50.00,90.00,90.00,50.00]"
+    axis_rot = "[10.00,10.00,50.00,10.00,90.00,50.00]"
+    records = [
+        # 2D REC exact + tagged type
+        {"question": "Please provide the joint's type and its 2D rotated "
+         "bounding box", "answer": f"<rb>revolute</rb>{box}",
+         "format_answer": f"<rb>revolute</rb>{box}",
+         "annotation": f"<rb>revolute</rb>{box}", "image": "a",
+         "fail": False},
+        # 2D REC miss
+        {"question": "2D rotated bounding box of the door",
+         "answer": box_shift, "format_answer": box_shift,
+         "annotation": box, "image": "a", "fail": False},
+        # 3D box exact
+        {"question": "provide the 3D bounding box",
+         "answer": corners, "format_answer": corners,
+         "annotation": corners, "image": "a", "fail": False},
+        # axis: rotated prediction
+        {"question": "provide the 3D axis", "answer": axis_rot,
+         "format_answer": axis_rot, "annotation": axis, "image": "a",
+         "fail": False},
+        # status correct
+        {"question": "What is the articulation status? Opened or Closed",
+         "answer": "Opened", "format_answer": "Opened",
+         "annotation": "Opened", "image": "a", "fail": False},
+        # detection: one of two boxes found
+        {"question": "Detect all manipulable object parts",
+         "answer": box, "format_answer": box,
+         "annotation": f"{box}{box_shift}", "image": "a", "fail": False},
+        # 2D parse failure
+        {"question": "2D rotated bounding box", "answer": "garbage",
+         "format_answer": "garbage", "annotation": box, "image": "a",
+         "fail": True},
+    ]
+    f = tmp_path / "results.json"
+    f.write_text(json.dumps(records))
+    summary = score_main([str(f), "--out", str(tmp_path / "sum.json")])
+
+    b2 = summary["box2d"]
+    assert b2["n"] == 3 and b2["parse_fail"] == 1
+    assert b2["acc_at_50"] == pytest.approx(1 / 3, abs=1e-3)
+    assert b2["joint_type_acc"] == 1.0
+    b3 = summary["box3d"]
+    assert b3["mean_corner_dist"] == 0.0 and b3["mean_center_err"] == 0.0
+    ax = summary["axis"]
+    assert 30.0 < ax["mean_axis_angle_deg"] < 60.0
+    assert summary["status"]["status_acc"] == 1.0
+    det = summary["detection"]
+    assert det["precision_at_50"] == 1.0 and det["recall_at_50"] == 0.5
+    assert (tmp_path / "sum.json").exists()
