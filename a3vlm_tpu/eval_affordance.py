@@ -261,6 +261,9 @@ def main(argv=None):
                         "then names an entry")
     parser.add_argument("--tiny_random_model", action="store_true",
                         help="use a tiny random-weight model (smoke/demo)")
+    parser.add_argument("--score", action="store_true",
+                        help="print paper-style metrics for the results "
+                        "file (tools/score_results.py)")
     parser.add_argument("--continuous_batching", action="store_true",
                         help="slot-pool serving with per-image KV-prefix "
                         "reuse (serving_batch.py); ~12 questions share "
@@ -369,6 +372,10 @@ def main(argv=None):
     with open(results_file, "w") as f:
         json.dump(outputs, f, ensure_ascii=False)
     print(f"wrote {len(outputs)} results to {results_file}")
+    if args.score:
+        from a3vlm_tpu.tools.score_results import main as score_main
+
+        score_main([results_file])
     return results_file
 
 
