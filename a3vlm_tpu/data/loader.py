@@ -49,6 +49,21 @@ class DataLoader:
 
             self._pool = ThreadPoolExecutor(max_workers=workers)
 
+    def close(self):
+        """Release worker threads deterministically (idempotent)."""
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):
+        self.close()
+
     def _fetch(self, indices):
         if self._pool is None:
             return [self.dataset[i] for i in indices]

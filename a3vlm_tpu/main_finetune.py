@@ -306,32 +306,40 @@ def main(argv=None):
                 wait=it is None,
             )
 
-        for epoch in range(start_epoch, args.epochs):
-            sampler.set_epoch(epoch, start_iter if epoch == start_epoch else 0)
+        def _run_epochs(state):
+            for epoch in range(start_epoch, args.epochs):
+                sampler.set_epoch(epoch, start_iter if epoch == start_epoch else 0)
 
-            def stepper(st, batch):
-                return train_step(st, shard_batch(batch))
+                def stepper(st, batch):
+                    return train_step(st, shard_batch(batch))
 
-            state, stats = train_one_epoch(
-                stepper,
-                state,
-                loader,
-                epoch,
-                lr=args.lr,
-                min_lr=args.min_lr,
-                warmup_epochs=args.warmup_epochs,
-                epochs=args.epochs,
-                print_freq=args.print_freq,
-                tb_logger=tb,
-                save_fn=save_fn,
-                save_iteration_interval=args.save_iteration_interval,
-            )
-            if (epoch + 1) % args.save_interval == 0 or (
-                epoch + 1 == args.epochs
-            ):
-                save_fn(state, epoch)
-            jsonl.write({"epoch": epoch, **stats})
-        ckpt_mgr.wait_until_finished()  # async in-epoch save barrier
+                state, stats = train_one_epoch(
+                    stepper,
+                    state,
+                    loader,
+                    epoch,
+                    lr=args.lr,
+                    min_lr=args.min_lr,
+                    warmup_epochs=args.warmup_epochs,
+                    epochs=args.epochs,
+                    print_freq=args.print_freq,
+                    tb_logger=tb,
+                    save_fn=save_fn,
+                    save_iteration_interval=args.save_iteration_interval,
+                )
+                if (epoch + 1) % args.save_interval == 0 or (
+                    epoch + 1 == args.epochs
+                ):
+                    save_fn(state, epoch)
+                jsonl.write({"epoch": epoch, **stats})
+            return state
+
+        try:
+            state = _run_epochs(state)
+        finally:
+            # async in-epoch saves: finalize even on crash/interrupt so a
+            # fully-written checkpoint gets its _DONE marker for resume
+            ckpt_mgr.wait_until_finished()
     if args.profile_dir:
         jax.profiler.stop_trace()
     print("training done")

@@ -287,10 +287,12 @@ class ContinuousBatcher:
         text = toks[1:] if toks and toks[0] == self.tokenizer.bos_id else toks
         spliced = prefix.length + len(text)
         Tb = _bucket(len(text))
-        if prefix.length + Tb > self.max_seq_len:
-            # near-max prompts: exact /8 rounding instead of overshooting
-            # the pool length (the temp must fit inside a slot's rows)
-            Tb = -(-len(text) // 8) * 8
+        if -(-(prefix.length + Tb) // 8) * 8 > self.max_seq_len:
+            # near-max prompts: EXACT token count (no /8 rounding of Tb —
+            # only the cache length rounds). generate()'s length assert
+            # guarantees prefix.length + len(text) < max_seq_len, so the
+            # rounded cache always fits the pool rows.
+            Tb = len(text)
         padded = list(text) + [0] * (Tb - len(text))
         total = -(-(prefix.length + Tb) // 8) * 8
         temp = llama.KVCache.create(
@@ -324,8 +326,8 @@ class ContinuousBatcher:
             W = self.ens5_cfg.image_words
             spliced += W
         Tb = _bucket(len(toks))
-        if W + Tb > self.max_seq_len:
-            Tb = -(-len(toks) // 8) * 8  # near-max prompts: exact fit
+        if -(-(W + Tb) // 8) * 8 > self.max_seq_len:
+            Tb = len(toks)  # near-max prompts: exact token count
         padded = list(toks) + [0] * (Tb - len(toks))
         total = -(-(W + Tb) // 8) * 8  # KVCache.create rounds to /8
 

@@ -14,7 +14,15 @@ vocabulary of codecs/vocab.py):
   approximated), joint-type accuracy when tagged.
 - 3D axis: endpoint L2 + direction angle error (degrees, sign-invariant).
 - status: Opened/Closed string accuracy.
-- detection (all parts): greedy IoU matching, precision/recall@0.5.
+- detection (all parts, 2D): greedy IoU matching, precision/recall@0.5.
+- detection3d (all parts, 3D 8-corner): greedy matching by mean corner
+  distance, precision/recall at corner-dist <= 0.25.
+
+Parse-failure convention (uniform across families): a record whose answer
+cannot be parsed counts as a MISS in every threshold-accuracy metric
+(acc@*, precision/recall), while mean-error metrics (mIoU excepted, which
+scores failures as IoU 0) are computed over the parseable subset only and
+say so via the reported `n`/`parse_fail` counts.
 
 Usage:  python -m a3vlm_tpu.tools.score_results results_demo.json [...]
 """
@@ -24,6 +32,7 @@ from __future__ import annotations
 import argparse
 import json
 import math
+import re
 
 import numpy as np
 
@@ -43,7 +52,9 @@ def classify(question: str) -> str:
     if "axis" in q:
         return "axis"
     if "all manipulable" in q or "detect all" in q:
-        return "detection"
+        # DET_ALL_BBOX_3D_INSTRUCT shares the "all manipulable" prefix with
+        # the 2D variants — route it to its own 3D family, not _boxes2d
+        return "detection3d" if "3d" in q else "detection"
     if "3d" in q:
         return "box3d"
     return "box2d"
@@ -56,6 +67,23 @@ def _boxes2d(text: str) -> list[list[float]]:
         if b is not None:
             out.append(b)
     return out
+
+
+_TRIPLE_RE = re.compile(
+    r"\[\s*(-?[\d.]+)\s*,\s*(-?[\d.]+)\s*,\s*(-?[\d.]+)\s*\]"
+)
+
+
+def _boxes3d(text: str) -> list[np.ndarray]:
+    """All 8-corner boxes in a det-all-3D answer: every box is exactly 8
+    consecutive [x,y,z] triples, so chunk the triple stream by 8 (the
+    6-float non-eight-points encoding has no [x,y,z] groups and parses to
+    zero boxes -> counted as a parse failure by the caller)."""
+    triples = _TRIPLE_RE.findall(text)
+    boxes = []
+    for i in range(0, len(triples) - 7, 8):
+        boxes.append(np.asarray(triples[i : i + 8], dtype=np.float64))
+    return boxes
 
 
 def _iou2d(a, b) -> float:
@@ -95,18 +123,21 @@ def score_records(records: list[dict]) -> dict:
             continue
         if kind == "axis":
             pa, ga = parse_axis_3d(ans), parse_axis_3d(gt)
-            if pa is None or ga is None:
+            dp = None if pa is None else pa[1] - pa[0]
+            dg = None if ga is None else ga[1] - ga[0]
+            denom = (
+                0.0 if pa is None or ga is None
+                else np.linalg.norm(dp) * np.linalg.norm(dg)
+            )
+            if denom < 1e-9:
+                # unparseable OR degenerate direction: one parse_fail,
+                # contributes to NO mean metric (misses are charged in the
+                # acc_* denominators at summary time)
                 b["parse_fail"] += 1
                 continue
             b["endpoint_err"].append(
                 float(np.linalg.norm(pa - ga, axis=-1).mean())
             )
-            dp = pa[1] - pa[0]
-            dg = ga[1] - ga[0]
-            denom = np.linalg.norm(dp) * np.linalg.norm(dg)
-            if denom < 1e-9:
-                b["parse_fail"] += 1
-                continue
             cos = abs(float(np.dot(dp, dg) / denom))
             b["angle_err"].append(math.degrees(math.acos(min(cos, 1.0))))
             continue
@@ -126,6 +157,26 @@ def score_records(records: list[dict]) -> dict:
             b["center_err"].append(
                 float(np.linalg.norm(pa.mean(0) - ga.mean(0)))
             )
+            continue
+        if kind == "detection3d":
+            pb, gb = _boxes3d(ans), _boxes3d(gt)
+            if not gb or (not pb and ans.strip()):
+                b["parse_fail"] += 1
+            matched = set()
+            for p in pb:
+                best, best_j = math.inf, -1
+                for j, g in enumerate(gb):
+                    if j in matched:
+                        continue
+                    d = float(np.linalg.norm(p - g, axis=-1).mean())
+                    if d < best:
+                        best, best_j = d, j
+                if best <= 0.25:
+                    matched.add(best_j)
+                    b["tp"] += 1
+                else:
+                    b["fp"] += 1
+            b["fn"] += len(gb) - len(matched)
             continue
         if kind == "detection":
             pb, gb = _boxes2d(ans), _boxes2d(gt)
@@ -169,33 +220,45 @@ def score_records(records: list[dict]) -> dict:
             )
         if b["type_ok"]:
             row["joint_type_acc"] = round(float(np.mean(b["type_ok"])), 4)
-        if b["corner_dist"]:
-            cd = np.asarray(b["corner_dist"])
-            row.update(
-                mean_corner_dist=round(float(cd.mean()), 4),
-                acc_corner_at_0p25=round(float((cd <= 0.25).mean()), 4),
-                mean_center_err=round(float(np.mean(b["center_err"])), 4),
+        if b["corner_dist"] or (kind == "box3d" and b["parse_fail"]):
+            cd = np.asarray(b["corner_dist"], dtype=np.float64)
+            scored = len(cd) + b["parse_fail"]  # failures are misses
+            row["acc_corner_at_0p25"] = round(
+                float((cd <= 0.25).sum()) / max(scored, 1), 4
             )
-        if b["angle_err"]:
-            row.update(
-                mean_axis_angle_deg=round(float(np.mean(b["angle_err"])), 2),
-                acc_axis_at_10deg=round(
-                    float((np.asarray(b["angle_err"]) <= 10.0).mean()), 4
-                ),
-                mean_endpoint_err=round(
-                    float(np.mean(b["endpoint_err"])), 4
-                ),
+            if len(cd):
+                row.update(
+                    mean_corner_dist=round(float(cd.mean()), 4),
+                    mean_center_err=round(
+                        float(np.mean(b["center_err"])), 4
+                    ),
+                )
+        if b["angle_err"] or (kind == "axis" and b["parse_fail"]):
+            ae = np.asarray(b["angle_err"], dtype=np.float64)
+            scored = len(ae) + b["parse_fail"]  # failures are misses
+            row["acc_axis_at_10deg"] = round(
+                float((ae <= 10.0).sum()) / max(scored, 1), 4
             )
+            if len(ae):
+                row.update(
+                    mean_axis_angle_deg=round(float(ae.mean()), 2),
+                    mean_endpoint_err=round(
+                        float(np.mean(b["endpoint_err"])), 4
+                    ),
+                )
         if b["status_ok"]:
             row["status_acc"] = round(float(np.mean(b["status_ok"])), 4)
         if b["tp"] + b["fp"] + b["fn"] > 0:
             p = b["tp"] / max(b["tp"] + b["fp"], 1)
             r_ = b["tp"] / max(b["tp"] + b["fn"], 1)
-            row.update(
-                precision_at_50=round(p, 4),
-                recall_at_50=round(r_, 4),
-                f1_at_50=round(2 * p * r_ / max(p + r_, 1e-9), 4),
-            )
+            # match criterion differs by family: 2D IoU>=0.5, 3D mean
+            # corner distance <= 0.25 — name the keys accordingly
+            suffix = "_cd0p25" if kind == "detection3d" else "_at_50"
+            row.update({
+                "precision" + suffix: round(p, 4),
+                "recall" + suffix: round(r_, 4),
+                "f1" + suffix: round(2 * p * r_ / max(p + r_, 1e-9), 4),
+            })
         out[kind] = row
     return out
 

@@ -447,8 +447,10 @@ def bench_lookup_overhead(bits=4, batch=1, ctx=1536, steps=32, draft_k=8,
         "draft_k": draft_k,
         "decode_step_ms": round(_median(t_dec) / steps * 1e3, 2),
         "verify_step_ms": round(_median(t_ver) / steps * 1e3, 2),
-        "breakeven_accepted_tokens": round(ratio, 2),
-        "note": "speedup ~= mean_accepted_run / ratio (content-dependent)",
+        # a verify round costs ratio x one step and emits accepted+1
+        # tokens -> break-even at accepted = ratio - 1
+        "breakeven_accepted_tokens": round(max(ratio - 1.0, 0.0), 2),
+        "note": "speedup ~= (mean_accepted+1) / ratio (content-dependent)",
     }
 
 

@@ -557,3 +557,61 @@ def test_score_results_metrics(tmp_path):
     det = summary["detection"]
     assert det["precision_at_50"] == 1.0 and det["recall_at_50"] == 0.5
     assert (tmp_path / "sum.json").exists()
+
+
+def test_score_results_detection3d_and_parse_fail_consistency(tmp_path):
+    """The 3D detect-all task must NOT leak into the 2D detection bucket
+    (its 8-corner answers would corrupt the shared precision/recall), and
+    parse failures count as misses in every threshold accuracy."""
+    from a3vlm_tpu.tools.score_results import main as score_main
+
+    def corners8(v):
+        return "[" + ",".join([f"[{v:.2f},{v:.2f},{v:.2f}]"] * 8) + "]"
+
+    q3d = ("Detect all manipulable object parts and provide their 3D "
+           "bounding boxes.")
+    records = [
+        # detection3d: one of two GT boxes matched (corner dist 0 vs huge)
+        {"question": q3d,
+         "answer": f"<box>door</box>{corners8(50.0)}",
+         "format_answer": f"<box>door</box>{corners8(50.0)}",
+         "annotation": f"<box>door</box>{corners8(50.0)},"
+                       f"<box>drawer</box>{corners8(90.0)}.",
+         "image": "a", "fail": False},
+        # box3d parse failure — must drag acc_corner_at_0p25 to 0.5
+        {"question": "provide the 3D bounding box", "answer": "garbage",
+         "format_answer": "garbage", "annotation": corners8(50.0),
+         "image": "a", "fail": True},
+        # box3d exact
+        {"question": "provide the 3D bounding box",
+         "answer": corners8(50.0), "format_answer": corners8(50.0),
+         "annotation": corners8(50.0), "image": "a", "fail": False},
+        # axis degenerate direction — parse_fail, no mean contamination
+        {"question": "provide the 3D axis",
+         "answer": "[10.00,10.00,50.00,10.00,10.00,50.00]",
+         "format_answer": "[10.00,10.00,50.00,10.00,10.00,50.00]",
+         "annotation": "[10.00,10.00,50.00,90.00,90.00,50.00]",
+         "image": "a", "fail": False},
+        # axis exact
+        {"question": "provide the 3D axis",
+         "answer": "[10.00,10.00,50.00,90.00,90.00,50.00]",
+         "format_answer": "[10.00,10.00,50.00,90.00,90.00,50.00]",
+         "annotation": "[10.00,10.00,50.00,90.00,90.00,50.00]",
+         "image": "a", "fail": False},
+    ]
+    f = tmp_path / "r3d.json"
+    f.write_text(json.dumps(records))
+    summary = score_main([str(f)])
+
+    assert "detection" not in summary  # nothing misrouted to the 2D bucket
+    d3 = summary["detection3d"]
+    assert d3["precision_cd0p25"] == 1.0 and d3["recall_cd0p25"] == 0.5
+    b3 = summary["box3d"]
+    assert b3["parse_fail"] == 1
+    assert b3["acc_corner_at_0p25"] == 0.5  # failure charged as a miss
+    assert b3["mean_corner_dist"] == 0.0  # means over parseable only
+    ax = summary["axis"]
+    assert ax["parse_fail"] == 1
+    assert ax["acc_axis_at_10deg"] == 0.5
+    assert ax["mean_axis_angle_deg"] == 0.0  # degenerate rec excluded
+    assert ax["mean_endpoint_err"] == 0.0
