@@ -381,12 +381,18 @@ class ContinuousBatcher:
             if images is not None and self.ens5_cfg is not None else 0
         )
         for i, (r, g) in enumerate(zip(reqs, gen_lims)):
+            n = len(r)
             if prefixes is not None and prefixes[i] is not None:
                 w = prefixes[i].length
+                # prefix admission splices the BOS-stripped text after the
+                # prefix (the prefix already starts with BOS) — don't
+                # double-count BOS in the capacity check
+                if r and r[0] == tok.bos_id:
+                    n -= 1
             else:
                 w = W if images is not None and images[i] is not None else 0
-            assert len(r) + w + g <= self.max_seq_len, (
-                len(r), w, g, self.max_seq_len,
+            assert n + w + g <= self.max_seq_len, (
+                n, w, g, self.max_seq_len,
             )
         queue = deque(range(len(reqs)))
         out_tokens: dict[int, list[int]] = {i: [] for i in range(len(reqs))}

@@ -9,7 +9,7 @@ import pytest
 
 from a3vlm_tpu.config import ModelArgs
 from a3vlm_tpu.models import llama
-from a3vlm_tpu.serving_batch import ContinuousBatcher
+from a3vlm_tpu.serving_batch import ContinuousBatcher, _bucket
 
 
 def _tiny_args(vocab: int) -> ModelArgs:
@@ -422,3 +422,41 @@ def test_continuous_batcher_near_max_prompt(tiny_tokenizer):
         params, args, tok, slots=1, vocab_limit=tok.n_words
     ).generate([long_prompt], max_gen_len=2)
     assert isinstance(got[0], str)
+
+
+def test_continuous_batcher_near_max_prompt_unaligned_prefix(tiny_tokenizer):
+    """Near-max admission through a NON-/8-aligned cached prefix: the
+    exact-fit fallback must round the combined cache length against the
+    pool, not just the text bucket (a /8-rounded Tb on top of an unaligned
+    prefix used to build a temp cache longer than the pool and crash
+    _write_slot), and the output must equal the no-prefix admission of the
+    concatenated prompt."""
+    tok = tiny_tokenizer
+    args = _tiny_args(_padded_vocab(tok))  # max_seq_len 96, pool rows 96
+    params = llama.init_llama_params(jax.random.PRNGKey(11), args)
+
+    prefix_words = "open the door please see the status of all parts now ok"
+    prefix_toks = tok.encode(prefix_words, bos=False, eos=False)
+    plen = 1 + len(prefix_toks)
+    # largest text that still fits 2 generated tokens in the 96-row pool
+    text_words = " ".join(["detect"] * (96 - 2 - plen))
+    n_text = len(tok.encode(text_words, bos=False, eos=False))
+    assert plen % 8 != 0 and n_text == 96 - 2 - plen, (plen, n_text)
+    # bucket(n_text) overshoots the pool -> fallback kicks in; the OLD
+    # fallback rounded Tb to /8, so total = round8(plen + round8(n_text))
+    # overshot the 96 pool rows -> _write_slot crash. Exact-fit: 96.
+    assert -(-(plen + _bucket(n_text)) // 8) * 8 > 96
+    assert -(-(plen + -(-n_text // 8) * 8) // 8) * 8 > 96
+    assert plen + n_text + 2 <= 96
+
+    expected = ContinuousBatcher(
+        params, args, tok, slots=1, vocab_limit=tok.n_words
+    ).generate([prefix_words + " " + text_words], max_gen_len=2)
+
+    cb = ContinuousBatcher(
+        params, args, tok, slots=1, vocab_limit=tok.n_words
+    )
+    prefix = cb.make_prefix(tokens=prefix_toks)
+    assert prefix.length == plen
+    got = cb.generate([text_words], max_gen_len=2, prefixes=[prefix])
+    assert got == expected
