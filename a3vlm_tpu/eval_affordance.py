@@ -170,6 +170,7 @@ def run_eval_continuous(
     max_gen_len: int = 2048,
     temperature: float = 0.1,
     top_p: float = 0.75,
+    draft_k: int = 0,
 ) -> list[dict]:
     """Continuous-batching eval (serving extension): queries are grouped by
     image; each group's [BOS | image words] KV prefix is computed ONCE
@@ -191,6 +192,7 @@ def run_eval_continuous(
         ens5_params=model.params,
         ens5_cfg=model.cfg,
         vocab_limit=model.true_vocab,
+        draft_k=draft_k,
     )
     # group MATERIALIZED items by their actual image path (prefix reuse
     # unit): VQADataset substitutes the next item for corrupt images, so
@@ -268,6 +270,11 @@ def main(argv=None):
                         help="slot-pool serving with per-image KV-prefix "
                         "reuse (serving_batch.py); ~12 questions share "
                         "each object render's 1456-token prefix")
+    parser.add_argument("--draft_k", type=int, default=0,
+                        help="prompt-lookup speculative decoding inside "
+                        "the continuous batcher: verify K drafted tokens "
+                        "per slot per round (greedy only — requires "
+                        "--temperature 0; serving_batch.py)")
     parser.add_argument("--model_parallel_size", type=int, default=1,
                         help="TP degree over the ('data','model') mesh "
                         "(the reference's torchrun --model_parallel_size, "
@@ -350,6 +357,8 @@ def main(argv=None):
             "continuous batching drives its own pooled cache; combine "
             "with MP by passing a sharded model through the API instead"
         )
+        if args.draft_k and args.temperature != 0.0:
+            parser.error("--draft_k is greedy-only: pass --temperature 0")
         outputs = run_eval_continuous(
             model,
             dataset,
@@ -357,6 +366,7 @@ def main(argv=None):
             max_gen_len=args.max_gen_len,
             temperature=args.temperature,
             top_p=args.top_p,
+            draft_k=args.draft_k,
         )
     else:
         outputs = run_eval(

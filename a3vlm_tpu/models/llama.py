@@ -604,3 +604,45 @@ def decode_step_ragged(
     h = rms_norm(h, params["norm"]["weight"], args.norm_eps)
     logits = qmat(h[:, -1, :], params["output"]["weight"])
     return logits.astype(jnp.float32), cache
+
+
+def decode_step_ragged_multi(
+    params: Params,
+    args: ModelArgs,
+    cache: KVCache,
+    tokens: jnp.ndarray,
+    seq_pos: jnp.ndarray,
+    impl: str = "auto",
+):
+    """T-token ragged decode — the continuous-batching SPECULATIVE VERIFY
+    step (lookup_decode._verify_step batched over slots). Slot b's window
+    ``tokens[b]`` occupies absolute positions [seq_pos[b], seq_pos[b]+T):
+    cache rows are written there, RoPE uses per-slot position rows, and
+    attention is causal WITHIN the window on top of each slot's populated
+    prefix (the "causal"+kv_valid_len mask: query i of slot b sees cache
+    rows <= seq_pos[b]+i). Returns ([B, T, V] float32 logits — one
+    next-token distribution per window position — and the cache).
+
+    Cache discipline: all T rows are written; callers advance seq_pos by
+    the accepted count only, so rejected rows hold garbage that the next
+    window rewrites before it can ever be attended (the write-before-
+    attend invariant; cache pools need T-1 spare rows past the last
+    emittable position so the final window never clamps)."""
+    seq_pos = jnp.asarray(seq_pos, jnp.int32)
+    B, T = tokens.shape
+    h = embed_tokens(params, tokens)
+    positions = seq_pos[:, None] + jnp.arange(T)[None, :]
+    h, cache = forward_hidden(
+        params,
+        args,
+        h,
+        positions,
+        "causal",
+        cache=cache,
+        write_pos=seq_pos,
+        kv_valid_len=seq_pos + T,
+        impl=impl,
+    )
+    h = rms_norm(h, params["norm"]["weight"], args.norm_eps)
+    logits = qmat(h, params["output"]["weight"])
+    return logits.astype(jnp.float32), cache

@@ -63,6 +63,48 @@ def _ragged_step(params, args, cache, token, pos, rng, vocab_limit,
     return _pick(logits, rng, vocab_limit, temperature, top_p), cache
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("args", "vocab_limit"),
+    donate_argnames=("cache",),
+)
+def _ragged_verify_step(params, args, cache, tokens, pos, vocab_limit):
+    """Speculative verify round (greedy only): ``tokens`` [B, K+1] =
+    [current token | K drafted tokens] per slot; returns the greedy
+    prediction at every window position ([B, K+1] int32 — tiny host
+    readback instead of [B, K+1, V] logits over the relay) and the
+    cache with all K+1 rows written."""
+    logits, cache = llama.decode_step_ragged_multi(
+        params, args, cache, tokens, pos
+    )
+    if vocab_limit is not None and vocab_limit < logits.shape[-1]:
+        logits = logits.at[..., vocab_limit:].set(-jnp.inf)
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+
+
+def _bigram_draft(ctx: list[int], k: int) -> list[int]:
+    """Host-side prompt-lookup drafting (lookup_decode.find_draft's numpy
+    twin): find the most recent EARLIER occurrence of the current last
+    bigram in the slot's token history and propose the ``k`` tokens that
+    followed it. No match -> repeat the last token (harmless: accepted=0
+    still emits the one verified token)."""
+    n = len(ctx)
+    last = ctx[-1]
+    if n >= 2:
+        a = np.asarray(ctx, np.int64)
+        hits = np.flatnonzero(
+            (a[:-1] == ctx[-2]) & (a[1:] == last)
+        )
+        hits = hits[hits + 2 < n]  # strictly earlier occurrence
+        if hits.size:
+            start = int(hits[-1]) + 2
+            draft = ctx[start : start + k]
+            if len(draft) < k:
+                draft = draft + [last] * (k - len(draft))
+            return draft
+    return [last] * k
+
+
 def _bucket(n: int) -> int:
     """Admission length bucket: next power of two (min 16). Compiles are
     20-120 s each over the TPU relay, so shapes must be bounded — raw
@@ -157,11 +199,14 @@ def _copy_prefix(dst, src, rows: int):
 class CachedPrefix:
     """A reusable KV prefix (e.g. [BOS | image words] — the shared part of
     every eval query against one object render). ``cache``: batch-1
-    layered panels holding rows [0, length)."""
+    layered panels holding rows [0, length); ``tokens``: the prefix's
+    TEXT token ids (no image words — used only as drafting context by the
+    speculative mode)."""
 
-    def __init__(self, cache, length: int):
+    def __init__(self, cache, length: int, tokens=None):
         self.cache = cache
         self.length = length
+        self.tokens = list(tokens) if tokens is not None else []
 
 
 @functools.partial(jax.jit, donate_argnames=("cache",))
@@ -199,11 +244,19 @@ class ContinuousBatcher:
         vocab_limit: Optional[int] = None,
         seed: int = 0,
         mesh=None,
+        draft_k: int = 0,
     ):
         """``ens5_params``/``ens5_cfg``: pass the full multimodal tree +
         Ens5Config to serve IMAGE-conditioned requests — admission encodes
         the request's image through the tower ensemble and splices the
-        image words into its prefill (the A3VLM serving mode)."""
+        image words into its prefill (the A3VLM serving mode).
+
+        ``draft_k`` > 0 turns on PROMPT-LOOKUP SPECULATIVE DECODING inside
+        the batcher (greedy only): every ragged step verifies ``draft_k``
+        host-drafted tokens per slot in one (K+1)-token forward, emitting
+        1..K+1 tokens per slot per round with output exactly equal to
+        vanilla greedy. The pool carries draft_k+1 spare rows so the last
+        verify window never clamps onto valid cache rows."""
         self.params = llama.unstack_layers(params)
         self.args = args
         self.ens5_params = ens5_params
@@ -219,9 +272,17 @@ class ContinuousBatcher:
         self.slots = slots
         self.max_seq_len = max_seq_len or args.max_seq_len
         self.kv_bits = kv_cache_bits
+        self.draft_k = int(draft_k)
         dtype = kv_cache_dtype(kv_cache_bits)
+        # speculative mode writes verify windows up to draft_k rows past a
+        # slot's last emitted position — spare rows keep the ragged writes
+        # in-bounds (dynamic_update_slice would otherwise clamp the window
+        # onto valid rows and corrupt them)
+        pool_rows = self.max_seq_len + (
+            self.draft_k + 1 if self.draft_k else 0
+        )
         self.cache = llama.KVCache.create(
-            args, slots, max_seq_len=self.max_seq_len, dtype=dtype,
+            args, slots, max_seq_len=pool_rows, dtype=dtype,
             layered=True,
         )
         if mesh is not None:
@@ -240,6 +301,9 @@ class ContinuousBatcher:
         self._host_tok = np.zeros((slots, 1), np.int32)
         self._host_pos = np.zeros((slots,), np.int64)
         self._active = [None] * slots  # request index or None
+        # per-slot token history (prompt text + emitted) for prompt-lookup
+        # drafting; maintained only in speculative mode
+        self._ctx: list[list[int]] = [[] for _ in range(slots)]
         self.steps = 0  # batched ragged steps taken (for tests/metrics)
 
     # -- internal ------------------------------------------------------------
@@ -268,7 +332,7 @@ class ContinuousBatcher:
             jnp.asarray([toks], jnp.int32), image_tokens,
             jnp.int32(length - 1), sub, self.vocab_limit, 0.0, 1.0,
         )
-        return CachedPrefix(cache1, length)
+        return CachedPrefix(cache1, length, tokens=toks)
 
     def _encode_image(self, image):
         assert self.ens5_params is not None and self.ens5_cfg is not None
@@ -311,6 +375,7 @@ class ContinuousBatcher:
         self._host_tok[slot, 0] = first
         self._host_pos[slot] = spliced
         self._active[slot] = req_idx
+        self._ctx[slot] = list(prefix.tokens) + list(text) + [first]
         return first
 
     def _admit(self, slot: int, req_idx: int, toks: list[int], image=None,
@@ -346,7 +411,66 @@ class ContinuousBatcher:
         self._host_tok[slot, 0] = first
         self._host_pos[slot] = spliced
         self._active[slot] = req_idx
+        self._ctx[slot] = list(toks) + [first]
         return first
+
+    def _speculative_round(self, out_tokens, gen_lims, stops,
+                           additional_stop_symbols):
+        """One prompt-lookup verify round over all slots (greedy): draft
+        ``draft_k`` tokens per active slot from its token history, verify
+        the whole batch in one (K+1)-token ragged forward, and emit each
+        slot's accepted prefix + one bonus token — per-token bookkeeping
+        (stop tokens/symbols, gen limits, length caps) identical to the
+        vanilla one-token loop, so output is exactly vanilla greedy."""
+        tok = self.tokenizer
+        K = self.draft_k
+        drafts = np.zeros((self.slots, K), np.int32)
+        for slot in range(self.slots):
+            if self._active[slot] is not None:
+                drafts[slot] = _bigram_draft(self._ctx[slot], K)
+        window = np.concatenate(
+            [self._host_tok, drafts], axis=1
+        )  # [B, K+1]
+        preds, self.cache = _ragged_verify_step(
+            self.params, self.args, self.cache,
+            jnp.asarray(window, jnp.int32),
+            jnp.asarray(self._host_pos.astype(np.int32)),
+            self.vocab_limit,
+        )
+        self.steps += 1
+        preds = np.asarray(preds)
+        for slot in range(self.slots):
+            idx = self._active[slot]
+            if idx is None:
+                continue  # idle slot: rewrites its own stale rows (all
+                # within the pool's spare region — never attendable)
+            m = 0  # accepted drafts: longest verified prefix
+            while m < K and preds[slot, m] == window[slot, m + 1]:
+                m += 1
+            done = False
+            emitted = 0
+            for j in range(m + 1):  # accepted drafts + the bonus token
+                t = int(preds[slot, j])
+                out_tokens[idx].append(t)
+                self._ctx[slot].append(t)
+                self._host_pos[slot] += 1
+                emitted += 1
+                done = (
+                    t in stops
+                    or len(out_tokens[idx]) >= gen_lims[idx]
+                    or self._host_pos[slot] + 1 >= self.max_seq_len
+                )
+                if not done and additional_stop_symbols:
+                    tail = tok.decode(out_tokens[idx][-8:])
+                    done = any(
+                        sym in tail for sym in additional_stop_symbols
+                    )
+                if done:
+                    break
+            if done:
+                self._active[slot] = None
+            else:
+                self._host_tok[slot, 0] = int(preds[slot, emitted - 1])
 
     # -- API -----------------------------------------------------------------
 
@@ -369,6 +493,9 @@ class ContinuousBatcher:
         tok = self.tokenizer
         self._temperature = float(temperature)
         self._top_p = float(top_p)
+        assert not (self.draft_k and self._temperature != 0.0), (
+            "speculative continuous batching (draft_k > 0) is greedy-only"
+        )
         reqs = [tok.encode(p, bos=True, eos=False) for p in prompts]
         gen_lims = (
             list(max_gen_len)
@@ -412,6 +539,12 @@ class ContinuousBatcher:
                     if first in stops or gen_lims[idx] <= 1:
                         self._active[slot] = None
             if not any(a is not None for a in self._active):
+                continue
+
+            if self.draft_k:
+                self._speculative_round(
+                    out_tokens, gen_lims, stops, additional_stop_symbols
+                )
                 continue
 
             self._rng, sub = jax.random.split(self._rng)

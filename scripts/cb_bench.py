@@ -65,6 +65,12 @@ def main():
     ap.add_argument("--n", type=int, default=64)
     ap.add_argument("--tiny", action="store_true",
                     help="CPU smoke: tiny model + short workload")
+    ap.add_argument("--draft_k", type=int, default=0,
+                    help="also run a speculative-CB leg (greedy prompt-"
+                    "lookup, serving_batch draft_k). Random-token "
+                    "prompts accept ~no drafts, so this leg measures the "
+                    "WORST-CASE verify overhead of speculation in CB "
+                    "(real triad outputs are loopy and accept heavily)")
     a = ap.parse_args()
 
     if a.tiny:
@@ -87,6 +93,13 @@ def main():
             bench.fabricate(jax.eval_shape(
                 lambda: llama.init_llama_params(jax.random.PRNGKey(0), args)
             ))
+        )
+        # CPU-XLA can't lower some BF16xBF16->F32 dots (the multi-token
+        # verify einsum); the smoke mode runs f32
+        params = jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float32)
+            if x.dtype == jnp.bfloat16 else x,
+            params,
         )
         glens = [min(g, 24) for g in glens]
     else:
@@ -111,6 +124,21 @@ def main():
         f"{total_gen / cb_s:.1f} gen tok/s, {cb.steps} batched steps",
         flush=True,
     )
+
+    # --- speculative continuous batching (optional leg) ----------------------
+    if a.draft_k:
+        cbs = ContinuousBatcher(params, args, tok, slots=a.slots,
+                                kv_cache_bits=8, draft_k=a.draft_k)
+        cbs.generate(warm_prompts, max_gen_len=2)
+        t0 = time.perf_counter()
+        cbs.generate(prompts, max_gen_len=glens)
+        sp_s = time.perf_counter() - t0
+        print(
+            f"spec(k={a.draft_k}): {a.n} reqs in {sp_s:.2f}s = "
+            f"{a.n / sp_s:.2f} req/s, {total_gen / sp_s:.1f} gen tok/s, "
+            f"{cbs.steps} verify rounds (vs {cb.steps} vanilla steps)",
+            flush=True,
+        )
 
     # --- static wave batching ----------------------------------------------
     gen = Generator(params, args, tok, vocab_limit=32000, kv_cache_bits=8)

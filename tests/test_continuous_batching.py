@@ -409,6 +409,119 @@ def test_continuous_batcher_fuzz_schedules(tiny_tokenizer, seed):
     assert got == expected, (slots, gens, [len(p) for p in prompts])
 
 
+def test_decode_step_ragged_multi_matches_serial(tiny_tokenizer):
+    """The T-token ragged verify step must equal T serial one-token ragged
+    steps position-for-position (same cache writes, same masks — the
+    speculative-decoding correctness bedrock)."""
+    from a3vlm_tpu.serving_batch import _write_slot
+
+    tok = tiny_tokenizer
+    args = _tiny_args(_padded_vocab(tok))
+    params = llama.unstack_layers(
+        llama.init_llama_params(jax.random.PRNGKey(4), args)
+    )
+    rng = np.random.default_rng(4)
+    S = 48
+    prompts = [rng.integers(1, 700, size=n).tolist() for n in (7, 13)]
+    pool = llama.KVCache.create(
+        args, 2, max_seq_len=S, dtype=jnp.float32, layered=True
+    )
+    poss = []
+    for b, toks in enumerate(prompts):
+        c1 = llama.KVCache.create(
+            args, 1, max_seq_len=S, dtype=jnp.float32, layered=True
+        )
+        _, c1, _ = llama.prefill(
+            params, args, c1, jnp.asarray([toks], jnp.int32)
+        )
+        pool = _write_slot(pool, c1, b)
+        poss.append(len(toks))
+
+    T = 3
+    window = rng.integers(1, 700, size=(2, T)).astype(np.int32)
+    lg_multi, cache_multi = llama.decode_step_ragged_multi(
+        params, args, jax.tree_util.tree_map(jnp.copy, pool),
+        jnp.asarray(window), jnp.asarray(poss, jnp.int32),
+    )
+    cache = pool
+    for j in range(T):
+        lg, cache = llama.decode_step_ragged(
+            params, args, cache, jnp.asarray(window[:, j : j + 1]),
+            jnp.asarray([p + j for p in poss], jnp.int32),
+        )
+        np.testing.assert_allclose(
+            np.asarray(lg), np.asarray(lg_multi[:, j]),
+            rtol=2e-4, atol=2e-4,
+        )
+    # cache rows written by the window must match the serial writes
+    np.testing.assert_allclose(
+        np.asarray(cache_multi.k[0]), np.asarray(cache.k[0]),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+@pytest.mark.parametrize("kv_bits", [None, 8])
+def test_continuous_batcher_speculative_matches_vanilla(
+    tiny_tokenizer, kv_bits
+):
+    """Prompt-lookup speculative CB (draft_k>0) must emit EXACTLY the
+    vanilla greedy output (stop symbols, per-request limits and all) in
+    no more — and on loopy content strictly fewer — batched rounds."""
+    tok = tiny_tokenizer
+    args = _tiny_args(_padded_vocab(tok))
+    params = llama.init_llama_params(jax.random.PRNGKey(5), args)
+    prompts = [
+        "detect detect detect detect detect detect detect detect",
+        "### Human: detect all manipulable object parts",
+        "the answer is the answer is the answer is",
+        "Hi my darling",
+        "rotated bounding box rotated bounding box",
+    ]
+    gens = [8, 6, 10, 5, 7]
+    vanilla = ContinuousBatcher(
+        params, args, tok, slots=2, vocab_limit=tok.n_words,
+        kv_cache_bits=kv_bits,
+    )
+    expected = vanilla.generate(
+        prompts, max_gen_len=gens, additional_stop_symbols=("###",)
+    )
+    spec = ContinuousBatcher(
+        params, args, tok, slots=2, vocab_limit=tok.n_words,
+        kv_cache_bits=kv_bits, draft_k=4,
+    )
+    got = spec.generate(
+        prompts, max_gen_len=gens, additional_stop_symbols=("###",)
+    )
+    assert got == expected
+    # each verify round emits >= 1 token, so rounds never exceed vanilla
+    # steps; random tiny weights loop hard, so drafts must land some
+    assert spec.steps < vanilla.steps, (spec.steps, vanilla.steps)
+
+
+def test_continuous_batcher_speculative_with_prefix(tiny_tokenizer):
+    """Speculative CB composes with KV prefix caching: a shared text
+    prefix + draft_k reproduces the vanilla no-prefix output."""
+    tok = tiny_tokenizer
+    args = _tiny_args(_padded_vocab(tok))
+    params = llama.init_llama_params(jax.random.PRNGKey(6), args)
+    sys_words = "### Human: please"
+    sys_toks = tok.encode(sys_words, bos=False, eos=False)
+    questions = ["detect the door", "status of the drawer"]
+    expected = ContinuousBatcher(
+        params, args, tok, slots=2, vocab_limit=tok.n_words
+    ).generate(
+        [sys_words + " " + q for q in questions], max_gen_len=6
+    )
+    spec = ContinuousBatcher(
+        params, args, tok, slots=2, vocab_limit=tok.n_words, draft_k=3
+    )
+    prefix = spec.make_prefix(tokens=sys_toks)
+    got = spec.generate(
+        questions, max_gen_len=6, prefixes=[prefix] * 2
+    )
+    assert got == expected
+
+
 def test_continuous_batcher_near_max_prompt(tiny_tokenizer):
     """A prompt whose length bucket would overshoot the pool falls back to
     exact-fit padding (the temp cache must fit a slot's rows)."""

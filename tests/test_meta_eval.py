@@ -257,9 +257,11 @@ def test_eval_cli_model_parallel(tmp_path, tiny_tokenizer_dir):
     assert len(results) == 2 and all("answer" in r for r in results)
 
 
-def test_eval_cli_continuous_batching(tmp_path, tiny_tokenizer_dir):
+@pytest.mark.parametrize("extra", [[], ["--draft_k", "3"]])
+def test_eval_cli_continuous_batching(tmp_path, tiny_tokenizer_dir, extra):
     """--continuous_batching: grouped per-image prefix reuse through the
-    slot pool, same record schema."""
+    slot pool, same record schema; --draft_k adds prompt-lookup
+    speculation on top (greedy)."""
     from PIL import Image
 
     from a3vlm_tpu import eval_affordance
@@ -293,7 +295,7 @@ def test_eval_cli_continuous_batching(tmp_path, tiny_tokenizer_dir):
             "--max_gen_len", "4",
             "--max_seq_len", "384",
             "--temperature", "0.0",
-        ]
+        ] + extra
     )
     with open(results_file) as f:
         results = json.load(f)
