@@ -162,6 +162,8 @@ def main():
     ap.add_argument("--tiny", action="store_true")
     ap.add_argument("--continuous_batching", action="store_true",
                     help="slot pool + per-image KV-prefix reuse")
+    ap.add_argument("--draft_k", type=int, default=0,
+                    help="prompt-lookup speculation per slot (CB only)")
     a = ap.parse_args()
 
     if a.tiny:
@@ -196,7 +198,7 @@ def main():
     if a.continuous_batching:
         outputs = eval_affordance.run_eval_continuous(
             model, ds, batch_size=a.batch_size, max_gen_len=a.max_gen_len,
-            temperature=0.0,
+            temperature=0.0, draft_k=a.draft_k,
         )
     else:
         outputs = eval_affordance.run_eval(
