@@ -21,7 +21,7 @@ run vitab      900  python scripts/vit_attn_ab.py
 run bench      3300 python bench.py
 run decomp     900  python bench.py --only triad_decomposition
 run train      1200 python bench.py --only train_step_multimodal
-run cbbench    1800 python scripts/cb_bench.py
+run cbbench    1800 python scripts/cb_bench.py --draft_k 8
 run evalscale  3000 python scripts/eval_at_scale.py --n 512
 run evalcb     3000 python scripts/eval_at_scale.py --n 512 --continuous_batching
 run e2e        2400 python tools_e2e_smoke.py

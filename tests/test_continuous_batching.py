@@ -374,12 +374,14 @@ def test_continuous_batcher_int4_weights(tiny_tokenizer):
     assert got == exp_txt
 
 
-@pytest.mark.parametrize("seed", [11, 12])
-def test_continuous_batcher_fuzz_schedules(tiny_tokenizer, seed):
+@pytest.mark.parametrize("seed,draft_k", [(11, 0), (12, 0), (11, 3),
+                                          (13, 5)])
+def test_continuous_batcher_fuzz_schedules(tiny_tokenizer, seed, draft_k):
     """Randomized workloads (ragged prompt lengths, ragged gen limits,
     random slot counts) must always reproduce per-request decoding —
     fuzzes the admission/completion schedule space beyond the fixed
-    cases."""
+    cases; draft_k>0 runs the same schedules through the speculative
+    verify rounds."""
     rng = np.random.default_rng(seed)
     tok = tiny_tokenizer
     args = _tiny_args(_padded_vocab(tok))
@@ -404,9 +406,11 @@ def test_continuous_batcher_fuzz_schedules(tiny_tokenizer, seed):
         for p, g in zip(prompts, gens)
     ]
     got = ContinuousBatcher(
-        params, args, tok, slots=slots, vocab_limit=tok.n_words
+        params, args, tok, slots=slots, vocab_limit=tok.n_words,
+        draft_k=draft_k,
     ).generate(prompts, max_gen_len=gens)
-    assert got == expected, (slots, gens, [len(p) for p in prompts])
+    assert got == expected, (slots, gens, draft_k,
+                             [len(p) for p in prompts])
 
 
 def test_decode_step_ragged_multi_matches_serial(tiny_tokenizer):
