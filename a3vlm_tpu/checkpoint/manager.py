@@ -188,6 +188,19 @@ class CheckpointManager:
         return out
 
 
+def restore_raw_checkpoint(ckpt_dir: str) -> Any:
+    """Restore a checkpoint's model tree WITHOUT an abstract template — for
+    consuming trainable-only (adapter) checkpoints whose shape the caller
+    doesn't know up front (LoRA rank, which dense leaves trained). Frozen
+    leaves come back as ``None`` holes (``_filter_by_mask``); the reference
+    analogue is loading an ``only_save_trainable`` delta
+    (util/misc.py:347-353)."""
+    import orbax.checkpoint as ocp
+
+    path = (Path(ckpt_dir) / "model").absolute()
+    return ocp.PyTreeCheckpointer().restore(str(path))
+
+
 def _filter_by_mask(tree, mask):
     return jax.tree_util.tree_map(
         lambda p, m: p if m else None, tree, mask,

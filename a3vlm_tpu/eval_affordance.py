@@ -252,6 +252,12 @@ def main(argv=None):
                         help="int4 weight-only quantized decoder (the "
                         "eval_affordance_with_quant.py:327-342 path)")
     parser.add_argument("--quant_bits", type=int, default=4, choices=[4, 8])
+    parser.add_argument("--adapter_path", default=None,
+                        help="trainable-only train checkpoint from a "
+                        "--lora_rank/--quant run: dense trainables overlay "
+                        "the base, LoRA adapters attach as serving "
+                        "side-paths (exact — no merge loss on "
+                        "padded/packed bases)")
     parser.add_argument("--kv_cache_bits", type=int, default=None,
                         choices=[8],
                         help="int8 KV cache (halves decode cache traffic; "
@@ -323,6 +329,9 @@ def main(argv=None):
             tp_align=args.model_parallel_size * 128
             if args.model_parallel_size > 1 else 0,
         )
+    if args.adapter_path:
+        # after quantize(): quantizing resets the transform chain
+        model.load_adapter_checkpoint(args.adapter_path)
     if args.kv_cache_bits:
         model.kv_cache_bits = args.kv_cache_bits
     if args.model_parallel_size > 1:

@@ -55,7 +55,17 @@ def get_args_parser():
                    help="thread-pool item fetching inside each batch "
                    "(the torch num_workers role; decode/transforms "
                    "release the GIL)")
-    p.add_argument("--lora_rank", type=int, default=0)
+    p.add_argument("--lora_rank", type=int, default=0,
+                   help="train rank-r LoRA adapters on the decoder linears "
+                   "(targeted base weights freeze; norms/biases/projectors "
+                   "keep training — the reference's peft.py placement)")
+    p.add_argument("--quant", action="store_true",
+                   help="quantize the (frozen) decoder base to "
+                   "--quant_bits before training — the QLoRA recipe "
+                   "(reference main_finetune.py:172-210); matmuls run "
+                   "through the fused dequant kernels, gradients flow "
+                   "through LoRA + dense trainables only")
+    p.add_argument("--quant_bits", type=int, default=4, choices=[4, 8])
     p.add_argument("--output_dir", default="./output")
     p.add_argument("--resume", default="", help="'' | auto | ckpt dir")
     p.add_argument("--seed", type=int, default=0)
@@ -151,6 +161,21 @@ def main(argv=None):
     model = build_model(args)
     cfg = model.cfg
 
+    if args.quant:
+        # the reference gates quantized training the same way: packed
+        # bases are frozen, so full-tree checkpoints would waste space on
+        # weights the run cannot change (main_finetune.py:172-174)
+        assert args.only_save_trainable, (
+            "--only_save_trainable is required with --quant"
+        )
+        model.quantize(
+            bits=args.quant_bits,
+            tp_align=args.model_parallel_size * 128
+            if args.model_parallel_size > 1
+            else 0,
+        )
+        print(f"quantized decoder base to int{args.quant_bits}")
+
     # -- data ---------------------------------------------------------------
     transform = get_transform(
         args.image_transform,
@@ -179,7 +204,12 @@ def main(argv=None):
     updates_per_epoch = max(len(loader), 1)
 
     # -- optimizer / train step ----------------------------------------------
+    is_ens = model.llama_type.startswith("llama_ens5")
     trainable = model.get_trainable_params()
+    if args.quant:
+        from a3vlm_tpu.quant import freeze_quantized_mask
+
+        trainable = freeze_quantized_mask(model.params, trainable)
     compute_dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
     if args.precision == "bf16":
         # fp32 master weights for trainables, bf16 frozen towers; the
@@ -190,28 +220,74 @@ def main(argv=None):
         model.params = mixed_precision_policy(
             model.params, trainable, compute_dtype=jnp.bfloat16
         )
+
+    lora = None
+    if args.lora_rank > 0:
+        from a3vlm_tpu.train.lora import (
+            attach_lora,
+            attach_lora_into_model,
+            init_lora_params,
+            lora_base_trainable_mask,
+            lora_partition_specs,
+        )
+
+        decoder = model.params["llama"] if is_ens else model.params
+        lora = init_lora_params(
+            jax.random.PRNGKey(args.seed + 17), decoder,
+            rank=args.lora_rank,
+        )
+        # decoder trainability collapses to norms/biases (peft rule);
+        # non-decoder trainables (projectors, image tags) are untouched
+        base_mask = lora_base_trainable_mask(decoder)
+        if is_ens:
+            trainable = {**trainable, "llama": base_mask}
+        else:
+            trainable = base_mask
+        trainable = {
+            **trainable,
+            "lora": jax.tree_util.tree_map(lambda _: True, lora),
+        }
+        print(f"lora rank {args.lora_rank} on the decoder linears")
+
+    full_params = (
+        {**model.params, "lora": lora} if lora is not None else model.params
+    )
+
     schedule = make_epoch_schedule(
         lr=args.lr, min_lr=args.min_lr, warmup_epochs=args.warmup_epochs,
         epochs=args.epochs, updates_per_epoch=updates_per_epoch,
     )
+    # freezing rides the partitioned train step (frozen subtrees get no
+    # backward pass and no optimizer state), not a multi_transform wrapper
     optimizer = make_optimizer(
         schedule,
         max_grad_norm=args.clip_grad,
         weight_decay=args.weight_decay,
-        trainable_mask=trainable,
     )
 
-    is_ens = model.llama_type.startswith("llama_ens5")
     remat = args.checkpointing
 
     def loss_fn(params, batch):
         if compute_dtype != jnp.float32:
-            # bf16 compute over fp32 masters (autocast)
+            from a3vlm_tpu.quant import QuantizedWeight
+
+            # bf16 compute over fp32 masters (autocast); packed bases and
+            # their f32 group scales pass through untouched
             params = jax.tree_util.tree_map(
-                lambda p: p.astype(compute_dtype)
-                if hasattr(p, "dtype") and p.dtype == jnp.float32
-                else p,
+                lambda p: p
+                if isinstance(p, QuantizedWeight)
+                or not (hasattr(p, "dtype") and p.dtype == jnp.float32)
+                else p.astype(compute_dtype),
                 params,
+                is_leaf=lambda x: isinstance(x, QuantizedWeight),
+            )
+        if "lora" in params:
+            lora_p = params["lora"]
+            params = {k: v for k, v in params.items() if k != "lora"}
+            params = (
+                attach_lora_into_model(params, lora_p)
+                if is_ens
+                else attach_lora(params, lora_p)
             )
         if is_ens:
             logits = ens5_mod.forward(
@@ -229,7 +305,10 @@ def main(argv=None):
         )
 
     train_step = jax.jit(
-        make_train_step(loss_fn, optimizer, accum_steps=args.accum_iter),
+        make_train_step(
+            loss_fn, optimizer, accum_steps=args.accum_iter,
+            trainable_mask=trainable,
+        ),
         donate_argnums=0,
     )
 
@@ -241,7 +320,23 @@ def main(argv=None):
         if is_ens
         else llama_mod.llama_partition_specs(cfg)
     )
-    params = shard_params(model.params, mesh, specs)
+    if args.quant:
+        # also needed at mp=1: the spec tree must mirror the packed
+        # QuantizedWeight nodes structurally for shard_params
+        from a3vlm_tpu.quant import quantized_partition_specs
+
+        if is_ens:
+            specs["llama"] = quantized_partition_specs(
+                specs["llama"], model.params["llama"],
+                args.model_parallel_size,
+            )
+        else:
+            specs = quantized_partition_specs(
+                specs, model.params, args.model_parallel_size
+            )
+    if lora is not None:
+        specs = {**specs, "lora": lora_partition_specs(lora)}
+    params = shard_params(full_params, mesh, specs)
 
     ckpt_mgr = CheckpointManager(args.output_dir)
     tb = TensorBoardLogger(str(Path(args.output_dir) / "tb"))
@@ -255,7 +350,9 @@ def main(argv=None):
         resume_dir = args.resume
 
     with mesh:
-        state = jax.jit(lambda p: TrainState.create(p, optimizer))(params)
+        state = jax.jit(
+            lambda p: TrainState.create(p, optimizer, trainable)
+        )(params)
         if resume_dir:
             print(f"resuming from {resume_dir}")
             state = state._replace(

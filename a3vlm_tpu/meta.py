@@ -327,6 +327,80 @@ class MetaModel:
         self._params_transform = None  # qmat consumes packed leaves directly
         self._generator = None
 
+    def load_lora(self, lora_tree) -> None:
+        """Attach trained LoRA adapters for serving WITHOUT merging: the
+        decoder forward runs ``qmat(x, base) + (x @ a) @ b`` per targeted
+        linear (quant.LoraWeight). Exact for packed (quantized) and
+        tp_align-padded bases, where folding the delta into the weights is
+        impossible or lossy. Call after ``quantize()`` — quantizing resets
+        any attached transform. Adapters whose padded geometry exceeds the
+        current base (trained against a tp_align-padded quant base, served
+        dense) are sliced to fit; only lora-through-padded-channel
+        second-order terms are dropped."""
+        from a3vlm_tpu.train.lora import attach_lora, fit_lora_to
+
+        decoder = (
+            self.params
+            if self.llama_type in ("llama", "falcon")
+            else self.params["llama"]
+        )
+        fitted = fit_lora_to(decoder, lora_tree)
+
+        prev = self._params_transform
+
+        def transform(p):
+            q = prev(p) if prev is not None else p
+            return attach_lora(q, fitted)
+
+        self._params_transform = transform
+        self._generator = None
+
+    def load_adapter_checkpoint(self, ckpt_dir: str, merge: bool = False) -> None:
+        """Consume a trainable-only train checkpoint (``--only_save_trainable``
+        from a ``--lora_rank`` / ``--quant`` run): overlays the dense
+        trainables (norms, biases, projectors, image tags) onto the current
+        params and attaches the LoRA adapters as serving side-paths
+        (``merge=True`` folds them into dense weights instead —
+        tools/merge_lora.py export flow; requires an unquantized base). The
+        reference analogue is loading a delta checkpoint on top of a base
+        (util/tensor_parallel.py:425-485 sequential loading)."""
+        from a3vlm_tpu.checkpoint.manager import restore_raw_checkpoint
+
+        raw = restore_raw_checkpoint(ckpt_dir)
+        lora_tree = raw.pop("lora", None) if isinstance(raw, dict) else None
+
+        def overlay(base, new):
+            if new is None:
+                return base
+            if isinstance(base, dict) and isinstance(new, dict):
+                return {
+                    k: overlay(v, new[k]) if k in new else v
+                    for k, v in base.items()
+                }
+            if hasattr(base, "shape") and hasattr(new, "shape") and (
+                tuple(base.shape) == tuple(new.shape)
+            ):
+                return jnp.asarray(new).astype(base.dtype)
+            return base
+
+        self.params = overlay(self.params, raw)
+        if lora_tree is not None:
+            if merge:
+                from a3vlm_tpu.train.lora import fit_lora_to, merge_lora
+
+                is_wrapped = self.llama_type not in ("llama", "falcon")
+                decoder = (
+                    self.params["llama"] if is_wrapped else self.params
+                )
+                merged = merge_lora(decoder, fit_lora_to(decoder, lora_tree))
+                if is_wrapped:
+                    self.params = {**self.params, "llama": merged}
+                else:
+                    self.params = merged
+            else:
+                self.load_lora(lora_tree)
+        self._generator = None
+
     # -- API ------------------------------------------------------------------
 
     def encode_images(self, images, depth_images=None) -> Optional[jnp.ndarray]:

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from a3vlm_tpu.quant import QuantizedWeight, unpack_int4
+from a3vlm_tpu.quant import LoraWeight, QuantizedWeight, unpack_int4
 
 
 def _int4_kernel(xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref, o_ref, acc_ref,
@@ -457,11 +457,46 @@ def int8_matmul(x, qw: QuantizedWeight, interpret: bool = False):
     return out.reshape(*lead, out.shape[-1])
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _qmat_quant(bits, group, in_dim, x, q, scale):
+    """Differentiable wrapper over the quantized dispatch: neither the
+    Pallas kernels nor the SPMD ``custom_partitioning`` wrappers carry
+    autodiff rules, but QLoRA training (reference main_finetune.py:172-210)
+    needs d/dx through the frozen base matmul. Forward is the fused path
+    unchanged; backward is ``g @ W_deq^T`` (the packed ints and scales get
+    no cotangent — they are frozen by construction)."""
+    qw = QuantizedWeight(q, scale, bits, group, in_dim)
+    if bits == 8:
+        return int8_matmul(x, qw)
+    return int4_matmul(x, qw)
+
+
+def _qmat_quant_fwd(bits, group, in_dim, x, q, scale):
+    return _qmat_quant(bits, group, in_dim, x, q, scale), (q, scale)
+
+
+def _qmat_quant_bwd(bits, group, in_dim, res, g):
+    from a3vlm_tpu.quant import _dequantize_leaf
+
+    q, scale = res
+    w = _dequantize_leaf(
+        QuantizedWeight(q, scale, bits, group, in_dim), dtype=g.dtype
+    )
+    return g @ w.swapaxes(-1, -2), None, None
+
+
+_qmat_quant.defvjp(_qmat_quant_fwd, _qmat_quant_bwd)
+
+
 def qmat(x, w):
     """Quantization-aware linear: ``x @ w`` for dense ``w``; fused/fallback
-    dequant-matmul for ``QuantizedWeight`` (bits inferred from the node)."""
+    dequant-matmul for ``QuantizedWeight`` (bits inferred from the node);
+    ``LoraWeight`` adds the rank-r side-path ``(x @ a) @ b`` around either
+    base (the QLoRA forward — base gradients flow to ``x`` via the custom
+    VJP above, never into the packed ints)."""
+    if isinstance(w, LoraWeight):
+        base = qmat(x, w.w)
+        return base + (x @ w.a.astype(x.dtype)) @ w.b.astype(x.dtype)
     if not isinstance(w, QuantizedWeight):
         return x @ w
-    if w.bits == 8:
-        return int8_matmul(x, w)
-    return int4_matmul(x, w)
+    return _qmat_quant(w.bits, w.group, w.in_dim, x, w.q, w.scale)

@@ -54,6 +54,40 @@ jax.tree_util.register_pytree_node(
 )
 
 
+class LoraWeight:
+    """Pytree node pairing a base weight (dense array or
+    ``QuantizedWeight``) with a rank-r adapter: the effective weight is
+    ``W + a @ b``. ``qmat`` computes the base matmul in its native form
+    (fused dequant kernel for packed bases) and adds the skinny
+    ``(x @ a) @ b`` side-path — the reference's QLoRA structure, where
+    bitsandbytes' quantized forward keeps the LoRA adds around it
+    (util/quant.py:95-164 keeps ``lora_a/lora_b`` dense while the base
+    Linear is swapped for Params4bit).
+
+    Keeping (a, b) as children means stacked [L, ...] adapters ride the
+    layer ``lax.scan`` exactly like the base weights do."""
+
+    def __init__(self, w, a, b):
+        self.w = w
+        self.a = a
+        self.b = b
+
+    def tree_flatten(self):
+        return (self.w, self.a, self.b), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        del aux
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    LoraWeight,
+    lambda lw: lw.tree_flatten(),
+    LoraWeight.tree_unflatten,
+)
+
+
 def _quantize_leaf_int8(w: np.ndarray) -> QuantizedWeight:
     # per-output-channel scale along the in_dim axis ONLY: leading (stacked
     # layer) axes keep independent scales per layer
@@ -222,6 +256,23 @@ def quantize_params(
         else:
             out[key] = quantize_tree(sub, key)
     return out
+
+
+def freeze_quantized_mask(params: Any, mask: Any) -> Any:
+    """Force the trainable mask to False under every ``QuantizedWeight``
+    node (both the packed ints and the scales): packed bases are frozen by
+    construction — the reference's bnb ``Params4bit`` never requires grad
+    (util/quant.py:116-144), and training updates flow through LoRA
+    adapters / dense leaves only (QLoRA, main_finetune.py:172-210)."""
+
+    def fix(p, m):
+        if isinstance(p, QuantizedWeight):
+            return jax.tree_util.tree_map(lambda _: False, m)
+        return m
+
+    return jax.tree_util.tree_map(
+        fix, params, mask, is_leaf=_is_quantized_leaf
+    )
 
 
 def dequantize_params(qparams: Any, dtype=jnp.bfloat16) -> Any:

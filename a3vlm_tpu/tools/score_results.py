@@ -78,11 +78,16 @@ def _boxes3d(text: str) -> list[np.ndarray]:
     """All 8-corner boxes in a det-all-3D answer: every box is exactly 8
     consecutive [x,y,z] triples, so chunk the triple stream by 8 (the
     6-float non-eight-points encoding has no [x,y,z] groups and parses to
-    zero boxes -> counted as a parse failure by the caller)."""
+    zero boxes -> counted as a parse failure by the caller). Model output
+    is arbitrary text: a regex hit that still fails float conversion
+    (e.g. "0.1.2") drops that box instead of crashing the CLI."""
     triples = _TRIPLE_RE.findall(text)
     boxes = []
     for i in range(0, len(triples) - 7, 8):
-        boxes.append(np.asarray(triples[i : i + 8], dtype=np.float64))
+        try:
+            boxes.append(np.asarray(triples[i : i + 8], dtype=np.float64))
+        except ValueError:
+            continue
     return boxes
 
 

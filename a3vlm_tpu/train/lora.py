@@ -45,12 +45,91 @@ def init_lora_params(
         for name, wp in llama_params["layers"][group].items():
             if name not in targets:
                 continue
-            L, in_dim, out_dim = wp["weight"].shape
+            L, in_dim, out_dim = _weight_geometry(wp["weight"])
             lora["layers"].setdefault(group, {})[name] = {
                 "a": init(next(keys), (L, in_dim, rank), dtype),
                 "b": jnp.zeros((L, rank, out_dim), dtype),
             }
     return lora
+
+
+def _weight_geometry(w) -> tuple[int, int, int]:
+    """(L, in, out) of a stacked base weight — dense array or packed
+    ``QuantizedWeight`` (whose adapter must span the ORIGINAL input dim,
+    since the side-path consumes unpadded activations, but the PADDED
+    output dim, since it adds onto the base matmul's output)."""
+    from a3vlm_tpu.quant import QuantizedWeight
+
+    if isinstance(w, QuantizedWeight):
+        L = w.q.shape[0]
+        out_dim = w.q.shape[-1]
+        in_dim = w.in_dim if w.bits == 4 else w.q.shape[-2]
+        return L, in_dim, out_dim
+    return w.shape
+
+
+def attach_lora(llama_params: Any, lora: Any) -> Any:
+    """Wrap each targeted ``weight`` leaf in a ``LoraWeight(w, a, b)`` node
+    (ops.quant_matmul.qmat computes ``qmat(x, w) + (x @ a) @ b``). This is
+    the QLoRA forward — required when the base is packed (``merge_lora``
+    cannot fold a delta into int4 nibbles) and equally valid for dense
+    bases. The stacked [L, ...] adapters are sliced by the layer scan
+    alongside the base weights."""
+    from a3vlm_tpu.quant import LoraWeight
+
+    out = dict(llama_params)
+    layers = dict(llama_params["layers"])
+    for group, items in lora["layers"].items():
+        new_group = dict(layers[group])
+        for name, ab in items.items():
+            w = layers[group][name]["weight"]
+            new_group[name] = {"weight": LoraWeight(w, ab["a"], ab["b"])}
+        layers[group] = new_group
+    out["layers"] = layers
+    return out
+
+
+def attach_lora_into_model(params: Any, lora: Any, llama_key: str = "llama"):
+    """For wrapped models (ens5): attach into the decoder subtree."""
+    out = dict(params)
+    out[llama_key] = attach_lora(params[llama_key], lora)
+    return out
+
+
+def fit_lora_to(decoder_params: Any, lora_tree: Any) -> Any:
+    """Slice adapter trees to the geometry of the given decoder's weights
+    (adapters trained against a tp_align-padded quantized base may carry
+    extra padded rows/columns a dense serving base lacks; only
+    lora-through-padded-channel second-order terms are dropped)."""
+    fitted: dict = {"layers": {}}
+    for group, items in lora_tree["layers"].items():
+        for name, ab in items.items():
+            w = decoder_params["layers"][group][name]["weight"]
+            _, in_dim, out_dim = _weight_geometry(w)
+            fitted["layers"].setdefault(group, {})[name] = {
+                "a": jnp.asarray(ab["a"])[:, :in_dim, :],
+                "b": jnp.asarray(ab["b"])[:, :, :out_dim],
+            }
+    return fitted
+
+
+def lora_base_trainable_mask(decoder_params: Any) -> Any:
+    """Decoder trainability under LoRA: only norm weights and biases keep
+    training — the reference's peft rule (llama_peft.get_trainable_params:
+    'norm'/'bias'/'lora' in name). Linear weights (adapter-targeted or
+    not), embeddings, and the output head freeze; quantized bases fall out
+    frozen automatically (their paths carry no 'norm')."""
+
+    def leaf(path, _):
+        names = [str(getattr(q, "key", "")) for q in path]
+        joined = "/".join(names)
+        return (
+            "norm" in joined
+            or (names and names[-1] == "bias")
+            or any(n.startswith("ln") for n in names)
+        )
+
+    return jax.tree_util.tree_map_with_path(leaf, decoder_params)
 
 
 def lora_partition_specs(lora: Any) -> Any:

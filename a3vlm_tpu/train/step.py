@@ -38,8 +38,51 @@ class TrainState(NamedTuple):
     step: jnp.ndarray
 
     @classmethod
-    def create(cls, params, optimizer: optax.GradientTransformation):
-        return cls(params, optimizer.init(params), jnp.int32(0))
+    def create(
+        cls,
+        params,
+        optimizer: optax.GradientTransformation,
+        trainable_mask: Optional[Any] = None,
+    ):
+        """With ``trainable_mask`` the optimizer state covers ONLY the
+        trainable leaves (the partitioned-step path below) — frozen towers
+        carry no moments at all, vs. the multi_transform route that still
+        walks them with ``set_to_zero``."""
+        opt_params = (
+            partition_params(params, trainable_mask)[0]
+            if trainable_mask is not None
+            else params
+        )
+        return cls(params, optimizer.init(opt_params), jnp.int32(0))
+
+
+def partition_params(params: Any, mask: Any) -> tuple[Any, Any]:
+    """Split a params tree into (trainable, frozen) trees of the same
+    structure, with ``None`` at the holes. The trainable tree is the ONLY
+    differentiated argument of the partitioned train step, which
+
+    - skips the backward pass through frozen subtrees entirely (the
+      monolithic tree + ``optax.set_to_zero`` route still computed tower
+      gradients because the grad-norm consumed them), matching the
+      reference's clip over requires-grad params only
+      (util/clip_grad.py:112-149 collects ``p.grad is not None``), and
+    - admits integer leaves (packed ``QuantizedWeight`` bases) in the
+      frozen half, which ``jax.grad`` would reject as differentiation
+      targets — the QLoRA path (reference main_finetune.py:172-210).
+    """
+    t = jax.tree_util.tree_map(lambda p, m: p if m else None, params, mask)
+    f = jax.tree_util.tree_map(lambda p, m: None if m else p, params, mask)
+    return t, f
+
+
+def combine_params(trainable: Any, frozen: Any) -> Any:
+    """Inverse of ``partition_params`` (leaves are never None)."""
+    return jax.tree_util.tree_map(
+        lambda a, b: b if a is None else a,
+        trainable,
+        frozen,
+        is_leaf=lambda x: x is None,
+    )
 
 
 def make_optimizer(
@@ -82,31 +125,47 @@ def make_train_step(
     loss_fn: Callable[..., jnp.ndarray],
     optimizer: optax.GradientTransformation,
     accum_steps: int = 1,
+    trainable_mask: Optional[Any] = None,
 ) -> Callable:
     """Build the jittable train step.
 
     ``loss_fn(params, batch) -> scalar loss``. ``batch`` leaves carry leading
     dims [accum_steps, micro_bs, ...] when accum_steps > 1, else [bs, ...].
     Returns ``step(state, batch) -> (state, metrics)``.
+
+    With ``trainable_mask`` (True = trainable), the step differentiates only
+    the trainable partition (see ``partition_params``): frozen subtrees get
+    no backward pass, no grad-accum buffers, and no optimizer state, and the
+    clipped grad norm covers trainable params only (the reference's
+    behavior — clip_grad.py walks params with grads). The optimizer must
+    then have been built WITHOUT a multi_transform freeze wrapper, and
+    ``TrainState.create`` given the same mask.
     """
 
     def step(state: TrainState, batch):
-        params = state.params
+        if trainable_mask is not None:
+            t_params, f_params = partition_params(
+                state.params, trainable_mask
+            )
+            diff_fn = lambda t, b: loss_fn(combine_params(t, f_params), b)
+        else:
+            t_params, f_params = state.params, None
+            diff_fn = loss_fn
 
         if accum_steps == 1:
-            loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+            loss, grads = jax.value_and_grad(diff_fn)(t_params, batch)
         else:
 
             def body(carry, micro):
                 loss_sum, grad_sum = carry
-                loss, grads = jax.value_and_grad(loss_fn)(params, micro)
+                loss, grads = jax.value_and_grad(diff_fn)(t_params, micro)
                 return (
                     loss_sum + loss,
                     jax.tree_util.tree_map(jnp.add, grad_sum, grads),
                 ), None
 
             zeros = jax.tree_util.tree_map(
-                lambda p: jnp.zeros(p.shape, jnp.float32), params
+                lambda p: jnp.zeros(p.shape, jnp.float32), t_params
             )
             (loss_sum, grad_sum), _ = jax.lax.scan(
                 body, (jnp.float32(0.0), zeros), batch
@@ -115,8 +174,13 @@ def make_train_step(
             grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grad_sum)
 
         grad_norm = optax.global_norm(grads)
-        updates, opt_state = optimizer.update(grads, state.opt_state, params)
-        params = optax.apply_updates(params, updates)
+        updates, opt_state = optimizer.update(grads, state.opt_state, t_params)
+        t_params = optax.apply_updates(t_params, updates)
+        params = (
+            combine_params(t_params, f_params)
+            if trainable_mask is not None
+            else t_params
+        )
         metrics = {"loss": loss, "grad_norm": grad_norm}
         return TrainState(params, opt_state, state.step + 1), metrics
 

@@ -49,4 +49,17 @@ def mixed_precision_policy(params, trainable_mask, compute_dtype=jnp.bfloat16):
             return p
         return p.astype(jnp.float32 if t else compute_dtype)
 
-    return jax.tree_util.tree_map(cast, params, trainable_mask)
+    from a3vlm_tpu.quant import QuantizedWeight
+
+    def cast_node(p, t):
+        # packed QuantizedWeight bases keep their layout: the int payload
+        # is not floating and the f32 group scales must NOT round-trip
+        # through bf16 (the fused kernels consume f32 scales)
+        if isinstance(p, QuantizedWeight):
+            return p
+        return cast(p, t)
+
+    return jax.tree_util.tree_map(
+        cast_node, params, trainable_mask,
+        is_leaf=lambda x: isinstance(x, QuantizedWeight),
+    )
