@@ -542,10 +542,12 @@ def bench_triad_decomposition(rounds=3, gen_len=32, prompt_len=32, bits=4):
 def bench_train_step(rounds=3, batch=4, text_len=256, dec_dim=2048,
                      dec_layers=16, cfg=None):
     """Full jitted multimodal train step — fwd+bwd+AdamW with remat, the
-    four FULL vision towers frozen (stop_gradient + optax multi_transform,
-    no moments allocated for them), five-crop 448px images, the real 1455
-    image-word splice, and a ~1B bf16 decoder (largest single-chip-trainable
-    config: towers 3.4 GB + decoder 1.9 GB + bf16 adam moments).
+    four FULL vision towers frozen via the PARTITIONED step (the towers get
+    no backward pass at all and no optimizer state — the multi_transform
+    route still backpropped through them because the grad norm consumed
+    their grads), five-crop 448px images, the real 1455 image-word splice,
+    and a ~1B bf16 decoder (largest single-chip-trainable config: towers
+    3.4 GB + decoder 1.9 GB + bf16 adam moments).
 
     Returns tokens/s (spliced sequence tokens through the decoder) and a
     CONSERVATIVE MFU: decoder-only 6*N*tokens flops over the v5e bf16 peak
@@ -578,9 +580,8 @@ def bench_train_step(rounds=3, batch=4, text_len=256, dec_dim=2048,
         x.size for x in jax.tree_util.tree_leaves(params["llama"])
     )
 
-    optimizer = make_optimizer(
-        1e-4, max_grad_norm=8.0, trainable_mask=ens5.trainable_mask(params)
-    )
+    mask = ens5.trainable_mask(params)
+    optimizer = make_optimizer(1e-4, max_grad_norm=8.0)
 
     def loss_fn(p, batch_):
         logits = ens5.forward(
@@ -589,9 +590,11 @@ def bench_train_step(rounds=3, batch=4, text_len=256, dec_dim=2048,
         return next_token_loss(logits, batch_["labels"])
 
     train_step = jax.jit(
-        make_train_step(loss_fn, optimizer, accum_steps=1), donate_argnums=0
+        make_train_step(loss_fn, optimizer, accum_steps=1,
+                        trainable_mask=mask),
+        donate_argnums=0,
     )
-    state = jax.jit(lambda p: TrainState.create(p, optimizer))(params)
+    state = jax.jit(lambda p: TrainState.create(p, optimizer, mask))(params)
 
     batch_ = {
         "examples": jnp.ones((batch, text_len), jnp.int32),
