@@ -625,11 +625,13 @@ def bench_train_step(rounds=3, batch=4, text_len=256, dec_dim=2048,
     }
 
 
-def _preflight(timeout_s: float = 300.0) -> bool:
+def _preflight(timeout_s: float = 600.0) -> bool:
     """True iff the device answers a trivial op within ``timeout_s``. The
     axon relay can go down for hours (CLAUDE.md); without this the whole
-    bench hangs instead of reporting. 300 s covers the relay's ~100 s
-    first-readback handshake."""
+    bench hangs instead of reporting. The ~100 s first-readback handshake
+    fits easily; the rest of the window rides out short relay flaps (the
+    round-2 bench was a failure record because the relay was down at the
+    driver's run — a longer single probe is the cheap insurance)."""
     import threading
 
     ok = threading.Event()
@@ -688,7 +690,7 @@ def main(only=None, watchdog_s: float = 3000.0):
                     "value": "failed: device unresponsive (relay down?)",
                     "unit": "tokens/s/chip",
                     "vs_baseline": 1.0,
-                    "detail": {"preflight": "no device response in 300s"},
+                    "detail": {"preflight": "no device response in 600s"},
                 }
             )
         )
