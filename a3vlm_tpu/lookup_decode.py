@@ -6,8 +6,8 @@ fixed-format number lists, phrases copied from the instruction), so the
 NEXT tokens frequently already appear after an earlier occurrence of the
 current bigram. Each iteration:
 
-1. finds the most recent earlier occurrence of the last emitted bigram in
-   [prompt + generated so far] (vectorized match, in-jit),
+1. finds the most recent earlier occurrence of the longest suffix n-gram
+   (n up to 4) in [prompt + generated so far] (vectorized match, in-jit),
 2. takes the K-1 tokens that followed it as a DRAFT,
 3. runs ONE K-token verify forward through the decode cache (batch-1
    decode is weight-bandwidth bound — a K-token step streams the same
@@ -98,24 +98,32 @@ def lookup_generate(
             lg = lg.at[..., vocab_limit:].set(-jnp.inf)
         return lg
 
-    def find_draft(buf, n_buf, last_tok):
-        """Most recent i < n_buf-1 with buf[i]==buf[n_buf-2] and
-        buf[i+1]==buf[n_buf-1]; draft = buf[i+2 : i+2+K-1]."""
-        b0 = buf[jnp.maximum(n_buf - 2, 0)]
-        b1 = buf[n_buf - 1]
+    def find_draft(buf, n_buf, last_tok, max_n: int = 4):
+        """Longest-suffix n-gram lookup (n = max_n .. 1): the most recent
+        i with buf[i : i+n] == buf[n_buf-n : n_buf] and i+n < n_buf;
+        draft = buf[i+n : i+n+K-1]. Longer matched context disambiguates
+        repeats (a bigram like ", 0" recurs all over a triad string; the
+        4-gram pins the right continuation), raising accepted-prefix
+        lengths at ~4 extra vector compares per round. Suffix-length
+        matches accumulate incrementally: hit_n[i] = (buf[i] ==
+        buf[n_buf-n]) & hit_{n-1}[i+1]."""
         idx = jnp.arange(BUF)
-        hit = (
-            (buf == b0)
-            & (jnp.roll(buf, -1) == b1)
-            & (idx + 2 < n_buf)  # strictly earlier occurrence
-            & (n_buf >= 2)
+        prev = jnp.ones((BUF,), bool)
+        cont_start = jnp.int32(-1)  # continuation start for the BEST n
+        for m in range(1, max_n + 1):
+            cmp = buf == buf[jnp.maximum(n_buf - m, 0)]
+            prev = cmp & (jnp.roll(prev, -1) if m > 1 else True)
+            # i+m < n_buf: continuation strictly earlier than the
+            # suffix's own occurrence (also kills n_buf <= m outright)
+            hit = prev & (idx + m < n_buf)
+            best = jnp.max(jnp.where(hit, idx, -1))
+            cont_start = jnp.where(best >= 0, best + m, cont_start)
+        found = cont_start >= 0
+        cont = jax.lax.dynamic_slice(
+            buf, (jnp.maximum(cont_start, 0),), (K - 1,)
         )
-        best = jnp.max(jnp.where(hit, idx, -1))
-        found = best >= 0
-        cont_start = jnp.maximum(best + 2, 0)
-        cont = jax.lax.dynamic_slice(buf, (cont_start,), (K - 1,))
-        # no match: draft repeats the last token (harmless; accepted=0
-        # still emits the one verified token)
+        # no match at any n: draft repeats the last token (harmless;
+        # accepted=0 still emits the one verified token)
         cont = jnp.where(found, cont, jnp.full((K - 1,), last_tok))
         return cont
 

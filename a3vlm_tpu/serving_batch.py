@@ -27,6 +27,7 @@ slot reuse needs no cache zeroing.
 from __future__ import annotations
 
 import functools
+import time
 from collections import deque
 from typing import Optional, Sequence
 
@@ -82,26 +83,34 @@ def _ragged_verify_step(params, args, cache, tokens, pos, vocab_limit):
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
 
 
-def _bigram_draft(ctx: list[int], k: int) -> list[int]:
-    """Host-side prompt-lookup drafting (lookup_decode.find_draft's numpy
-    twin): find the most recent EARLIER occurrence of the current last
-    bigram in the slot's token history and propose the ``k`` tokens that
-    followed it. No match -> repeat the last token (harmless: accepted=0
-    still emits the one verified token)."""
+def _lookup_draft(ctx: list[int], k: int, max_n: int = 4) -> list[int]:
+    """Host-side prompt-lookup drafting: find the most recent EARLIER
+    occurrence of the LONGEST current suffix n-gram (n = max_n .. 1) in
+    the slot's token history and propose the ``k`` tokens that followed
+    it. Longer matched context disambiguates repeats — on the templated
+    triad outputs a bigram like ", 0" recurs in many positions while the
+    4-gram pins the right one, so accepted-prefix lengths go up at zero
+    verify cost (the verify window is ``k`` wide either way; output stays
+    exactly greedy because every draft token is verified). No match at
+    any n -> repeat the last token (harmless: accepted=0 still emits the
+    one verified token)."""
     n = len(ctx)
     last = ctx[-1]
     if n >= 2:
         a = np.asarray(ctx, np.int64)
-        hits = np.flatnonzero(
-            (a[:-1] == ctx[-2]) & (a[1:] == last)
-        )
-        hits = hits[hits + 2 < n]  # strictly earlier occurrence
-        if hits.size:
-            start = int(hits[-1]) + 2
-            draft = ctx[start : start + k]
-            if len(draft) < k:
-                draft = draft + [last] * (k - len(draft))
-            return draft
+        for m in range(min(max_n, n - 1), 0, -1):
+            suf = a[n - m :]
+            # windows over a[:-1]: match starts i <= n-1-m, so the
+            # continuation start i+m <= n-1 is strictly earlier than the
+            # suffix's own occurrence (the bigram rule, generalized)
+            win = np.lib.stride_tricks.sliding_window_view(a[:-1], m)
+            hits = np.flatnonzero((win == suf).all(axis=1))
+            if hits.size:
+                start = int(hits[-1]) + m
+                draft = ctx[start : start + k]
+                if len(draft) < k:
+                    draft = draft + [last] * (k - len(draft))
+                return draft
     return [last] * k
 
 
@@ -305,6 +314,7 @@ class ContinuousBatcher:
         # drafting; maintained only in speculative mode
         self._ctx: list[list[int]] = [[] for _ in range(slots)]
         self.steps = 0  # batched ragged steps taken (for tests/metrics)
+        self.last_stats: Optional[dict] = None  # set by each generate()
 
     # -- internal ------------------------------------------------------------
 
@@ -427,7 +437,7 @@ class ContinuousBatcher:
         drafts = np.zeros((self.slots, K), np.int32)
         for slot in range(self.slots):
             if self._active[slot] is not None:
-                drafts[slot] = _bigram_draft(self._ctx[slot], K)
+                drafts[slot] = _lookup_draft(self._ctx[slot], K)
         window = np.concatenate(
             [self._host_tok, drafts], axis=1
         )  # [B, K+1]
@@ -469,8 +479,52 @@ class ContinuousBatcher:
                     break
             if done:
                 self._active[slot] = None
+                self._finish_t[idx] = time.perf_counter()
             else:
                 self._host_tok[slot, 0] = int(preds[slot, emitted - 1])
+
+    def _build_stats(self, t0: float, out_tokens: dict) -> dict:
+        """Per-request latency metrics for the finished generate() call
+        (stored as ``self.last_stats``): TTFT (queue wait + prefill — the
+        first token lands at admission), TPOT (decode seconds per token
+        after the first), and pool-level throughput. The production
+        serving numbers the reference never reports (its eval loop is
+        wall-clock-only, eval_affordance_v2.py:330-384)."""
+        per = []
+        for i, toks in out_tokens.items():
+            if i not in self._admit_t:
+                continue  # never admitted (caller aborted early)
+            ttft = self._admit_t[i] - t0
+            fin = self._finish_t.get(i, self._admit_t[i])
+            dec = max(fin - self._admit_t[i], 0.0)
+            n = len(toks)
+            per.append({
+                "tokens": n,
+                "ttft_s": ttft,
+                "tpot_ms": 1e3 * dec / (n - 1) if n > 1 else 0.0,
+            })
+        if not per:
+            return {"requests": 0}
+
+        def pct(vals, q):
+            v = sorted(vals)
+            return v[min(int(q * (len(v) - 1) + 0.5), len(v) - 1)]
+
+        ttfts = [p["ttft_s"] for p in per]
+        tpots = [p["tpot_ms"] for p in per if p["tokens"] > 1]
+        total = max(self._finish_t.values()) - t0
+        ntok = sum(p["tokens"] for p in per)
+        return {
+            "requests": len(per),
+            "total_s": total,
+            "tokens": ntok,
+            "tokens_per_sec": ntok / total if total > 0 else 0.0,
+            "ttft_p50_s": pct(ttfts, 0.5),
+            "ttft_p95_s": pct(ttfts, 0.95),
+            "tpot_p50_ms": pct(tpots, 0.5) if tpots else 0.0,
+            "tpot_p95_ms": pct(tpots, 0.95) if tpots else 0.0,
+            "per_request": per,
+        }
 
     # -- API -----------------------------------------------------------------
 
@@ -524,6 +578,11 @@ class ContinuousBatcher:
         queue = deque(range(len(reqs)))
         out_tokens: dict[int, list[int]] = {i: [] for i in range(len(reqs))}
         stops = {tok.eos_id, *additional_stop_tokens}
+        # per-request serving metrics (offline-batch semantics: every
+        # request "arrives" at t0, so TTFT includes its queue wait)
+        t0 = time.perf_counter()
+        self._admit_t: dict[int, float] = {}
+        self._finish_t: dict[int, float] = {}
 
         while queue or any(a is not None for a in self._active):
             # admission between steps
@@ -535,9 +594,11 @@ class ContinuousBatcher:
                         image=None if images is None else images[idx],
                         prefix=None if prefixes is None else prefixes[idx],
                     )
+                    self._admit_t[idx] = time.perf_counter()
                     out_tokens[idx].append(first)
                     if first in stops or gen_lims[idx] <= 1:
                         self._active[slot] = None
+                        self._finish_t[idx] = self._admit_t[idx]
             if not any(a is not None for a in self._active):
                 continue
 
@@ -580,7 +641,9 @@ class ContinuousBatcher:
                     )
                 if done:
                     self._active[slot] = None
+                    self._finish_t[idx] = time.perf_counter()
 
+        self.last_stats = self._build_stats(t0, out_tokens)
         results = []
         for i in range(len(reqs)):
             toks = out_tokens[i]

@@ -124,6 +124,12 @@ def main():
         f"{total_gen / cb_s:.1f} gen tok/s, {cb.steps} batched steps",
         flush=True,
     )
+    s = cb.last_stats
+    print(
+        f"  ttft p50/p95: {s['ttft_p50_s']:.3f}/{s['ttft_p95_s']:.3f} s, "
+        f"tpot p50/p95: {s['tpot_p50_ms']:.2f}/{s['tpot_p95_ms']:.2f} ms",
+        flush=True,
+    )
 
     # --- speculative continuous batching (optional leg) ----------------------
     if a.draft_k:

@@ -577,3 +577,41 @@ def test_continuous_batcher_near_max_prompt_unaligned_prefix(tiny_tokenizer):
     assert prefix.length == plen
     got = cb.generate([text_words], max_gen_len=2, prefixes=[prefix])
     assert got == expected
+
+
+def test_lookup_draft_longest_suffix_wins():
+    """The drafter prefers the LONGEST matching suffix n-gram: here the
+    final bigram [3, 4] most recently recurs with continuation 8, but the
+    full 4-gram [5, 2, 3, 4] matches earlier with continuation 9 — the
+    4-gram must win (templated triad strings repeat short fragments all
+    over; longer matched context pins the right continuation)."""
+    from a3vlm_tpu.serving_batch import _lookup_draft
+
+    ctx = [5, 2, 3, 4, 9, 9, 1, 3, 4, 8, 5, 2, 3, 4]
+    assert _lookup_draft(ctx, 3) == [9, 9, 1]
+    # no 4-gram match: falls back to the most recent bigram
+    ctx2 = [1, 3, 4, 8, 0, 6, 3, 4]
+    assert _lookup_draft(ctx2, 2) == [8, 0]
+    # no match at any n: repeat the last token
+    assert _lookup_draft([7, 7, 5], 3) == [5, 5, 5]
+    # match whose continuation runs off the end gets last-token padding
+    assert _lookup_draft([2, 6, 9, 2, 6], 3) == [9, 2, 6]
+
+
+def test_continuous_batcher_serving_stats(tiny_tokenizer):
+    """generate() populates last_stats with per-request TTFT/TPOT and
+    pool throughput; counts line up with the returned generations."""
+    tok = tiny_tokenizer
+    args = _tiny_args(_padded_vocab(tok))
+    params = llama.init_llama_params(jax.random.PRNGKey(5), args)
+    prompts = ["detect all parts", "the answer is", "rotated bounding box"]
+    cb = ContinuousBatcher(params, args, tok, slots=2,
+                           vocab_limit=tok.n_words)
+    cb.generate(prompts, max_gen_len=5)
+    s = cb.last_stats
+    assert s["requests"] == len(prompts)
+    assert s["tokens"] >= len(prompts)  # >= one token per request
+    assert s["tokens_per_sec"] > 0
+    assert 0 <= s["ttft_p50_s"] <= s["ttft_p95_s"]
+    assert 0 <= s["tpot_p50_ms"] <= s["tpot_p95_ms"]
+    assert len(s["per_request"]) == len(prompts)
