@@ -204,6 +204,7 @@ def run_eval_continuous(
         groups.setdefault(it["image_path"], []).append(it)
 
     outputs = []
+    agg = {"tokens": 0, "total_s": 0.0, "tpots": [], "ttfts": []}
     for img_path, items in groups.items():
         prefix = cb.make_prefix(image=np.asarray(items[0]["image"]))
         results = cb.generate(
@@ -217,6 +218,13 @@ def run_eval_continuous(
             ],
         )
         del prefix  # one image's KV prefix at a time (HBM)
+        s = cb.last_stats
+        if s and s.get("requests"):
+            agg["tokens"] += s["tokens"]
+            agg["total_s"] += s["total_s"]
+            agg["tpots"] += [p["tpot_ms"] for p in s["per_request"]
+                             if p["tokens"] > 1]
+            agg["ttfts"] += [p["ttft_s"] for p in s["per_request"]]
         for it, raw in zip(items, results):
             answer = extract_answer(raw)
             dt_bbox = format_bounding_box(answer)
@@ -230,6 +238,19 @@ def run_eval_continuous(
                     "fail": check_box_failed(dt_bbox),
                 }
             )
+    if agg["ttfts"]:
+        def pct(v, q):
+            v = sorted(v)
+            return v[min(int(q * (len(v) - 1) + 0.5), len(v) - 1)]
+
+        tp = agg["tpots"] or [0.0]
+        print(
+            f"serving: {agg['tokens']} tokens in {agg['total_s']:.1f}s "
+            f"({agg['tokens'] / max(agg['total_s'], 1e-9):.1f} tok/s), "
+            f"ttft p50/p95 {pct(agg['ttfts'], .5):.3f}/"
+            f"{pct(agg['ttfts'], .95):.3f} s, "
+            f"tpot p50/p95 {pct(tp, .5):.1f}/{pct(tp, .95):.1f} ms"
+        )
     return outputs
 
 

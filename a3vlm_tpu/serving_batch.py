@@ -315,6 +315,10 @@ class ContinuousBatcher:
         self._ctx: list[list[int]] = [[] for _ in range(slots)]
         self.steps = 0  # batched ragged steps taken (for tests/metrics)
         self.last_stats: Optional[dict] = None  # set by each generate()
+        # per-request admit/finish timestamps — generate() resets these
+        # per call; an OnlineSession installs its own session-scoped dicts
+        self._admit_t: dict[int, float] = {}
+        self._finish_t: dict[int, float] = {}
 
     # -- internal ------------------------------------------------------------
 
@@ -483,6 +487,46 @@ class ContinuousBatcher:
             else:
                 self._host_tok[slot, 0] = int(preds[slot, emitted - 1])
 
+    def _decode_round(self, out_tokens, gen_lims, stops,
+                      additional_stop_symbols):
+        """One vanilla batched ragged step over all slots + per-slot
+        bookkeeping (stop tokens/symbols, gen limits, length caps)."""
+        tok = self.tokenizer
+        self._rng, sub = jax.random.split(self._rng)
+        nxt, self.cache = _ragged_step(
+            self.params, self.args, self.cache,
+            jnp.asarray(self._host_tok),
+            jnp.asarray(self._host_pos.astype(np.int32)),
+            sub, self.vocab_limit, self._temperature, self._top_p,
+        )
+        self.steps += 1
+        nxt_host = np.asarray(nxt)
+        for slot in range(self.slots):
+            idx = self._active[slot]
+            if idx is None:
+                continue  # idle slot: token/pos unchanged (rewrites
+                # its own last row harmlessly)
+            t = int(nxt_host[slot])
+            out_tokens[idx].append(t)
+            self._host_pos[slot] += 1
+            self._host_tok[slot, 0] = t
+            done = (
+                t in stops
+                or len(out_tokens[idx]) >= gen_lims[idx]
+                or self._host_pos[slot] + 1 >= self.max_seq_len
+            )
+            if not done and additional_stop_symbols:
+                # multi-token stop strings (the '###' conversation
+                # separator): host-side suffix check on the decoded
+                # tail, like Generator's in-loop stop matching
+                tail = tok.decode(out_tokens[idx][-8:])
+                done = any(
+                    sym in tail for sym in additional_stop_symbols
+                )
+            if done:
+                self._active[slot] = None
+                self._finish_t[idx] = time.perf_counter()
+
     def _build_stats(self, t0: float, out_tokens: dict) -> dict:
         """Per-request latency metrics for the finished generate() call
         (stored as ``self.last_stats``): TTFT (queue wait + prefill — the
@@ -527,6 +571,22 @@ class ContinuousBatcher:
         }
 
     # -- API -----------------------------------------------------------------
+
+    def online(self, temperature: float = 0.0, top_p: float = 0.95,
+               additional_stop_tokens: Sequence[int] = (),
+               additional_stop_symbols: Sequence[str] = ()):
+        """Open an arrival-time serving session over this pool: requests
+        ``submit()`` at any time and are admitted as slots free up; each
+        ``step()`` advances every active slot one round. The true online
+        counterpart of ``generate()``'s offline-batch mode (sampling
+        config is pooled — one jitted step serves every slot — so it is
+        fixed per session, not per request). Do not interleave ``generate``
+        calls with an open session (both own the slot pool)."""
+        return OnlineSession(
+            self, temperature=temperature, top_p=top_p,
+            additional_stop_tokens=additional_stop_tokens,
+            additional_stop_symbols=additional_stop_symbols,
+        )
 
     def generate(
         self,
@@ -606,42 +666,10 @@ class ContinuousBatcher:
                 self._speculative_round(
                     out_tokens, gen_lims, stops, additional_stop_symbols
                 )
-                continue
-
-            self._rng, sub = jax.random.split(self._rng)
-            nxt, self.cache = _ragged_step(
-                self.params, self.args, self.cache,
-                jnp.asarray(self._host_tok),
-                jnp.asarray(self._host_pos.astype(np.int32)),
-                sub, self.vocab_limit, self._temperature, self._top_p,
-            )
-            self.steps += 1
-            nxt_host = np.asarray(nxt)
-            for slot in range(self.slots):
-                idx = self._active[slot]
-                if idx is None:
-                    continue  # idle slot: token/pos unchanged (rewrites
-                    # its own last row harmlessly)
-                t = int(nxt_host[slot])
-                out_tokens[idx].append(t)
-                self._host_pos[slot] += 1
-                self._host_tok[slot, 0] = t
-                done = (
-                    t in stops
-                    or len(out_tokens[idx]) >= gen_lims[idx]
-                    or self._host_pos[slot] + 1 >= self.max_seq_len
+            else:
+                self._decode_round(
+                    out_tokens, gen_lims, stops, additional_stop_symbols
                 )
-                if not done and additional_stop_symbols:
-                    # multi-token stop strings (the '###' conversation
-                    # separator): host-side suffix check on the decoded
-                    # tail, like Generator's in-loop stop matching
-                    tail = tok.decode(out_tokens[idx][-8:])
-                    done = any(
-                        sym in tail for sym in additional_stop_symbols
-                    )
-                if done:
-                    self._active[slot] = None
-                    self._finish_t[idx] = time.perf_counter()
 
         self.last_stats = self._build_stats(t0, out_tokens)
         results = []
@@ -656,3 +684,163 @@ class ContinuousBatcher:
                     text = text.split(sym)[0]
             results.append(text)
         return results
+
+class OnlineSession:
+    """Arrival-time continuous batching (the production serving loop the
+    reference lacks — its server decodes lockstep batches only,
+    multi_gpu_wrapper.py:260-320): ``submit()`` enqueues a request at any
+    time and returns a request id; ``step()`` admits queued requests into
+    free slots then advances every active slot one round (one token — or
+    one speculative verify window when the pool has ``draft_k``);
+    ``poll()`` reads a request's output so far; ``drain()`` steps until
+    idle. Output per request is exactly what ``generate()`` produces for
+    the same prompt; TTFT in ``stats()`` is measured from SUBMIT time
+    (true arrival), not batch start."""
+
+    def __init__(self, cb: ContinuousBatcher, temperature: float = 0.0,
+                 top_p: float = 0.95,
+                 additional_stop_tokens: Sequence[int] = (),
+                 additional_stop_symbols: Sequence[str] = ()):
+        assert not (cb.draft_k and temperature != 0.0), (
+            "speculative continuous batching (draft_k > 0) is greedy-only"
+        )
+        self.cb = cb
+        cb._temperature = float(temperature)
+        cb._top_p = float(top_p)
+        # session-scoped timestamp sinks (the round methods write into
+        # these via the batcher)
+        cb._admit_t = {}
+        cb._finish_t = {}
+        self.stops = {cb.tokenizer.eos_id, *additional_stop_tokens}
+        self.stop_syms = tuple(additional_stop_symbols)
+        self.queue: deque[int] = deque()
+        self.out_tokens: dict[int, list[int]] = {}
+        self.gen_lims: dict[int, int] = {}
+        self._toks: dict[int, list[int]] = {}
+        self._images: dict = {}
+        self._prefixes: dict = {}
+        self._arrival: dict[int, float] = {}
+        self._next_id = 0
+
+    def submit(self, prompt: str, max_gen_len: int = 64, image=None,
+               prefix: Optional[CachedPrefix] = None) -> int:
+        """Enqueue one request; returns its id (admitted at a later
+        ``step()`` when a slot frees). Capacity-checked like generate()."""
+        cb = self.cb
+        toks = cb.tokenizer.encode(prompt, bos=True, eos=False)
+        n = len(toks)
+        if prefix is not None:
+            w = prefix.length
+            if toks and toks[0] == cb.tokenizer.bos_id:
+                n -= 1  # prefix owns BOS; admission splices text only
+        else:
+            w = (
+                cb.ens5_cfg.image_words
+                if image is not None and cb.ens5_cfg is not None else 0
+            )
+        assert n + w + max_gen_len <= cb.max_seq_len, (
+            n, w, max_gen_len, cb.max_seq_len,
+        )
+        rid = self._next_id
+        self._next_id += 1
+        self._toks[rid] = toks
+        self._images[rid] = image
+        self._prefixes[rid] = prefix
+        self.gen_lims[rid] = int(max_gen_len)
+        self.out_tokens[rid] = []
+        self._arrival[rid] = time.perf_counter()
+        self.queue.append(rid)
+        return rid
+
+    def step(self) -> int:
+        """Admit what fits, advance one round; returns outstanding work
+        (active slots + queued requests) — 0 means idle."""
+        cb = self.cb
+        for slot in range(cb.slots):
+            if cb._active[slot] is None and self.queue:
+                rid = self.queue.popleft()
+                first = cb._admit(
+                    slot, rid, self._toks[rid],
+                    image=self._images.pop(rid, None),
+                    prefix=self._prefixes.pop(rid, None),
+                )
+                cb._admit_t[rid] = time.perf_counter()
+                self.out_tokens[rid].append(first)
+                if first in self.stops or self.gen_lims[rid] <= 1:
+                    cb._active[slot] = None
+                    cb._finish_t[rid] = cb._admit_t[rid]
+        if any(a is not None for a in cb._active):
+            if cb.draft_k:
+                cb._speculative_round(
+                    self.out_tokens, self.gen_lims, self.stops,
+                    self.stop_syms,
+                )
+            else:
+                cb._decode_round(
+                    self.out_tokens, self.gen_lims, self.stops,
+                    self.stop_syms,
+                )
+        return (
+            sum(a is not None for a in cb._active) + len(self.queue)
+        )
+
+    def poll(self, rid: int) -> dict:
+        """Snapshot one request: ``done``, raw ``tokens`` so far, and
+        ``text`` with stop tokens/symbols stripped (generate()'s exact
+        postprocessing, applied incrementally)."""
+        toks = list(self.out_tokens.get(rid, ()))
+        for s in self.stops:
+            if s in toks:
+                toks = toks[: toks.index(s)]
+        text = self.cb.tokenizer.decode(toks)
+        for sym in self.stop_syms:
+            if sym in text:
+                text = text.split(sym)[0]
+        return {
+            "done": rid in self.cb._finish_t,
+            "tokens": list(self.out_tokens.get(rid, ())),
+            "text": text,
+        }
+
+    def drain(self) -> None:
+        while self.step():
+            pass
+
+    def stats(self) -> dict:
+        """Per-request serving metrics over everything finished so far:
+        TTFT from SUBMIT (arrival) time, TPOT, throughput percentiles —
+        same schema as ContinuousBatcher.last_stats."""
+        cb = self.cb
+        per = []
+        for rid, fin in cb._finish_t.items():
+            adm = cb._admit_t[rid]
+            n = len(self.out_tokens[rid])
+            per.append({
+                "tokens": n,
+                "ttft_s": adm - self._arrival[rid],
+                "tpot_ms": 1e3 * max(fin - adm, 0.0) / (n - 1)
+                if n > 1 else 0.0,
+            })
+        if not per:
+            return {"requests": 0}
+
+        def pct(vals, q):
+            v = sorted(vals)
+            return v[min(int(q * (len(v) - 1) + 0.5), len(v) - 1)]
+
+        t0 = min(self._arrival.values())
+        total = max(cb._finish_t.values()) - t0
+        ttfts = [p["ttft_s"] for p in per]
+        tpots = [p["tpot_ms"] for p in per if p["tokens"] > 1]
+        ntok = sum(p["tokens"] for p in per)
+        return {
+            "requests": len(per),
+            "total_s": total,
+            "tokens": ntok,
+            "tokens_per_sec": ntok / total if total > 0 else 0.0,
+            "ttft_p50_s": pct(ttfts, 0.5),
+            "ttft_p95_s": pct(ttfts, 0.95),
+            "tpot_p50_ms": pct(tpots, 0.5) if tpots else 0.0,
+            "tpot_p95_ms": pct(tpots, 0.95) if tpots else 0.0,
+            "per_request": per,
+        }

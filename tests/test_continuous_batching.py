@@ -615,3 +615,64 @@ def test_continuous_batcher_serving_stats(tiny_tokenizer):
     assert 0 <= s["ttft_p50_s"] <= s["ttft_p95_s"]
     assert 0 <= s["tpot_p50_ms"] <= s["tpot_p95_ms"]
     assert len(s["per_request"]) == len(prompts)
+
+
+@pytest.mark.parametrize("draft_k", [0, 3])
+def test_online_session_matches_generate(tiny_tokenizer, draft_k):
+    """OnlineSession (submit/step/poll) reproduces generate()'s outputs
+    exactly, including requests submitted MID-STREAM while earlier ones
+    are still decoding — the arrival pattern generate() cannot express."""
+    tok = tiny_tokenizer
+    args = _tiny_args(_padded_vocab(tok))
+    params = llama.init_llama_params(jax.random.PRNGKey(7), args)
+    prompts = [
+        "### Human: detect all manipulable object parts",
+        "the answer is",
+        "provide the joint's type and its 2D rotated bounding box",
+        "rotated bounding box",
+        "Hi my darling",
+    ]
+    gens = [6, 4, 7, 3, 5]
+    expected = ContinuousBatcher(
+        params, args, tok, slots=2, vocab_limit=tok.n_words,
+        draft_k=draft_k,
+    ).generate(prompts, max_gen_len=gens)
+
+    cb = ContinuousBatcher(params, args, tok, slots=2,
+                           vocab_limit=tok.n_words, draft_k=draft_k)
+    sess = cb.online()
+    rids = [sess.submit(p, max_gen_len=g)
+            for p, g in zip(prompts[:3], gens[:3])]
+    for _ in range(3):  # overlap: late arrivals land mid-decode
+        sess.step()
+    rids += [sess.submit(p, max_gen_len=g)
+             for p, g in zip(prompts[3:], gens[3:])]
+    sess.drain()
+    got = [sess.poll(r) for r in rids]
+    assert all(g["done"] for g in got)
+    assert [g["text"] for g in got] == expected
+
+    s = sess.stats()
+    assert s["requests"] == len(prompts)
+    assert s["tokens_per_sec"] > 0
+    # late submissions were admitted after arrival: TTFT is sane
+    assert all(p["ttft_s"] >= 0 for p in s["per_request"])
+
+
+def test_online_session_poll_before_done(tiny_tokenizer):
+    """poll() mid-decode returns the partial text; queued-but-unadmitted
+    requests read as empty and not done."""
+    tok = tiny_tokenizer
+    args = _tiny_args(_padded_vocab(tok))
+    params = llama.init_llama_params(jax.random.PRNGKey(9), args)
+    cb = ContinuousBatcher(params, args, tok, slots=1,
+                           vocab_limit=tok.n_words)
+    sess = cb.online()
+    r0 = sess.submit("detect all parts", max_gen_len=8)
+    r1 = sess.submit("the answer is", max_gen_len=4)  # waits for the slot
+    sess.step()
+    p0, p1 = sess.poll(r0), sess.poll(r1)
+    assert len(p0["tokens"]) >= 1
+    assert p1 == {"done": False, "tokens": [], "text": ""}
+    sess.drain()
+    assert sess.poll(r0)["done"] and sess.poll(r1)["done"]
