@@ -6,9 +6,12 @@ whole batch to finish before admitting more work).
 Design: a fixed pool of B cache SLOTS over one layered bhsd KV cache
 (static shapes — nothing recompiles as requests come and go):
 
-- admission: a free slot prefills its request alone (batch-1 prefill into
-  a temp cache sized to the prompt) and the panels are scattered into the
-  slot's rows of the pooled cache.
+- admission: a free slot prefills its request (batch-1 prefill into a
+  temp cache sized to the prompt) and the panels are scattered into the
+  slot's rows of the pooled cache. When several slots free at once,
+  same-bucket admissions run as ONE batched prefill (``_admit_many`` —
+  B requests stream the weights once instead of B times; the start of an
+  eval group admits ~12 same-prefix questions together).
 - decode: ONE jitted ragged step advances every slot per iteration
   (`llama.decode_step_ragged` — per-slot positions/valid lengths; the
   decode-attention kernel takes per-row valid natively, so ragged costs
@@ -150,8 +153,9 @@ def _prefill_jit(params, args, cache, tokens, image_tokens, last_idx, rng,
         params, args, h, jnp.arange(S), "causal", cache=cache,
         write_pos=0, attend_cache=False,
     )
-    h_last = jax.lax.dynamic_index_in_dim(h, last_idx, axis=1,
-                                          keepdims=False)
+    # last_idx [B]: per-row true last position (batched admission packs
+    # requests of different true lengths into one bucket-padded prefill)
+    h_last = jnp.take_along_axis(h, last_idx[:, None, None], axis=1)[:, 0]
     h_last = rms_norm(h_last, params["norm"]["weight"], args.norm_eps)
     logits = qmat(h_last, params["output"]["weight"]).astype(jnp.float32)
     return _pick(logits, rng, vocab_limit, temperature, top_p), cache
@@ -186,8 +190,7 @@ def _extend_jit(params, args, cache, tokens, start, last_idx, rng,
     from a3vlm_tpu.ops.norms import rms_norm
     from a3vlm_tpu.ops.quant_matmul import qmat
 
-    h_last = jax.lax.dynamic_index_in_dim(out, last_idx, axis=1,
-                                          keepdims=False)
+    h_last = jnp.take_along_axis(out, last_idx[:, None, None], axis=1)[:, 0]
     h_last = rms_norm(h_last, params["norm"]["weight"], args.norm_eps)
     logits = qmat(h_last, params["output"]["weight"]).astype(jnp.float32)
     return _pick(logits, rng, vocab_limit, temperature, top_p), cache
@@ -196,11 +199,13 @@ def _extend_jit(params, args, cache, tokens, start, last_idx, rng,
 @functools.partial(jax.jit, static_argnames=("rows",), donate_argnames=("dst",))
 def _copy_prefix(dst, src, rows: int):
     """Copy the first ``rows`` cache rows of a batch-1 prefix cache into a
-    (longer) batch-1 temp cache."""
+    (longer) temp cache, broadcasting over the temp's batch dim (batched
+    admission shares one prefix across every row)."""
 
     def put(d, s):
         sl = (slice(None), slice(None), slice(0, rows))
-        return d.at[sl].set(s[sl].astype(d.dtype))
+        v = s[sl].astype(d.dtype)
+        return d.at[sl].set(jnp.broadcast_to(v, d[sl].shape))
 
     return jax.tree_util.tree_map(put, dst, src)
 
@@ -230,6 +235,23 @@ def _write_slot(cache, temp, slot):
         # pool [B, H, S, D] or [B, H, S]; tmp [1, h, s(, d)]
         idx = (slot,) + (0,) * (pool.ndim - 1)
         return jax.lax.dynamic_update_slice(pool, tmp.astype(pool.dtype), idx)
+
+    return jax.tree_util.tree_map(put, cache, temp)
+
+
+@functools.partial(jax.jit, donate_argnames=("cache",))
+def _write_slots(cache, temp, slots):
+    """Scatter a batch-B temp cache's panels into B pooled-cache slots
+    (``slots`` [B] int32, traced). One dispatch for the whole admission
+    group instead of B ``_write_slot`` calls."""
+
+    def put(pool, tmp):
+        def body(i, p):
+            row = jax.lax.dynamic_slice_in_dim(tmp, i, 1, 0)
+            idx = (slots[i],) + (0,) * (p.ndim - 1)
+            return jax.lax.dynamic_update_slice(p, row.astype(p.dtype), idx)
+
+        return jax.lax.fori_loop(0, tmp.shape[0], body, pool)
 
     return jax.tree_util.tree_map(put, cache, temp)
 
@@ -344,7 +366,8 @@ class ContinuousBatcher:
         _, cache1 = _prefill_jit(
             self.params, self.args, cache1,
             jnp.asarray([toks], jnp.int32), image_tokens,
-            jnp.int32(length - 1), sub, self.vocab_limit, 0.0, 1.0,
+            jnp.asarray([length - 1], jnp.int32), sub,
+            self.vocab_limit, 0.0, 1.0,
         )
         return CachedPrefix(cache1, length, tokens=toks)
 
@@ -381,7 +404,7 @@ class ContinuousBatcher:
         first_arr, temp = _extend_jit(
             self.params, self.args, temp,
             jnp.asarray([padded], jnp.int32), prefix.length,
-            jnp.int32(len(text) - 1), sub,
+            jnp.asarray([len(text) - 1], jnp.int32), sub,
             self.vocab_limit, self._temperature, self._top_p,
         )
         first = int(first_arr[0])
@@ -417,7 +440,7 @@ class ContinuousBatcher:
         self._rng, sub = jax.random.split(self._rng)
         first_arr, cache1 = _prefill_jit(
             self.params, self.args, cache1, tokens, image_tokens,
-            jnp.int32(spliced - 1), sub,
+            jnp.asarray([spliced - 1], jnp.int32), sub,
             self.vocab_limit, self._temperature, self._top_p,
         )
         first = int(first_arr[0])
@@ -427,6 +450,109 @@ class ContinuousBatcher:
         self._active[slot] = req_idx
         self._ctx[slot] = list(toks) + [first]
         return first
+
+    def _admit_group(self, items, Tb: int, prefix: Optional[CachedPrefix]):
+        """Batched admission: B same-bucket requests prefilled in ONE
+        forward (items: [(slot, req_idx, text_tokens)]). Sequential
+        batch-1 admissions each stream the full weight set; when several
+        slots free at once (start of an eval group: ~12 questions sharing
+        one image prefix admit together) batching divides that weight
+        traffic by B. Admission-group sizes are split to powers of two
+        upstream so compile shapes stay bounded."""
+        dtype = kv_cache_dtype(self.kv_bits)
+        B = len(items)
+        start = prefix.length if prefix is not None else 0
+        total = -(-(start + Tb) // 8) * 8
+        temp = llama.KVCache.create(
+            self.args, B, max_seq_len=total, dtype=dtype, layered=True
+        )
+        padded = [list(t) + [0] * (Tb - len(t)) for _, _, t in items]
+        last = [len(t) - 1 for _, _, t in items]
+        self._rng, sub = jax.random.split(self._rng)
+        if prefix is not None:
+            temp = _copy_prefix(temp, prefix.cache, prefix.length)
+            firsts, temp = _extend_jit(
+                self.params, self.args, temp,
+                jnp.asarray(padded, jnp.int32), start,
+                jnp.asarray(last, jnp.int32), sub,
+                self.vocab_limit, self._temperature, self._top_p,
+            )
+        else:
+            firsts, temp = _prefill_jit(
+                self.params, self.args, temp,
+                jnp.asarray(padded, jnp.int32), None,
+                jnp.asarray(last, jnp.int32), sub,
+                self.vocab_limit, self._temperature, self._top_p,
+            )
+        self.cache = _write_slots(
+            self.cache, temp,
+            jnp.asarray([s for s, _, _ in items], jnp.int32),
+        )
+        firsts = np.asarray(firsts)
+        out = {}
+        for b, (slot, req_idx, text) in enumerate(items):
+            first = int(firsts[b])
+            self._host_tok[slot, 0] = first
+            self._host_pos[slot] = start + len(text)
+            self._active[slot] = req_idx
+            pre = list(prefix.tokens) if prefix is not None else []
+            self._ctx[slot] = pre + list(text) + [first]
+            out[req_idx] = first
+        return out
+
+    def _admit_many(self, items) -> dict:
+        """Admit a set of requests, batching where profitable. ``items``:
+        [(slot, req_idx, toks, image, prefix)]. Groupable: same bucket
+        AND same prefix object (or both prefix-free), text-only (image
+        admissions encode through the towers — left batch-1). Returns
+        {req_idx: first_token}."""
+        bos = self.tokenizer.bos_id
+        groups: dict = {}
+        singles = []
+        firsts: dict = {}
+        for it in items:
+            slot, req_idx, toks, image, prefix = it
+            if image is not None:
+                singles.append(it)
+                continue
+            if prefix is not None:
+                text = toks[1:] if toks and toks[0] == bos else toks
+                Tb = _bucket(len(text))
+                if -(-(prefix.length + Tb) // 8) * 8 > self.max_seq_len:
+                    singles.append(it)  # near-max: exact-Tb batch-1 path
+                    continue
+                groups.setdefault((id(prefix), Tb), []).append(
+                    (slot, req_idx, text, prefix)
+                )
+            else:
+                Tb = _bucket(len(toks))
+                if -(-Tb // 8) * 8 > self.max_seq_len:
+                    singles.append(it)
+                    continue
+                groups.setdefault((None, Tb), []).append(
+                    (slot, req_idx, toks, None)
+                )
+        for (_, Tb), g in groups.items():
+            while g:
+                take = next((c for c in (8, 4, 2) if len(g) >= c), 1)
+                chunk, g = g[:take], g[take:]
+                if take == 1:
+                    slot, req_idx, text, prefix = chunk[0]
+                    singles.append(
+                        (slot, req_idx, text, None, prefix)
+                        if prefix is not None
+                        else (slot, req_idx, text, None, None)
+                    )
+                    continue
+                prefix = chunk[0][3]
+                firsts.update(self._admit_group(
+                    [(s, r, t) for s, r, t, _ in chunk], Tb, prefix
+                ))
+        for slot, req_idx, toks, image, prefix in singles:
+            firsts[req_idx] = self._admit(
+                slot, req_idx, toks, image=image, prefix=prefix
+            )
+        return firsts
 
     def _speculative_round(self, out_tokens, gen_lims, stops,
                            additional_stop_symbols):
@@ -645,20 +771,26 @@ class ContinuousBatcher:
         self._finish_t: dict[int, float] = {}
 
         while queue or any(a is not None for a in self._active):
-            # admission between steps
+            # admission between steps (batched where buckets/prefixes align)
+            pairs = []
             for slot in range(self.slots):
                 if self._active[slot] is None and queue:
                     idx = queue.popleft()
-                    first = self._admit(
+                    pairs.append((
                         slot, idx, reqs[idx],
-                        image=None if images is None else images[idx],
-                        prefix=None if prefixes is None else prefixes[idx],
-                    )
-                    self._admit_t[idx] = time.perf_counter()
+                        None if images is None else images[idx],
+                        None if prefixes is None else prefixes[idx],
+                    ))
+            if pairs:
+                firsts = self._admit_many(pairs)
+                now = time.perf_counter()
+                for slot, idx, *_ in pairs:
+                    first = firsts[idx]
+                    self._admit_t[idx] = now
                     out_tokens[idx].append(first)
                     if first in stops or gen_lims[idx] <= 1:
                         self._active[slot] = None
-                        self._finish_t[idx] = self._admit_t[idx]
+                        self._finish_t[idx] = now
             if not any(a is not None for a in self._active):
                 continue
 
@@ -756,19 +888,25 @@ class OnlineSession:
         """Admit what fits, advance one round; returns outstanding work
         (active slots + queued requests) — 0 means idle."""
         cb = self.cb
+        pairs = []
         for slot in range(cb.slots):
             if cb._active[slot] is None and self.queue:
                 rid = self.queue.popleft()
-                first = cb._admit(
+                pairs.append((
                     slot, rid, self._toks[rid],
-                    image=self._images.pop(rid, None),
-                    prefix=self._prefixes.pop(rid, None),
-                )
-                cb._admit_t[rid] = time.perf_counter()
+                    self._images.pop(rid, None),
+                    self._prefixes.pop(rid, None),
+                ))
+        if pairs:
+            firsts = cb._admit_many(pairs)
+            now = time.perf_counter()
+            for slot, rid, *_ in pairs:
+                first = firsts[rid]
+                cb._admit_t[rid] = now
                 self.out_tokens[rid].append(first)
                 if first in self.stops or self.gen_lims[rid] <= 1:
                     cb._active[slot] = None
-                    cb._finish_t[rid] = cb._admit_t[rid]
+                    cb._finish_t[rid] = now
         if any(a is not None for a in cb._active):
             if cb.draft_k:
                 cb._speculative_round(

@@ -676,3 +676,33 @@ def test_online_session_poll_before_done(tiny_tokenizer):
     assert p1 == {"done": False, "tokens": [], "text": ""}
     sess.drain()
     assert sess.poll(r0)["done"] and sess.poll(r1)["done"]
+
+
+@pytest.mark.parametrize("use_prefix", [False, True])
+def test_batched_admission_matches_single(tiny_tokenizer, use_prefix):
+    """4 same-bucket requests admitted into 4 free slots go through ONE
+    batched prefill (_admit_group); outputs must equal the slots=1
+    batcher, which admits strictly one at a time (never groups) — for
+    both plain and shared-prefix admission."""
+    tok = tiny_tokenizer
+    args = _tiny_args(_padded_vocab(tok))
+    params = llama.init_llama_params(jax.random.PRNGKey(21), args)
+    prompts = [
+        "detect all manipulable parts",
+        "the answer is a box",
+        "rotated bounding box now",
+        "Hi my darling again",
+    ]
+
+    def run(slots):
+        cb = ContinuousBatcher(params, args, tok, slots=slots,
+                               vocab_limit=tok.n_words)
+        kw = {}
+        if use_prefix:
+            pre = cb.make_prefix(
+                tokens=tok.encode("### system", bos=False, eos=False)
+            )
+            kw["prefixes"] = [pre] * len(prompts)
+        return cb.generate(prompts, max_gen_len=6, **kw)
+
+    assert run(4) == run(1)
