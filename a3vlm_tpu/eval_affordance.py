@@ -128,7 +128,12 @@ def run_eval(
     max_gen_len: int = 2048,
     temperature: float = 0.1,
     top_p: float = 0.75,
+    fsm=None,
 ) -> list[dict]:
+    """``fsm``: a constrained.TokenFsm — grammar-masks every generated
+    token so answers always parse (no repair path, no fail flags from
+    malformed boxes); pass via --constrained, which routes the task file
+    name through constrained.fsm_for_task."""
     outputs = []
     conv_sep = conv_templates["v1"]().response_end_signal
     for start in range(0, len(dataset), batch_size):
@@ -145,6 +150,7 @@ def run_eval(
             temperature=temperature,
             top_p=top_p,
             additional_stop_symbols=[conv_sep],
+            fsm=fsm,
         )
         for it, raw in zip(items, results):
             answer = extract_answer(raw)
@@ -293,6 +299,12 @@ def main(argv=None):
     parser.add_argument("--score", action="store_true",
                         help="print paper-style metrics for the results "
                         "file (tools/score_results.py)")
+    parser.add_argument("--constrained", action="store_true",
+                        help="grammar-constrained decoding: mask every "
+                        "generated token to the task's answer grammar "
+                        "(constrained.fsm_for_task routes by task file "
+                        "name; malformed triads become impossible, EOS "
+                        "only at grammar-complete answers)")
     parser.add_argument("--continuous_batching", action="store_true",
                         help="slot-pool serving with per-image KV-prefix "
                         "reuse (serving_batch.py); ~12 questions share "
@@ -382,7 +394,20 @@ def main(argv=None):
         existing_results=existing,
     )
     print(f"evaluating {len(dataset)} samples")
+    fsm = None
+    if args.constrained:
+        from a3vlm_tpu.constrained import fsm_for_task
+
+        tok = getattr(model, "tokenizer", None) or model.model.tokenizer
+        fsm = fsm_for_task(Path(args.dataset).stem, tok)
+        print(
+            f"constrained decoding: "
+            f"{'grammar FSM with %d states' % fsm.n_states if fsm else 'no grammar family matches this task; running unconstrained'}"
+        )
     if args.continuous_batching:
+        assert fsm is None, (
+            "--constrained is not supported with --continuous_batching yet"
+        )
         assert args.model_parallel_size == 1, (
             "continuous batching drives its own pooled cache; combine "
             "with MP by passing a sharded model through the API instead"
@@ -406,6 +431,7 @@ def main(argv=None):
             max_gen_len=args.max_gen_len,
             temperature=args.temperature,
             top_p=args.top_p,
+            fsm=fsm,
         )
     if existing:
         outputs.extend(existing)

@@ -165,6 +165,7 @@ def _generate_loop(
     params_transform=None,
     ops: GenOps = LLAMA_GEN_OPS,
     prefill_chunk: Optional[int] = None,
+    fsm_next: Optional[jnp.ndarray] = None,
 ):
     if params_transform is not None:
         # e.g. quant.dequantize_params: runs INSIDE jit so XLA fuses the
@@ -199,12 +200,18 @@ def _generate_loop(
     stop_pos = jnp.full((B,), start_pos + 1, jnp.int32)
 
     def cond(state):
-        cur_pos, _, _, stopped, _, _, _ = state
+        cur_pos, _, _, stopped, _, _, _, _ = state
         return (cur_pos < total_len) & ~jnp.all(stopped)
 
     def body(state):
-        cur_pos, tokens, cache, stopped, stop_pos, logits, rng = state
+        cur_pos, tokens, cache, stopped, stop_pos, logits, rng, fstate = state
         rng, sub = jax.random.split(rng)
+        if fsm_next is not None:
+            # grammar mask: tokens that would kill the answer DFA (or EOS
+            # outside an accepting state) can never be sampled
+            # (a3vlm_tpu.constrained). One [B]-row gather per step.
+            row = fsm_next[fstate]  # [B, V] int
+            logits = jnp.where(row >= 0, logits, -1e30)
         next_token = sample_token(sub, logits, temperature, top_p)
         in_prompt = jax.lax.dynamic_slice_in_dim(
             input_text_mask, cur_pos, 1, axis=1
@@ -228,15 +235,27 @@ def _generate_loop(
             stop_pos = jnp.where(new_stop, cur_pos + 1 - L, stop_pos)
             stopped = stopped | new_stop
 
+        if fsm_next is not None:
+            # advance per-row DFA state on GENERATED tokens only (prompt
+            # forcing and post-stop sampling never move the grammar)
+            nf = fsm_next[fstate, next_token].astype(fstate.dtype)
+            fstate = jnp.where(
+                in_prompt | stopped, fstate, jnp.maximum(nf, 0)
+            )
+
         logits, cache = ops.decode_step(
             params, args, cache, next_token[:, None],
             cur_pos + image_words, impl,
         )
         logits = mask_pad_vocab(logits)
-        return (cur_pos + 1, tokens, cache, stopped, stop_pos, logits, rng)
+        return (cur_pos + 1, tokens, cache, stopped, stop_pos, logits, rng,
+                fstate)
 
-    state = (jnp.int32(start_pos), tokens, cache, stopped, stop_pos, logits, rng)
-    _, tokens, _, stopped, stop_pos, _, _ = jax.lax.while_loop(cond, body, state)
+    fstate0 = jnp.zeros((B,), jnp.int32)
+    state = (jnp.int32(start_pos), tokens, cache, stopped, stop_pos, logits,
+             rng, fstate0)
+    _, tokens, _, stopped, stop_pos, _, _, _ = jax.lax.while_loop(
+        cond, body, state)
     # elements that never hit a stop keep the final stop_pos (== last filled+1)
     return tokens, stop_pos
 
@@ -315,7 +334,11 @@ class Generator:
         additional_stop_symbols: Iterable[str] = (),
         seed: int = 0,
         impl: str = "auto",
+        fsm=None,
     ) -> list[str]:
+        """``fsm``: a ``constrained.TokenFsm`` — every generated token is
+        masked to the answer grammar (malformed triads become impossible;
+        EOS only in accepting states). Works with greedy and top-p."""
         if isinstance(prompts, str):
             raise ValueError("generate expects a batched LIST of prompts")
         bsz = len(prompts)
@@ -358,6 +381,23 @@ class Generator:
         if image_tokens is not None:
             image_tokens = self._shard_batched(image_tokens)
 
+        fsm_next = None
+        if fsm is not None:
+            nxt = fsm.next_state
+            pad = args.vocab_size - nxt.shape[1]
+            assert pad >= 0, (nxt.shape, "fsm table wider than logits")
+            if pad:  # lane-padded vocab tail: never legal
+                nxt = np.pad(nxt, ((0, 0), (0, pad)), constant_values=-1)
+            fsm_next = jnp.asarray(np.ascontiguousarray(nxt, np.int32))
+            if self.mesh is not None:
+                from jax.sharding import (
+                    NamedSharding, PartitionSpec as PS,
+                )
+
+                fsm_next = jax.device_put(
+                    fsm_next, NamedSharding(self.mesh, PS(None, None))
+                )
+
         out_tokens, stop_pos = _generate_loop(
             self.params,
             args,
@@ -376,6 +416,7 @@ class Generator:
             params_transform=self.params_transform,
             prefill_chunk=self.prefill_chunk,
             ops=self.ops,
+            fsm_next=fsm_next,
         )
         out_tokens = np.asarray(out_tokens)
         stop_pos = np.asarray(stop_pos)

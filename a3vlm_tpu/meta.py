@@ -509,6 +509,7 @@ class MetaModel:
         top_p: float = 0.95,
         additional_stop_symbols: Iterable[str] = (),
         seed: int = 0,
+        fsm=None,
     ) -> List[str]:
         image_tokens = self.encode_images(images, depth_images)
         return self._get_generator().generate(
@@ -519,6 +520,7 @@ class MetaModel:
             top_p=top_p,
             additional_stop_symbols=additional_stop_symbols,
             seed=seed,
+            fsm=fsm,
         )
 
     def stream_generate(

@@ -101,6 +101,7 @@ class ModelServer:
         temperature: float = 0.0,
         top_p: float = 0.95,
         additional_stop_symbols: Iterable[str] = (),
+        fsm=None,
     ) -> List[str]:
         with self.mesh:
             return self.model.generate(
@@ -110,6 +111,7 @@ class ModelServer:
                 temperature=temperature,
                 top_p=top_p,
                 additional_stop_symbols=additional_stop_symbols,
+                fsm=fsm,
             )
 
     def stream_generate(self, prompt: str, image=None, **kw):

@@ -119,6 +119,28 @@ class Tokenizer:
     def decode(self, t: List[int]) -> str:
         return self.tokenizer.decode(t)
 
+    def id_to_piece(self, i: int) -> str:
+        """Surface text of one token id: sentencepiece/Metaspace space
+        markers ('▁') and GPT-style 'Ġ' map to ' ', byte-fallback pieces
+        '<0xNN>' to their byte char, specials (bos/eos/unk/pad) to ''.
+        Used by constrained decoding to walk token pieces through a
+        character DFA (a3vlm_tpu.constrained)."""
+        if self.tokenizer_type == "transformers":
+            p = self.tokenizer.convert_ids_to_tokens(int(i))
+            if p is None or p in self.tokenizer.all_special_tokens:
+                return ""
+        else:  # pragma: no cover - spm wheel absent in CI
+            if self.tokenizer.is_control(int(i)) or int(i) in (
+                self.bos_id, self.eos_id,
+            ):
+                return ""
+            p = self.tokenizer.id_to_piece(int(i))
+        import re as _re
+
+        if _re.fullmatch(r"<0x[0-9A-Fa-f]{2}>", p):
+            return chr(int(p[3:5], 16))
+        return p.replace("▁", " ").replace("Ġ", " ")
+
     def save(self, save_dir: str) -> None:
         if self.tokenizer_type == "transformers":
             self.tokenizer.save_pretrained(save_dir)

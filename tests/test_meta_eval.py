@@ -300,3 +300,56 @@ def test_eval_cli_continuous_batching(tmp_path, tiny_tokenizer_dir, extra):
     with open(results_file) as f:
         results = json.load(f)
     assert len(results) == 3 and all("answer" in r for r in results)
+
+
+def test_eval_cli_constrained(tmp_path, tiny_tokenizer_dir):
+    """--constrained on a single_link_rec task: every answer must be a
+    grammar-complete joint triad (zero fail flags even from a random
+    model — the FSM makes malformed boxes impossible)."""
+    from PIL import Image
+
+    from a3vlm_tpu import eval_affordance
+
+    img_path = tmp_path / "demo.png"
+    Image.new("RGB", (64, 64), (90, 120, 40)).save(img_path)
+    demo = [
+        {
+            "image": str(img_path),
+            "conversations": [
+                {"from": "human",
+                 "value": "Please provide the joint's type and its 2D "
+                          "rotated bounding box"},
+                {"from": "gpt", "value": ""},
+            ],
+        }
+    ] * 2
+    task_json = tmp_path / "single_link_rec_tasks_Box.json"
+    task_json.write_text(json.dumps(demo))
+
+    results_file = eval_affordance.main(
+        [
+            "--dataset", str(task_json),
+            "--output_dir", str(tmp_path / "out"),
+            "--tokenizer_path", tiny_tokenizer_dir,
+            "--tiny_random_model",
+            "--constrained",
+            "--batch_size", "2",
+            "--max_gen_len", "64",
+            "--max_seq_len", "448",
+            "--temperature", "0.0",
+        ]
+    )
+    with open(results_file) as f:
+        results = json.load(f)
+    assert len(results) == 2
+    import re
+
+    for r in results:
+        # extract_answer strips the dots (reference behavior; repair
+        # re-inserts decimals) — the recorded answer is digit/comma form
+        assert re.fullmatch(
+            r"<rb>(revolute|prismatic|fixed|continuous)</rb>"
+            r"\[[0-9,\-]+\]", r["answer"].strip()
+        ), r["answer"]
+        # the repaired box parses to exactly 5 rotated-box values
+        assert len(r["format_answer"]) == 5, r
