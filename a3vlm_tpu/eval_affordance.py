@@ -177,6 +177,7 @@ def run_eval_continuous(
     temperature: float = 0.1,
     top_p: float = 0.75,
     draft_k: int = 0,
+    fsm=None,
 ) -> list[dict]:
     """Continuous-batching eval (serving extension): queries are grouped by
     image; each group's [BOS | image words] KV prefix is computed ONCE
@@ -184,7 +185,8 @@ def run_eval_continuous(
     render admits as a text-only extension — the PartNet task files ask
     ~12 task-stream questions per object (vqa_task_construction.py), so
     this removes ~95% of prefill compute. Same output records as
-    ``run_eval``."""
+    ``run_eval``. ``fsm``: grammar-constrain every slot's generated
+    tokens (--constrained routing, same as run_eval)."""
     import numpy as np
 
     from a3vlm_tpu.serving_batch import ContinuousBatcher
@@ -199,6 +201,7 @@ def run_eval_continuous(
         ens5_cfg=model.cfg,
         vocab_limit=model.true_vocab,
         draft_k=draft_k,
+        fsm=fsm,
     )
     # group MATERIALIZED items by their actual image path (prefix reuse
     # unit): VQADataset substitutes the next item for corrupt images, so
@@ -405,9 +408,6 @@ def main(argv=None):
             f"{'grammar FSM with %d states' % fsm.n_states if fsm else 'no grammar family matches this task; running unconstrained'}"
         )
     if args.continuous_batching:
-        assert fsm is None, (
-            "--constrained is not supported with --continuous_batching yet"
-        )
         assert args.model_parallel_size == 1, (
             "continuous batching drives its own pooled cache; combine "
             "with MP by passing a sharded model through the API instead"
@@ -422,6 +422,7 @@ def main(argv=None):
             temperature=args.temperature,
             top_p=args.top_p,
             draft_k=args.draft_k,
+            fsm=fsm,
         )
     else:
         outputs = run_eval(

@@ -47,8 +47,12 @@ class ViTConfig:
     pos_grid_size: Optional[int] = None  # native pos-embed grid (DINOv2: 37)
     norm_eps: float = 1e-6
     # route encoder attention through the batched Pallas kernel
-    # (ops/vit_attention.py) instead of XLA sdpa; opt-in pending on-chip A/B
-    attn_kernel: bool = False
+    # (ops/vit_attention.py) instead of XLA sdpa. On-chip A/B (v5e-1,
+    # scripts/vit_attn_ab.py, round 3): kernel 572.7 vs XLA 566.0 img/s at
+    # batch 16 (1.01x) and 634.9 vs 533.0 at batch 64 (1.19x) — the kernel
+    # wins at every measured batch, so it is the default; the eligibility
+    # gate (bf16 + TPU + S<=1024) falls back to XLA everywhere else.
+    attn_kernel: bool = True
 
     @property
     def grid(self) -> int:

@@ -45,9 +45,13 @@ from a3vlm_tpu.ops.decode_attention import kv_cache_dtype
 from a3vlm_tpu.ops.sampling import sample_top_p
 
 
-def _pick(logits, rng, vocab_limit, temperature, top_p):
+def _pick(logits, rng, vocab_limit, temperature, top_p, fsm_rows=None):
     """Greedy or top-p selection with the padded-vocab tail masked
-    (MetaModel lane-pads the vocab; tail logits must never win)."""
+    (MetaModel lane-pads the vocab; tail logits must never win).
+    ``fsm_rows``: grammar transition rows broadcastable to ``logits``
+    (-1 = token forbidden by the answer DFA, a3vlm_tpu.constrained)."""
+    if fsm_rows is not None:
+        logits = jnp.where(fsm_rows >= 0, logits, -1e30)
     if vocab_limit is not None and vocab_limit < logits.shape[-1]:
         logits = logits.at[:, vocab_limit:].set(-jnp.inf)
     if temperature == 0.0:
@@ -62,9 +66,10 @@ def _pick(logits, rng, vocab_limit, temperature, top_p):
     donate_argnames=("cache",),
 )
 def _ragged_step(params, args, cache, token, pos, rng, vocab_limit,
-                 temperature, top_p):
+                 temperature, top_p, fsm_table=None, fsm_state=None):
     logits, cache = llama.decode_step_ragged(params, args, cache, token, pos)
-    return _pick(logits, rng, vocab_limit, temperature, top_p), cache
+    rows = None if fsm_table is None else fsm_table[fsm_state]  # [B, V]
+    return _pick(logits, rng, vocab_limit, temperature, top_p, rows), cache
 
 
 @functools.partial(
@@ -72,15 +77,22 @@ def _ragged_step(params, args, cache, token, pos, rng, vocab_limit,
     static_argnames=("args", "vocab_limit"),
     donate_argnames=("cache",),
 )
-def _ragged_verify_step(params, args, cache, tokens, pos, vocab_limit):
+def _ragged_verify_step(params, args, cache, tokens, pos, vocab_limit,
+                        fsm_table=None, fsm_states=None):
     """Speculative verify round (greedy only): ``tokens`` [B, K+1] =
     [current token | K drafted tokens] per slot; returns the greedy
     prediction at every window position ([B, K+1] int32 — tiny host
     readback instead of [B, K+1, V] logits over the relay) and the
-    cache with all K+1 rows written."""
+    cache with all K+1 rows written. ``fsm_states`` [B, K+1]: the grammar
+    state each window position's pick must respect (host-walked along the
+    draft; positions past the first illegal draft are never accepted, so
+    their clamped states are don't-cares)."""
     logits, cache = llama.decode_step_ragged_multi(
         params, args, cache, tokens, pos
     )
+    if fsm_table is not None:
+        rows = fsm_table[fsm_states]  # [B, K+1, V]
+        logits = jnp.where(rows >= 0, logits, -1e30)
     if vocab_limit is not None and vocab_limit < logits.shape[-1]:
         logits = logits.at[..., vocab_limit:].set(-jnp.inf)
     return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
@@ -133,7 +145,7 @@ def _bucket(n: int) -> int:
     static_argnames=("args", "vocab_limit", "temperature", "top_p"),
 )
 def _prefill_jit(params, args, cache, tokens, image_tokens, last_idx, rng,
-                 vocab_limit, temperature, top_p):
+                 vocab_limit, temperature, top_p, fsm_row=None):
     """Batch-1 admission prefill on BUCKET-padded tokens. ``last_idx``:
     the true last spliced position (pad tokens sit after it; causal
     attention keeps them invisible to real positions, and their garbage
@@ -158,7 +170,7 @@ def _prefill_jit(params, args, cache, tokens, image_tokens, last_idx, rng,
     h_last = jnp.take_along_axis(h, last_idx[:, None, None], axis=1)[:, 0]
     h_last = rms_norm(h_last, params["norm"]["weight"], args.norm_eps)
     logits = qmat(h_last, params["output"]["weight"]).astype(jnp.float32)
-    return _pick(logits, rng, vocab_limit, temperature, top_p), cache
+    return _pick(logits, rng, vocab_limit, temperature, top_p, fsm_row), cache
 
 
 @functools.partial(
@@ -167,7 +179,7 @@ def _prefill_jit(params, args, cache, tokens, image_tokens, last_idx, rng,
     donate_argnames=("cache",),
 )
 def _extend_jit(params, args, cache, tokens, start, last_idx, rng,
-                vocab_limit, temperature, top_p):
+                vocab_limit, temperature, top_p, fsm_row=None):
     """Extend a batch-1 cache that already holds a ``start``-token prefix
     with BUCKET-padded ``tokens`` (no BOS — the prefix owns it): the
     prefix-cache admission path. Same machinery as chunked prefill (write
@@ -193,7 +205,7 @@ def _extend_jit(params, args, cache, tokens, start, last_idx, rng,
     h_last = jnp.take_along_axis(out, last_idx[:, None, None], axis=1)[:, 0]
     h_last = rms_norm(h_last, params["norm"]["weight"], args.norm_eps)
     logits = qmat(h_last, params["output"]["weight"]).astype(jnp.float32)
-    return _pick(logits, rng, vocab_limit, temperature, top_p), cache
+    return _pick(logits, rng, vocab_limit, temperature, top_p, fsm_row), cache
 
 
 @functools.partial(jax.jit, static_argnames=("rows",), donate_argnames=("dst",))
@@ -276,6 +288,7 @@ class ContinuousBatcher:
         seed: int = 0,
         mesh=None,
         draft_k: int = 0,
+        fsm=None,
     ):
         """``ens5_params``/``ens5_cfg``: pass the full multimodal tree +
         Ens5Config to serve IMAGE-conditioned requests — admission encodes
@@ -287,7 +300,14 @@ class ContinuousBatcher:
         host-drafted tokens per slot in one (K+1)-token forward, emitting
         1..K+1 tokens per slot per round with output exactly equal to
         vanilla greedy. The pool carries draft_k+1 spare rows so the last
-        verify window never clamps onto valid cache rows."""
+        verify window never clamps onto valid cache rows.
+
+        ``fsm``: a ``constrained.TokenFsm`` — every slot's generated
+        tokens are masked to the answer grammar (per-slot DFA state,
+        reset at admission; EOS legal only at grammar-complete answers).
+        Composes with greedy/top-p and with speculative mode (verify
+        masks each window position by the state walked along the draft,
+        so output stays exactly the constrained-greedy sequence)."""
         self.params = llama.unstack_layers(params)
         self.args = args
         self.ens5_params = ens5_params
@@ -335,6 +355,29 @@ class ContinuousBatcher:
         # per-slot token history (prompt text + emitted) for prompt-lookup
         # drafting; maintained only in speculative mode
         self._ctx: list[list[int]] = [[] for _ in range(slots)]
+        # grammar-constrained decoding: device table for in-jit masking,
+        # host table for per-slot state walks (Generator's layout,
+        # generation.py _generate_loop fsm_next)
+        self._fsm_np = None
+        self._fsm_dev = None
+        self._fsm_row0 = None
+        self._fsm_state = np.zeros((slots,), np.int32)
+        if fsm is not None:
+            nxt = fsm.next_state
+            pad = args.vocab_size - nxt.shape[1]
+            assert pad >= 0, (nxt.shape, "fsm table wider than logits")
+            if pad:  # lane-padded vocab tail: never legal
+                nxt = np.pad(nxt, ((0, 0), (0, pad)), constant_values=-1)
+            self._fsm_np = np.ascontiguousarray(nxt, np.int32)
+            self._fsm_dev = jnp.asarray(self._fsm_np)
+            if mesh is not None:
+                from jax.sharding import NamedSharding
+                from jax.sharding import PartitionSpec as PS
+
+                self._fsm_dev = jax.device_put(
+                    self._fsm_dev, NamedSharding(mesh, PS(None, None))
+                )
+            self._fsm_row0 = self._fsm_dev[0]  # admission = DFA state 0
         self.steps = 0  # batched ragged steps taken (for tests/metrics)
         self.last_stats: Optional[dict] = None  # set by each generate()
         # per-request admit/finish timestamps — generate() resets these
@@ -406,6 +449,7 @@ class ContinuousBatcher:
             jnp.asarray([padded], jnp.int32), prefix.length,
             jnp.asarray([len(text) - 1], jnp.int32), sub,
             self.vocab_limit, self._temperature, self._top_p,
+            self._fsm_row0,
         )
         first = int(first_arr[0])
         self.cache = _write_slot(self.cache, temp, slot)
@@ -413,6 +457,8 @@ class ContinuousBatcher:
         self._host_pos[slot] = spliced
         self._active[slot] = req_idx
         self._ctx[slot] = list(prefix.tokens) + list(text) + [first]
+        if self._fsm_np is not None:
+            self._fsm_state[slot] = max(int(self._fsm_np[0, first]), 0)
         return first
 
     def _admit(self, slot: int, req_idx: int, toks: list[int], image=None,
@@ -442,6 +488,7 @@ class ContinuousBatcher:
             self.params, self.args, cache1, tokens, image_tokens,
             jnp.asarray([spliced - 1], jnp.int32), sub,
             self.vocab_limit, self._temperature, self._top_p,
+            self._fsm_row0,
         )
         first = int(first_arr[0])
         self.cache = _write_slot(self.cache, cache1, slot)
@@ -449,6 +496,8 @@ class ContinuousBatcher:
         self._host_pos[slot] = spliced
         self._active[slot] = req_idx
         self._ctx[slot] = list(toks) + [first]
+        if self._fsm_np is not None:
+            self._fsm_state[slot] = max(int(self._fsm_np[0, first]), 0)
         return first
 
     def _admit_group(self, items, Tb: int, prefix: Optional[CachedPrefix]):
@@ -476,6 +525,7 @@ class ContinuousBatcher:
                 jnp.asarray(padded, jnp.int32), start,
                 jnp.asarray(last, jnp.int32), sub,
                 self.vocab_limit, self._temperature, self._top_p,
+                self._fsm_row0,
             )
         else:
             firsts, temp = _prefill_jit(
@@ -483,6 +533,7 @@ class ContinuousBatcher:
                 jnp.asarray(padded, jnp.int32), None,
                 jnp.asarray(last, jnp.int32), sub,
                 self.vocab_limit, self._temperature, self._top_p,
+                self._fsm_row0,
             )
         self.cache = _write_slots(
             self.cache, temp,
@@ -497,6 +548,8 @@ class ContinuousBatcher:
             self._active[slot] = req_idx
             pre = list(prefix.tokens) if prefix is not None else []
             self._ctx[slot] = pre + list(text) + [first]
+            if self._fsm_np is not None:
+                self._fsm_state[slot] = max(int(self._fsm_np[0, first]), 0)
             out[req_idx] = first
         return out
 
@@ -571,11 +624,29 @@ class ContinuousBatcher:
         window = np.concatenate(
             [self._host_tok, drafts], axis=1
         )  # [B, K+1]
+        fsm_states = None
+        if self._fsm_np is not None:
+            # state for masking window position j = the DFA walked along
+            # drafts[0..j-1]; a dead walk clamps to 0, which is safe —
+            # the mismatch at the illegal draft stops acceptance before
+            # any clamped position can be emitted
+            fsm_states = np.zeros((self.slots, K + 1), np.int32)
+            for slot in range(self.slots):
+                if self._active[slot] is None:
+                    continue
+                st = int(self._fsm_state[slot])
+                fsm_states[slot, 0] = st
+                for j in range(1, K + 1):
+                    if st >= 0:
+                        st = int(self._fsm_np[st, window[slot, j]])
+                    fsm_states[slot, j] = max(st, 0)
         preds, self.cache = _ragged_verify_step(
             self.params, self.args, self.cache,
             jnp.asarray(window, jnp.int32),
             jnp.asarray(self._host_pos.astype(np.int32)),
             self.vocab_limit,
+            self._fsm_dev,
+            None if fsm_states is None else jnp.asarray(fsm_states),
         )
         self.steps += 1
         preds = np.asarray(preds)
@@ -595,6 +666,10 @@ class ContinuousBatcher:
                 self._ctx[slot].append(t)
                 self._host_pos[slot] += 1
                 emitted += 1
+                if self._fsm_np is not None:
+                    self._fsm_state[slot] = max(
+                        int(self._fsm_np[self._fsm_state[slot], t]), 0
+                    )
                 done = (
                     t in stops
                     or len(out_tokens[idx]) >= gen_lims[idx]
@@ -624,6 +699,9 @@ class ContinuousBatcher:
             jnp.asarray(self._host_tok),
             jnp.asarray(self._host_pos.astype(np.int32)),
             sub, self.vocab_limit, self._temperature, self._top_p,
+            self._fsm_dev,
+            None if self._fsm_dev is None
+            else jnp.asarray(self._fsm_state),
         )
         self.steps += 1
         nxt_host = np.asarray(nxt)
@@ -636,6 +714,10 @@ class ContinuousBatcher:
             out_tokens[idx].append(t)
             self._host_pos[slot] += 1
             self._host_tok[slot, 0] = t
+            if self._fsm_np is not None:
+                self._fsm_state[slot] = max(
+                    int(self._fsm_np[self._fsm_state[slot], t]), 0
+                )
             done = (
                 t in stops
                 or len(out_tokens[idx]) >= gen_lims[idx]

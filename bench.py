@@ -257,7 +257,7 @@ def bench_decode_longctx(args, bits=4, batch=16, ctx=1856, steps=64,
 # ---------------------------------------------------------------------------
 
 
-def bench_vit_encode(batch=16, rounds=5, attn_kernel=False):
+def bench_vit_encode(batch=16, rounds=5, attn_kernel=True):
     """CLIP ViT-L/14 @224 encode throughput (the per-crop unit of the ens5
     tower ensemble). ``attn_kernel`` routes attention through the batched
     Pallas kernel (ops/vit_attention.py) for the on-chip A/B."""
@@ -594,8 +594,6 @@ def bench_train_step(rounds=3, batch=4, text_len=256, dec_dim=2048,
                         trainable_mask=mask),
         donate_argnums=0,
     )
-    state = jax.jit(lambda p: TrainState.create(p, optimizer, mask))(params)
-
     batch_ = {
         "examples": jnp.ones((batch, text_len), jnp.int32),
         "labels": jnp.ones((batch, text_len), jnp.int32),
@@ -603,6 +601,14 @@ def bench_train_step(rounds=3, batch=4, text_len=256, dec_dim=2048,
             (batch, cfg.image_size, cfg.image_size, 3), jnp.bfloat16
         ),
     }
+    # DONATE params into state creation: without it the fabricated tree
+    # stays live (the local ref) next to its copy inside the state + the
+    # adam moments — ~14.4 GB persistent at the ~1B config, and the step
+    # OOMed on a 4 KB batch array before it ever compiled (v5e-1 16 GB).
+    state = jax.jit(
+        lambda p: TrainState.create(p, optimizer, mask), donate_argnums=0
+    )(params)
+    del params, tower_shapes
     state, m = train_step(state, batch_)  # compile
     _sync(m["loss"])
     times = []

@@ -10,6 +10,10 @@ path. Run:  timeout 590 python scripts/int4_sweep.py [--m 16]
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import argparse
 import time
 

@@ -6,6 +6,8 @@ set -u
 OUT=${1:-/tmp/onchip_r3}
 mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
+# `python scripts/x.py` puts scripts/ (not the repo root) on sys.path
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 
 run() {
   name=$1; tmo=$2; shift 2

@@ -16,6 +16,10 @@ Prints PASS/FAIL per leg; exit code 1 if any leg fails.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import sys
 
 import numpy as np
