@@ -254,10 +254,15 @@ def _generate_loop(
     fstate0 = jnp.zeros((B,), jnp.int32)
     state = (jnp.int32(start_pos), tokens, cache, stopped, stop_pos, logits,
              rng, fstate0)
-    _, tokens, _, stopped, stop_pos, _, _, _ = jax.lax.while_loop(
+    _, tokens, cache, stopped, stop_pos, _, _, _ = jax.lax.while_loop(
         cond, body, state)
-    # elements that never hit a stop keep the final stop_pos (== last filled+1)
-    return tokens, stop_pos
+    # elements that never hit a stop keep the final stop_pos (== last filled+1).
+    # The cache is RETURNED (and dropped by the caller) so the donated input
+    # gets an output alias: an unmatched donation is silently dropped, and the
+    # first prefill write then COPIES the whole zero cache — a transient 2x
+    # cache HBM spike per generate() call (2.7 GB at batch-16 kv8 S=640; this
+    # is what OOMed cb_bench's static-wave leg next to the int4 weights).
+    return tokens, stop_pos, cache
 
 
 class Generator:
@@ -398,7 +403,7 @@ class Generator:
                     fsm_next, NamedSharding(self.mesh, PS(None, None))
                 )
 
-        out_tokens, stop_pos = _generate_loop(
+        out_tokens, stop_pos, _cache_out = _generate_loop(
             self.params,
             args,
             cache,

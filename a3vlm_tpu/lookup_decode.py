@@ -163,7 +163,9 @@ def lookup_generate(
                      cache, first_is_stop),
     )
     out = jax.lax.dynamic_slice(buf, (P,), (gen_len,))
-    return out, n_emit
+    # cache returned (and dropped by callers) purely to give the donated
+    # input an output alias — see _generate_loop's note in generation.py
+    return out, n_emit, cache
 
 
 def greedy_reference(params, args, cache, start_pos, first_token,

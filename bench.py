@@ -339,7 +339,7 @@ def bench_image_to_triad_full(rounds=3, gen_len=32, prompt_len=32, bits=4,
             from a3vlm_tpu.lookup_decode import lookup_generate
 
             first = jnp.argmax(logits, -1).astype(jnp.int32)[0]
-            out, _ = lookup_generate(
+            out, _, _ = lookup_generate(
                 p["llama"], cfg.llama, cache, tokens[0],
                 W + prompt_len, first, gen_len=gen_len, draft_k=8,
             )

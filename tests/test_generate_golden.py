@@ -56,7 +56,7 @@ def test_greedy_generate_matches_hf():
     mask[:, :P] = True
     cache = llama.KVCache.create(args, 1, max_seq_len=total,
                                  dtype=jnp.float32)
-    out, stop_pos = _generate_loop(
+    out, stop_pos, _ = _generate_loop(
         params, args, cache,
         jnp.asarray(tokens), jnp.asarray(mask), jnp.asarray(prompts[:, :4]),
         None, jax.random.PRNGKey(0),
@@ -95,7 +95,7 @@ def test_generate_eos_stop_matches_hf_semantics():
     mask = np.zeros((1, total), bool)
     mask[:, :P] = True
     cache = llama.KVCache.create(args, 1, max_seq_len=total, dtype=jnp.float32)
-    free_run, _ = _generate_loop(
+    free_run, _, _ = _generate_loop(
         params, args, cache, jnp.asarray(tokens), jnp.asarray(mask),
         jnp.asarray(prompts[:, :2]), None, jax.random.PRNGKey(0),
         total_len=total, temperature=0.0, top_p=0.9, stop_tokens=((96,),),
@@ -103,7 +103,7 @@ def test_generate_eos_stop_matches_hf_semantics():
     first_gen = int(np.asarray(free_run)[0, P])
 
     cache = llama.KVCache.create(args, 1, max_seq_len=total, dtype=jnp.float32)
-    out, stop_pos = _generate_loop(
+    out, stop_pos, _ = _generate_loop(
         params, args, cache, jnp.asarray(tokens), jnp.asarray(mask),
         jnp.asarray(prompts[:, :2]), None, jax.random.PRNGKey(0),
         total_len=total, temperature=0.0, top_p=0.9,

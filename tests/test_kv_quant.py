@@ -232,7 +232,7 @@ def test_prefill_chunked_generation_parity(tmp_path):
     def run(chunk):
         cache = llama.KVCache.create(args, 2, max_seq_len=16,
                                      dtype=jnp.float32, layered=True)
-        out, stop = _generate_loop(
+        out, stop, _ = _generate_loop(
             params, args, cache, jnp.asarray(tokens), jnp.asarray(mask),
             jnp.asarray(tokens[:, :8]), None, jax.random.PRNGKey(0),
             total_len=16, temperature=0.0, top_p=1.0,
