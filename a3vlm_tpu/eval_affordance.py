@@ -203,6 +203,15 @@ def run_eval_continuous(
         draft_k=draft_k,
         fsm=fsm,
     )
+    # pre-compile the admission/step shapes (question texts land in the
+    # small buckets; every admission here extends a [BOS | image words]
+    # prefix) so no remote-TPU compile stalls the serving loop; statics
+    # (temperature/top_p) must match the generate() calls below
+    cb.warmup(
+        buckets=(16, 32, 64, 128),
+        prefix_len=1 + model.cfg.image_words,
+        temperature=temperature, top_p=top_p,
+    )
     # group MATERIALIZED items by their actual image path (prefix reuse
     # unit): VQADataset substitutes the next item for corrupt images, so
     # grouping must use the record each __getitem__ actually returned or a

@@ -387,6 +387,85 @@ class ContinuousBatcher:
 
     # -- internal ------------------------------------------------------------
 
+    def warmup(self, buckets=(64, 128, 256, 512), groups=(1, 2, 4, 8),
+               prefix_len: Optional[int] = None, temperature: float = 0.0,
+               top_p: float = 0.95):
+        """Pre-compile every jit shape a serving run over ``buckets``-sized
+        prompts will touch, so no remote TPU compile (20-120 s per new
+        shape over the relay) lands inside the serving loop. Without this,
+        cb_bench's first on-chip run spent ~300 of 342 s compiling
+        admission shapes mid-run — TTFT p50 was 316 s of compile stall.
+
+        Shapes warmed: one admission forward per (group x bucket) —
+        ``_prefill_jit`` (or ``_extend_jit`` + ``_copy_prefix`` when
+        ``prefix_len`` is given, fabricating a zero prefix of that length)
+        plus the matching ``_write_slot(s)`` scatter — then one
+        ``_ragged_step`` (and one ``_ragged_verify_step`` in speculative
+        mode). ``temperature``/``top_p`` are STATIC jit args: warm with
+        the values the serving calls will use. Pool state is reset after;
+        garbage cache rows are never attendable (write-before-attend)."""
+        assert all(a is None for a in self._active), "warmup needs an idle pool"
+        self._temperature = float(temperature)
+        self._top_p = float(top_p)
+        steps0 = self.steps
+        prefix = None
+        if prefix_len is not None:
+            total = -(-prefix_len // 8) * 8
+            prefix = CachedPrefix(
+                llama.KVCache.create(
+                    self.args, 1, max_seq_len=total,
+                    dtype=kv_cache_dtype(self.kv_bits), layered=True,
+                ),
+                prefix_len, tokens=[self.tokenizer.bos_id],
+            )
+        start = prefix_len or 0
+        for Tb in buckets:
+            if -(-(start + Tb) // 8) * 8 > self.max_seq_len:
+                continue  # near-max prompts take the exact-Tb batch-1
+                # path whose shape depends on the actual token count
+            for g in groups:
+                if g > self.slots:
+                    continue
+                toks = [self.tokenizer.bos_id] + [0] * (Tb - 1)
+                text = [0] * Tb  # prefix admission strips BOS upstream
+                self._admit_many([
+                    (s, s, text if prefix is not None else toks,
+                     None, prefix)
+                    for s in range(g)
+                ])
+                self._active = [None] * self.slots
+        # one decode round over the pool (compiles _ragged_step / the
+        # speculative verify step); garbage rows land at pos 0..K and are
+        # rewritten by any real admission before they can be attended
+        self._rng, sub = jax.random.split(self._rng)
+        if self.draft_k:
+            K = self.draft_k
+            fsm_states = (
+                None if self._fsm_np is None
+                else jnp.zeros((self.slots, K + 1), jnp.int32)
+            )
+            _, self.cache = _ragged_verify_step(
+                self.params, self.args, self.cache,
+                jnp.zeros((self.slots, K + 1), jnp.int32),
+                jnp.zeros((self.slots,), jnp.int32),
+                self.vocab_limit, self._fsm_dev, fsm_states,
+            )
+        else:
+            _, self.cache = _ragged_step(
+                self.params, self.args, self.cache,
+                jnp.zeros((self.slots, 1), jnp.int32),
+                jnp.zeros((self.slots,), jnp.int32),
+                sub, self.vocab_limit, self._temperature, self._top_p,
+                self._fsm_dev,
+                None if self._fsm_dev is None
+                else jnp.asarray(self._fsm_state),
+            )
+        self._host_tok[:] = 0
+        self._host_pos[:] = 0
+        self._fsm_state[:] = 0
+        self._ctx = [[] for _ in range(self.slots)]
+        self.steps = steps0
+
     def make_prefix(self, image=None, tokens=None) -> CachedPrefix:
         """Precompute a reusable KV prefix: ``[BOS | image words]`` (when
         ``image`` is given) optionally followed by ``tokens`` (a shared

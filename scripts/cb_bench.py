@@ -110,12 +110,15 @@ def main():
     # --- continuous batching -----------------------------------------------
     cb = ContinuousBatcher(params, args, tok, slots=a.slots,
                            kv_cache_bits=8)
-    # warm the compiles (one step + the 4 prefill buckets) before timing
+    # compile every (bucket x admission-group) shape + the ragged step
+    # BEFORE timing: remote compiles are 20-120 s each, and the first
+    # on-chip run of this script spent ~300 of its 342 s compiling
+    # mid-loop (TTFT p50 316 s of pure compile stall)
+    cb.warmup(buckets=(64, 128, 256, 512))
     warm_table, warm_prompts, _ = make_workload(
         4, np.random.default_rng(1), prefix="warm"
     )
     tok.table.update(warm_table)
-    cb.generate(warm_prompts, max_gen_len=2)
     t0 = time.perf_counter()
     cb.generate(prompts, max_gen_len=glens)
     cb_s = time.perf_counter() - t0
@@ -135,7 +138,7 @@ def main():
     if a.draft_k:
         cbs = ContinuousBatcher(params, args, tok, slots=a.slots,
                                 kv_cache_bits=8, draft_k=a.draft_k)
-        cbs.generate(warm_prompts, max_gen_len=2)
+        cbs.warmup(buckets=(64, 128, 256, 512))
         t0 = time.perf_counter()
         cbs.generate(prompts, max_gen_len=glens)
         sp_s = time.perf_counter() - t0
@@ -147,6 +150,11 @@ def main():
         )
 
     # --- static wave batching ----------------------------------------------
+    # free the CB pool caches first: two live kv8 pools + the static
+    # generator's own cache next to the int4 weights OOMed v5e-1
+    del cb
+    if a.draft_k:
+        del cbs
     gen = Generator(params, args, tok, vocab_limit=32000, kv_cache_bits=8)
     waves = [
         list(range(i, min(i + a.slots, a.n)))

@@ -845,3 +845,56 @@ def test_continuous_batcher_speculative_constrained(
     for o in got:
         assert dfa.matches(o), repr(o)
     assert spec.steps < vanilla.steps, (spec.steps, vanilla.steps)
+
+
+# -- warmup -------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("draft_k", [0, 3])
+def test_continuous_batcher_warmup_transparent(tiny_tokenizer, draft_k):
+    """warmup() (pre-compiling admission/step shapes so remote TPU
+    compiles never land inside a serving loop) must be OUTPUT-transparent:
+    same generations as a cold pool, pool state fully reset (garbage
+    warmup rows never attendable), steps counter untouched."""
+    tok = tiny_tokenizer
+    args = _tiny_args(_padded_vocab(tok))
+    params = llama.init_llama_params(jax.random.PRNGKey(4), args)
+    prompts = [
+        "### Human: detect all manipulable object parts",
+        "the answer is",
+        "rotated bounding box",
+    ]
+
+    def run(warm):
+        cb = ContinuousBatcher(params, args, tok, slots=2, draft_k=draft_k)
+        if warm:
+            cb.warmup(buckets=(4, 8, 16), groups=(1, 2))
+            assert cb.steps == 0
+            assert all(a is None for a in cb._active)
+            assert not cb._host_pos.any()
+        return cb.generate(prompts, max_gen_len=6)
+
+    assert run(True) == run(False)
+
+
+def test_continuous_batcher_warmup_with_prefix(tiny_tokenizer):
+    """prefix_len warmup fabricates a zero prefix so the _extend_jit /
+    _copy_prefix shapes compile; real prefix admissions afterwards must
+    be exact."""
+    tok = tiny_tokenizer
+    args = _tiny_args(_padded_vocab(tok))
+    params = llama.init_llama_params(jax.random.PRNGKey(5), args)
+    pre_toks = tok.encode("### system", bos=False, eos=False)
+    prompts = ["detect the drawer", "the answer is", "Hi my darling"]
+
+    def run(warm):
+        cb = ContinuousBatcher(params, args, tok, slots=2)
+        pre = cb.make_prefix(tokens=pre_toks)
+        if warm:
+            cb.warmup(buckets=(4, 8, 16), groups=(1, 2),
+                      prefix_len=pre.length)
+        return cb.generate(
+            prompts, max_gen_len=6, prefixes=[pre] * len(prompts)
+        )
+
+    assert run(True) == run(False)
