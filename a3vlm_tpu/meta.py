@@ -164,6 +164,7 @@ class MetaModel:
         self.params = params
         self.mesh = None  # set by ModelServer / callers for multi-chip decode
         self._kv_cache_bits: Optional[int] = None
+        self._prefill_chunk: Optional[int] = None
         self._generator: Optional[Generator] = None
         self._encode_image_jit = None
         self._params_transform = None  # set by quantize()
@@ -474,6 +475,20 @@ class MetaModel:
             self._kv_cache_bits = value
             self._generator = None
 
+    @property
+    def prefill_chunk(self) -> Optional[int]:
+        """Memory-bounded prefill chunk (llama.prefill_chunked): a one-shot
+        unrolled int4 prefill at batch 16 x ~1.5k spliced tokens allocates
+        multi-GB [B*S, K] matmul temps and OOMs v5e-1 — chunking bounds the
+        temps at O(chunk). Same invalidation contract as kv_cache_bits."""
+        return self._prefill_chunk
+
+    @prefill_chunk.setter
+    def prefill_chunk(self, value: Optional[int]) -> None:
+        if value != self._prefill_chunk:
+            self._prefill_chunk = value
+            self._generator = None
+
     def _get_generator(self) -> Generator:
         if self._generator is None:
             # swap the stored decoder params to the per-layer decode layout
@@ -495,6 +510,7 @@ class MetaModel:
                 image_words=self.image_words, vocab_limit=self.true_vocab,
                 params_transform=self._params_transform, mesh=self.mesh,
                 kv_cache_bits=self._kv_cache_bits,
+                prefill_chunk=self._prefill_chunk,
                 **kw,
             )
         return self._generator

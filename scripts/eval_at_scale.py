@@ -151,6 +151,9 @@ def build_model(tok_dir: str, tiny: bool, batch: int, max_gen_len: int):
         max_seq_len=largs.max_seq_len, model_cfg=cfg, params=params,
     )
     model.kv_cache_bits = 8  # bf16 cache at batch 16 x ~1.8k would OOM
+    # one-shot unrolled prefill at batch 16 x ~1.5k spliced tokens OOMed
+    # v5e-1 with multi-GB [B*S, K] int4-matmul activation temps
+    model.prefill_chunk = 512
     return model, cfg.image_size
 
 
