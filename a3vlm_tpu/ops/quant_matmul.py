@@ -61,22 +61,29 @@ def _int4_kernel(xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref, o_ref, acc_ref,
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
 
 
-def _int4_kernel_v2(xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref, o_ref,
+def _int4_kernel_v3(xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref, o_ref,
                     acc_ref, *, group: int, nk: int):
-    """Group-factored variant: the per-weight f32 scale-multiply (plus the
-    jnp.repeat scale expansion, a full [BK, BN] f32 write) is replaced by
-    per-GROUP batched dots on unscaled bf16 nibbles and a tiny
-    [sg, BM, BN] scale-and-reduce epilogue. VPU work per packed byte drops
-    from ~10 ops (2 f32 converts, 2 f32 muls, 2 bf16 casts, expanded-scale
-    writes) to ~6 (3 shifts, 2 i32->bf16 converts, shared i8->i32) — the
-    dequant chain is the measured cap on int4 bandwidth (480 vs int8's
-    700 GB/s). MXU dots contract over g=group (64): half-depth MXU
-    efficiency, irrelevant in the weight-bandwidth-bound decode regime."""
+    """Group-factored variant: the per-weight f32 scale chain (i32->f32
+    convert, expanded-scale mul, f32->bf16 cast — a jnp.repeat [BK, BN]
+    f32 write plus ~3 VPU ops per weight) is replaced by per-GROUP dots on
+    unscaled bf16 nibbles and a [BM, BN]-per-group scale epilogue: VPU
+    work per packed byte drops from ~10 ops to ~4 (2 shifts, 2 i32->bf16
+    converts) + sg*BM*BN epilogue FMAs (sg = BK/group, ~1/64 of the v1
+    mul count at BM=16). The dequant chain is the measured cap on int4
+    bandwidth (480 vs int8's 700 GB/s).
+
+    An earlier formulation ("v2") batched the group dots via a 3D
+    reshape-transpose of x — Mosaic cannot legalize the lane-splitting
+    ``(BM, BK) -> (BM, sg, group)`` shape cast on real TPU ("infer-
+    vector-layout: unsupported shape cast"; interpret mode hid it). This
+    version keeps every operand 2D: a python-unrolled loop of [BM, group]
+    @ [group, BN] dots (static sg, so the unroll is fixed at trace time).
+    MXU contraction depth is ``group`` (64): half-depth efficiency,
+    irrelevant in the weight-bandwidth-bound decode regime."""
     @pl.when(pl.program_id(2) == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    BM = xlo_ref.shape[0]
     BK, BN = q_ref.shape
     sg = BK // group
     packed = q_ref[:].astype(jnp.int32)  # [BK, BN]
@@ -84,14 +91,14 @@ def _int4_kernel_v2(xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref, o_ref,
     hi = (packed >> 4).astype(jnp.bfloat16)
 
     def half_acc(x_ref, w, s_ref):
-        # [sg, BM, g] @ [sg, g, BN] batched over groups -> [sg, BM, BN]
-        xg = x_ref[:].reshape(BM, sg, group).transpose(1, 0, 2)
-        wg = w.reshape(sg, group, BN)
-        part = jax.lax.dot_general(
-            xg, wg, (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # [sg, BM, BN] f32
-        return jnp.sum(part * s_ref[:][:, None, :], axis=0)
+        acc = None
+        for gi in range(sg):
+            xg = x_ref[:, gi * group:(gi + 1) * group]  # [BM, g]
+            wg = w[gi * group:(gi + 1) * group, :]      # [g, BN]
+            part = jnp.dot(xg, wg, preferred_element_type=jnp.float32)
+            part = part * s_ref[gi, :][None, :]
+            acc = part if acc is None else acc + part
+        return acc
 
     acc_ref[:] += half_acc(xlo_ref, lo, slo_ref)
     acc_ref[:] += half_acc(xhi_ref, hi, shi_ref)
@@ -102,27 +109,42 @@ def _int4_kernel_v2(xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref, o_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("group", "interpret", "variant")
+    jax.jit, static_argnames=("group", "interpret", "variant", "block")
 )
 def _int4_matmul_2d(x, q, scale, *, group: int, interpret: bool = False,
-                    variant: str = "v1"):
+                    variant: str = "auto", block=None):
     """x [M, Kpad] (bf16/f32), q [Kpad/2, N] int8 packed, scale [Kpad/g, N]
     f32 -> [M, N] in x.dtype. ``variant``: "v1" = expanded-scale kernel,
-    "v2" = group-factored scales (see _int4_kernel_v2)."""
+    "v3" = group-factored scales (see _int4_kernel_v3), "auto" = the
+    per-shape winner from the on-chip sweep. ``block``: (BK, BN) override
+    for sweeps (scripts/int4_sweep.py)."""
     M, Kpad = x.shape
     half, N = q.shape
     assert Kpad == 2 * half, (x.shape, q.shape)
 
-    # block choice (v5e, M=16 sweep): BK 1024 / BN 1024 sustains 476-533
-    # GB/s vs ~450 for narrow BN. BK x BN is capped at 1M elements — the
-    # dequant temporaries (unpacked i32 halves, expanded scales, bf16
-    # weights) live on the Mosaic stack and 2048x1024 blocks OOM vmem.
-    BK = next(b for b in (1024, 512) if half % b == 0)
+    if variant == "auto":
+        # round-3 M=16 sweep (differenced fori-loop harness): v3 wins only
+        # on the (4096 -> 4096) attention shape (890.6 vs 747.7 GB/s — the
+        # case where v1's expanded-scale VPU chain binds); v1 wins
+        # everywhere else measured
+        variant = "v3" if (half, N) == (2048, 4096) else "v1"
+
+    # block choice (v5e, M=16 sweeps): BK 1024 / BN 1024 for moderate N —
+    # but effective bandwidth decays with N at BN=1024 (659 GB/s at
+    # N=11008, 424 at N=13824 vs 748 at N=4096), and BN=1536 recovers the
+    # wide shapes (704 / 579 GB/s; BN=2048 is worse, 571 / 502). BK x BN
+    # is capped at ~1M elements — the dequant temporaries (unpacked i32
+    # halves, expanded scales, bf16 weights) live on the Mosaic stack and
+    # 2048x1024 blocks OOM vmem.
+    if block is not None:
+        BK, BN = block
+        assert half % BK == 0, (half, BK)
+    elif N >= 8192 and half % 512 == 0 and 512 // group >= 8:
+        BK, BN = 512, 1536
+    else:
+        BK = next(b for b in (1024, 512) if half % b == 0)
+        BN = min(1024, -(-N // 128) * 128)
     assert (BK % group == 0) and BK // group >= 8, (half, BK, group)
-    # wide BN with a ceil-grid over N: the boundary block's out-of-range
-    # columns read padding and are dropped on store — columns are
-    # independent (K is the contraction dim), so valid columns are exact.
-    BN = min(1024, -(-N // 128) * 128)
     BM = min(256, -(-M // 16) * 16)
     Mpad = -(-M // BM) * BM
     if Mpad != M:
@@ -131,7 +153,7 @@ def _int4_matmul_2d(x, q, scale, *, group: int, interpret: bool = False,
     nm, nn, nk = Mpad // BM, -(-N // BN), half // BK
     sg = BK // group  # scale rows per K step
 
-    kernel = _int4_kernel if variant == "v1" else _int4_kernel_v2
+    kernel = _int4_kernel if variant == "v1" else _int4_kernel_v3
     out = pl.pallas_call(
         functools.partial(kernel, group=group, nk=nk),
         grid=(nm, nn, nk),

@@ -171,9 +171,9 @@ def test_qmat_dispatch():
     )
 
 
-def test_int4_kernel_v2_group_factored_matches():
+def test_int4_kernel_v3_group_factored_matches():
     """The group-factored-scale variant == the expanded-scale kernel ==
-    the XLA path (v2 is if anything MORE precise: unscaled bf16 nibbles
+    the XLA path (v3 is if anything MORE precise: unscaled bf16 nibbles
     into f32 dots, scales applied in f32 after)."""
     w = _rand_w(2048, 256, seed=30)
     qw = _quantize_leaf_int4(w)
@@ -181,17 +181,17 @@ def test_int4_kernel_v2_group_factored_matches():
     ref = np.asarray(_int4_matmul_xla(x, qw)).astype(np.float32)
     got = np.asarray(
         _int4_matmul_2d(x, qw.q, qw.scale, group=qw.group, interpret=True,
-                        variant="v2")
+                        variant="v3")
     )
     np.testing.assert_allclose(got, ref, rtol=2e-2, atol=0.5)
-    # ceil-grid N (boundary block) through v2 as well
+    # ceil-grid N (boundary block) through v3 as well
     w2 = _rand_w(1024, 1152, seed=32)
     q2 = _quantize_leaf_int4(w2)
     x2 = jnp.asarray(_rand_w(4, 1024, seed=33)).astype(jnp.float32)
     ref2 = np.asarray(_int4_matmul_xla(x2, q2)).astype(np.float32)
     got2 = np.asarray(
         _int4_matmul_2d(x2, q2.q, q2.scale, group=q2.group, interpret=True,
-                        variant="v2")
+                        variant="v3")
     )
     np.testing.assert_allclose(got2, ref2, rtol=2e-2, atol=0.5)
 
