@@ -122,26 +122,25 @@ def _int4_matmul_2d(x, q, scale, *, group: int, interpret: bool = False,
     half, N = q.shape
     assert Kpad == 2 * half, (x.shape, q.shape)
 
+    # variant/block stay AVAILABLE as sweep knobs (scripts/int4_sweep.py)
+    # but "auto" is the round-2 v1 + 1024x1024 configuration: the round-3
+    # M=16 sweep found per-shape winners in ISOLATION (v3 891 vs 748 GB/s
+    # on the attention shape; BN=1536 +7/+37% on the wide-N shapes), yet
+    # a same-session A/B on the REAL decode loop measured the "winners"
+    # 3.3% SLOWER end-to-end (1374 vs 1420 tok/s, stable across repeats)
+    # and prefill (M ~ 1500) regressed outright (185 -> 229 ms). The
+    # round-2 lesson again: XLA layout assignment couples consecutive
+    # custom calls — isolated kernel timings do not transfer in-loop.
     if variant == "auto":
-        # round-3 M=16 sweep (differenced fori-loop harness): v3 wins only
-        # on the (4096 -> 4096) attention shape (890.6 vs 747.7 GB/s — the
-        # case where v1's expanded-scale VPU chain binds); v1 wins
-        # everywhere else measured
-        variant = "v3" if (half, N) == (2048, 4096) else "v1"
-
-    # block choice (v5e, M=16 sweeps): BK 1024 / BN 1024 for moderate N —
-    # but effective bandwidth decays with N at BN=1024 (659 GB/s at
-    # N=11008, 424 at N=13824 vs 748 at N=4096), and BN=1536 recovers the
-    # wide shapes (704 / 579 GB/s; BN=2048 is worse, 571 / 502). BK x BN
-    # is capped at ~1M elements — the dequant temporaries (unpacked i32
-    # halves, expanded scales, bf16 weights) live on the Mosaic stack and
-    # 2048x1024 blocks OOM vmem.
+        variant = "v1"
     if block is not None:
         BK, BN = block
         assert half % BK == 0, (half, BK)
-    elif N >= 8192 and half % 512 == 0 and 512 // group >= 8:
-        BK, BN = 512, 1536
     else:
+        # BK 1024 / BN 1024 (v5e in-loop sweeps); BK x BN capped at ~1M
+        # elements — the dequant temporaries (unpacked i32 halves,
+        # expanded scales, bf16 weights) live on the Mosaic stack and
+        # 2048x1024 blocks OOM vmem.
         BK = next(b for b in (1024, 512) if half % b == 0)
         BN = min(1024, -(-N // 128) * 128)
     assert (BK % group == 0) and BK // group >= 8, (half, BK, group)

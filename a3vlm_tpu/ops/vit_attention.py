@@ -88,10 +88,17 @@ def vit_attention(q, k, v, interpret: bool = False):
 
 def vit_attention_eligible(q_shape, dtype) -> bool:
     """bshd [B, S, H, D]: the kernel wants bf16 operands on TPU; S and D
-    are unconstrained (Mosaic masks the 257/64 register padding)."""
+    are unconstrained (Mosaic masks the 257/64 register padding).
+
+    B >= 8: the on-chip A/B won at batch 16 (1.01x) and 64 (1.19x), but
+    the ens5 five-crop tower batch is B=5 and routing IT through the
+    kernel cost the triad leg's towers 108.6 -> 150.4 ms (the (B*H)-
+    program grid is launch-heavy at small B) — small batches stay on
+    XLA sdpa."""
     B, S, H, D = q_shape
     return (
         dtype != jnp.float32
+        and B >= 8
         and S <= 1024  # scores [HC, S, S] f32 must fit VMEM
         and jax.devices()[0].platform == "tpu"
     )
