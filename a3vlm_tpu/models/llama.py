@@ -35,10 +35,22 @@ from a3vlm_tpu.ops.decode_attention import (
     update_decode_cache,
 )
 from a3vlm_tpu.ops.norms import rms_norm
-from a3vlm_tpu.ops.quant_matmul import qmat
+from a3vlm_tpu.ops.quant_matmul import int4_ffn_down, qmat
 from a3vlm_tpu.ops.rope import apply_rotary_emb, precompute_freqs_cis
+from a3vlm_tpu.quant import QuantizedWeight
 
 Params = dict[str, Any]
+
+# Route int4 decode FFN tails through the GLU-fused kernel (silu(g)*u and
+# the residual folded into the w2 matmul — see ops/quant_matmul.py
+# int4_ffn_down). Default OFF: a 3-pair interleaved on-chip A/B
+# (scripts/ffn_fuse_ab.py, 7B int4 batch 16 full-depth) measured the
+# fusion a stable -0.8% (1410-1412 vs 1421-1423 tok/s) — removing the
+# silu-mul + residual XLA islands does NOT reduce the ~2.8 ms/step
+# inter-op glue, which localizes the glue to launch/relayout around the
+# custom calls rather than the islands' own execution. Kept as a sweep
+# knob + documented negative result.
+FUSE_FFN_DOWN = False
 
 
 class KVCache(NamedTuple):
@@ -338,9 +350,19 @@ def _block(
         attend_valid_static=attend_valid_static,
     )
     h = h + attn_out
-    h = h + _ffn_sublayer(
-        rms_norm(h, lp["ffn_norm"]["weight"], args.norm_eps), lp["feed_forward"]
-    )
+    ffn_in = rms_norm(h, lp["ffn_norm"]["weight"], args.norm_eps)
+    fw = lp["feed_forward"]
+    w2 = fw["w2"]["weight"]
+    if (FUSE_FFN_DOWN and cache_k is not None
+            and type(w2) is QuantizedWeight and w2.bits == 4):
+        # int4 GLU-fused decode FFN tail (see FUSE_FFN_DOWN above for why
+        # this defaults off). Training (no cache) keeps the unfused ops
+        # (qmat's custom VJP).
+        g = qmat(ffn_in, fw["w1"]["weight"])
+        u = qmat(ffn_in, fw["w3"]["weight"])
+        h = int4_ffn_down(g, u, w2, h)
+    else:
+        h = h + _ffn_sublayer(ffn_in, fw)
     return h, new_cache
 
 

@@ -27,6 +27,7 @@ HBM traffic as dense bf16 (measured: 544 vs 1114 tok/s full-depth 7B).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +35,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from a3vlm_tpu.quant import LoraWeight, QuantizedWeight, unpack_int4
+
+# process-wide resolution of variant="auto" (see _int4_matmul_2d)
+_AUTO_VARIANT = os.environ.get("A3VLM_INT4_VARIANT", "v1")
 
 
 def _int4_kernel(xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref, o_ref, acc_ref,
@@ -59,6 +63,48 @@ def _int4_kernel(xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref, o_ref, acc_ref,
     @pl.when(pl.program_id(2) == nk - 1)
     def _done():
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _int4_kernel_glu(glo_ref, ghi_ref, ulo_ref, uhi_ref, q_ref, slo_ref,
+                     shi_ref, res_ref, o_ref, acc_ref, *, group: int,
+                     nk: int):
+    """SwiGLU-fused int4 matmul: computes ``silu(g) * u`` on the x blocks
+    INSIDE the kernel and adds a residual at the final store —
+    ``res + (silu(g) * u) @ W2``. Built to cut XLA<->pallas boundary
+    launches in the decode loop; MEASURED A WASH on-chip (-0.8% stable
+    over 3 interleaved A/B pairs, scripts/ffn_fuse_ab.py, 7B int4 b16
+    full-depth) — removing the silu-mul + residual XLA islands does not
+    reduce the inter-op glue, so the glue is launch/relayout around the
+    custom calls, not island execution. Kept as a documented negative
+    result + sweep knob (llama.FUSE_FFN_DOWN)."""
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    packed = q_ref[:].astype(jnp.int32)  # [BK, BN]
+    lo = (packed << 28) >> 28
+    hi = packed >> 4
+    slo = jnp.repeat(slo_ref[:], group, axis=0)
+    shi = jnp.repeat(shi_ref[:], group, axis=0)
+    wlo = (lo.astype(jnp.float32) * slo).astype(jnp.bfloat16)
+    whi = (hi.astype(jnp.float32) * shi).astype(jnp.bfloat16)
+
+    def z(g_ref, u_ref):
+        g = g_ref[:].astype(jnp.float32)
+        return (jax.nn.sigmoid(g) * g * u_ref[:].astype(jnp.float32)
+                ).astype(jnp.bfloat16)
+
+    acc_ref[:] += jnp.dot(
+        z(glo_ref, ulo_ref), wlo, preferred_element_type=jnp.float32
+    )
+    acc_ref[:] += jnp.dot(
+        z(ghi_ref, uhi_ref), whi, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(pl.program_id(2) == nk - 1)
+    def _done():
+        o_ref[:] = (acc_ref[:] + res_ref[:].astype(jnp.float32)
+                    ).astype(o_ref.dtype)
 
 
 def _int4_kernel_v3(xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref, o_ref,
@@ -131,8 +177,11 @@ def _int4_matmul_2d(x, q, scale, *, group: int, interpret: bool = False,
     # and prefill (M ~ 1500) regressed outright (185 -> 229 ms). The
     # round-2 lesson again: XLA layout assignment couples consecutive
     # custom calls — isolated kernel timings do not transfer in-loop.
+    # A3VLM_INT4_VARIANT overrides the auto choice process-wide (profiling
+    # A/Bs across fresh processes — scripts/profile_decode.py; do NOT flip
+    # it mid-process, the jit cache keys on the literal "auto").
     if variant == "auto":
-        variant = "v1"
+        variant = _AUTO_VARIANT
     if block is not None:
         BK, BN = block
         assert half % BK == 0, (half, BK)
@@ -183,6 +232,94 @@ def _int4_matmul_2d(x, q, scale, *, group: int, interpret: bool = False,
         interpret=interpret,
     )(x, x, q, scale, scale)
     return out[:M] if Mpad != M else out
+
+
+@functools.partial(jax.jit, static_argnames=("group", "interpret"))
+def _int4_matmul_2d_glu(g, u, q, scale, res, *, group: int,
+                        interpret: bool = False):
+    """``res + (silu(g) * u) @ W`` with the SwiGLU gate and residual
+    fused into the int4 kernel (see _int4_kernel_glu). g/u [M, Kpad],
+    q [Kpad/2, N] packed, scale [Kpad/g, N], res [M, N] -> [M, N]."""
+    M, Kpad = g.shape
+    half, N = q.shape
+    assert Kpad == 2 * half and u.shape == g.shape, (g.shape, u.shape,
+                                                     q.shape)
+    BK = next(b for b in (1024, 512) if half % b == 0)
+    BN = min(1024, -(-N // 128) * 128)
+    BM = min(256, -(-M // 16) * 16)
+    Mpad = -(-M // BM) * BM
+    if Mpad != M:
+        g = jnp.pad(g, ((0, Mpad - M), (0, 0)))
+        u = jnp.pad(u, ((0, Mpad - M), (0, 0)))
+        res = jnp.pad(res, ((0, Mpad - M), (0, 0)))
+    assert (BK % group == 0) and BK // group >= 8, (half, BK, group)
+
+    nm, nn, nk = Mpad // BM, -(-N // BN), half // BK
+    sg = BK // group
+    xspec_lo = pl.BlockSpec((BM, BK), lambda i, j, k: (i, k),
+                            memory_space=pltpu.VMEM)
+    xspec_hi = pl.BlockSpec((BM, BK), lambda i, j, k: (i, k + nk),
+                            memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_int4_kernel_glu, group=group, nk=nk),
+        grid=(nm, nn, nk),
+        in_specs=[
+            xspec_lo, xspec_hi,                      # g halves
+            xspec_lo, xspec_hi,                      # u halves
+            pl.BlockSpec((BK, BN), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),   # packed weight
+            pl.BlockSpec((sg, BN), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),   # lo scales
+            pl.BlockSpec((sg, BN), lambda i, j, k: (k + nk, j),
+                         memory_space=pltpu.VMEM),   # hi scales
+            pl.BlockSpec((BM, BN), lambda i, j, k: (i, j),
+                         memory_space=pltpu.VMEM),   # residual
+        ],
+        out_specs=pl.BlockSpec((BM, BN), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mpad, N), res.dtype),
+        scratch_shapes=[pltpu.VMEM((BM, BN), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mpad * Kpad * N,
+            bytes_accessed=half * N + 2 * Mpad * Kpad * 2 + 2 * Mpad * N * 2,
+            transcendentals=Mpad * Kpad,
+        ),
+        interpret=interpret,
+    )(g, g, u, u, q, scale, scale, res)
+    return out[:M] if Mpad != M else out
+
+
+def int4_ffn_down(g, u, qw: QuantizedWeight, res, interpret: bool = False):
+    """Fused decode FFN tail: ``res + (silu(g) * u) @ W2`` in ONE custom
+    call — removes the silu-mul XLA island and the residual add between
+    w1/w3 and the next layer's norm (~2 of the ~9 us XLA<->pallas
+    boundary launches per layer; PERFORMANCE.md decode decomposition).
+    Shapes as int4_matmul; single-device kernel path only (multi-device
+    and ineligible shapes fall back to the unfused ops — exactness with
+    the fallback is tolerance-level: the kernel evaluates silu in f32)."""
+    Kpad = qw.q.shape[-2] * 2
+    K = g.shape[-1]
+    assert K == qw.in_dim, (K, qw.in_dim)
+    lead = g.shape[:-1]
+    eligible = (
+        qw.q.ndim == 2
+        and len(jax.devices()) == 1
+        and (interpret or _kernel_eligible(g, qw))
+    )
+    if not eligible:
+        z = jax.nn.silu(g) * u
+        return res + int4_matmul(z, qw, interpret=interpret)
+    if Kpad != K:
+        pad = [(0, 0)] * (g.ndim - 1) + [(0, Kpad - K)]
+        g, u = jnp.pad(g, pad), jnp.pad(u, pad)
+    out = _int4_matmul_2d_glu(
+        g.reshape(-1, Kpad), u.reshape(-1, Kpad), qw.q, qw.scale,
+        res.reshape(-1, res.shape[-1]), group=qw.group, interpret=interpret,
+    )
+    return out.reshape(*lead, out.shape[-1])
 
 
 def _int4_matmul_xla(x, qw: QuantizedWeight):

@@ -398,3 +398,37 @@ def test_quantize_tp_align_pads_ffn_and_preserves_forward(bits):
     la = np.asarray(llama.forward_train(qa, args, tokens))
     corr = np.corrcoef(dense.ravel(), la.ravel())[0, 1]
     assert corr > 0.98, corr
+
+
+def test_int4_ffn_down_fused_matches_unfused():
+    """res + (silu(g)*u) @ W2 through the GLU-fused kernel (interpret)
+    == the unfused ops. Exact in f32 (both evaluate silu in f32); the
+    bf16 path is tolerance-level (the kernel's silu stays f32 until the
+    final store)."""
+    rng = np.random.default_rng(11)
+    K, N, M = 2048, 512, 16
+    qw = _quantize_leaf_int4(
+        (rng.normal(size=(K, N)) * 0.05).astype(np.float32)
+    )
+    g = jnp.asarray(rng.normal(size=(M, K)), jnp.float32)
+    u = jnp.asarray(rng.normal(size=(M, K)), jnp.float32)
+    res = jnp.asarray(rng.normal(size=(M, N)), jnp.float32)
+
+    from a3vlm_tpu.ops.quant_matmul import int4_ffn_down, int4_matmul
+
+    fused = int4_ffn_down(g, u, qw, res, interpret=True)
+    ref = res + int4_matmul(
+        jax.nn.silu(g) * u, qw, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused), np.asarray(ref), rtol=0, atol=1e-5
+    )
+    # bf16 operands: tolerance-level (f32 silu in-kernel vs bf16 silu)
+    fused_b = int4_ffn_down(
+        g.astype(jnp.bfloat16), u.astype(jnp.bfloat16), qw,
+        res.astype(jnp.bfloat16), interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(fused_b, np.float32), np.asarray(ref),
+        rtol=0, atol=0.15,
+    )
