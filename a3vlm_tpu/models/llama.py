@@ -31,7 +31,7 @@ from jax.sharding import PartitionSpec as P
 from a3vlm_tpu.config import ModelArgs
 from a3vlm_tpu.ops.attention import attention
 from a3vlm_tpu.ops.decode_attention import (
-    attend_decode_cache,
+    update_and_attend_decode_cache,
     update_decode_cache,
 )
 from a3vlm_tpu.ops.norms import rms_norm
@@ -287,24 +287,26 @@ def _attention_sublayer(
     xv = qmat(x, lp["wv"]["weight"]).reshape(B, S, Hkv, hd)
     xq, xk = apply_rotary_emb(xq, xk, freqs_cis)
 
-    if cache_k is not None:
-        cache_k, cache_v = update_decode_cache(
-            cache_k, cache_v, xk, xv, write_pos, layout=cache_layout
-        )
     if cache_k is not None and attend_cache:
-        out = attend_decode_cache(
-            xq, cache_k, cache_v, mask=mask, kv_valid_len=kv_valid_len,
-            impl=impl, layout=cache_layout,
+        # single custom call on the decode hot path: writes this token's
+        # k/v into the cache AND attends (falls back to the two-step
+        # update+attend for prefill chunks / multi-token windows / CPU)
+        out, (cache_k, cache_v) = update_and_attend_decode_cache(
+            xq, cache_k, cache_v, xk, xv, write_pos, kv_valid_len,
+            mask=mask, impl=impl, layout=cache_layout,
             valid_static=attend_valid_static,
         )
         out = qmat(out.reshape(B, S, H * hd), lp["wo"]["weight"])
         return out, (cache_k, cache_v)
-    else:
-        # prefill: this call's k/v ARE the whole visible history — attend
-        # over them directly (flash-kernel eligible) instead of the padded
-        # cache
-        keys, values = xk, xv
-        kv_valid_len = None
+    if cache_k is not None:
+        cache_k, cache_v = update_decode_cache(
+            cache_k, cache_v, xk, xv, write_pos, layout=cache_layout
+        )
+    # prefill: this call's k/v ARE the whole visible history — attend
+    # over them directly (flash-kernel eligible) instead of the padded
+    # cache
+    keys, values = xk, xv
+    kv_valid_len = None
 
     out = attention(
         xq, keys, values, mask=mask, kv_valid_len=kv_valid_len, impl=impl

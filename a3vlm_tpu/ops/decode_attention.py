@@ -605,6 +605,700 @@ def decode_attention_quant(q, kq: QuantizedKV, vq: QuantizedKV, valid,
 
 
 # ---------------------------------------------------------------------------
+# fused update+attend: ONE custom call writes this step's k/v into the cache
+# and attends over it. The two-step path costs 2 dynamic_update_slice ops per
+# layer (~8.6 us each at batch 16 — launch-bound partial-tile RMWs, 0.55
+# ms/step of the round-3 trace) plus the transpose/astype copies feeding
+# them; here the kernel fixes the stale row in VMEM (the panels are already
+# loaded for attention), writes back ONLY the 8-row sublane tile containing
+# the position, and the cache outputs alias the inputs so the rest of the
+# buffer is untouched. ``pos`` rides as a second scalar-prefetch operand, so
+# ragged (per-slot) continuous-batching positions work unchanged.
+# ---------------------------------------------------------------------------
+
+
+def _decode_kernel_fused(pos_ref, valid_ref, q_ref, k_ref, v_ref, nk_ref,
+                         nv_ref, o_ref, ok_ref, ov_ref, *, sm_scale):
+    b = pl.program_id(0)
+    pos = pos_ref[b]
+    kb = k_ref[0]  # [Hkv, S, D] cache dtype
+    vb = v_ref[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, kb.shape, 1)
+    kb = jnp.where(rows == pos, nk_ref[0].astype(kb.dtype), kb)
+    vb = jnp.where(rows == pos, nv_ref[0].astype(vb.dtype), vb)
+    # write-back tile: dynamic-slice the INPUT ref (Mosaic has no
+    # dynamic_slice on values) and fix the one row on the small tile
+    base = (pos // 8) * 8
+    ktile = k_ref[0, :, pl.ds(pl.multiple_of(base, 8), 8), :]  # [Hkv, 8, D]
+    vtile = v_ref[0, :, pl.ds(pl.multiple_of(base, 8), 8), :]
+    trows = base + jax.lax.broadcasted_iota(jnp.int32, ktile.shape, 1)
+    ok_ref[0] = jnp.where(trows == pos, nk_ref[0].astype(ktile.dtype), ktile)
+    ov_ref[0] = jnp.where(trows == pos, nv_ref[0].astype(vtile.dtype), vtile)
+    q = q_ref[0].astype(jnp.float32)
+    k = kb.astype(jnp.float32)
+    v = vb.astype(jnp.float32)
+    s = jnp.sum(q[:, :, None, :] * k[:, None, :, :], axis=-1) * sm_scale
+    cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    s = jnp.where(cols < valid_ref[b], s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    out = jnp.sum(p[:, :, :, None] * v[:, None, :, :], axis=2) / l
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _decode_attention_bhgd_fused(q, k, v, nk, nv, pos, valid,
+                                 interpret=False):
+    B, Hkv, G, D = q.shape
+    S = k.shape[2]
+    kernel = functools.partial(_decode_kernel_fused, sm_scale=D ** -0.5)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, Hkv, G, D), lambda b, pos, valid: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, S, D), lambda b, pos, valid: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, S, D), lambda b, pos, valid: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, 1, D), lambda b, pos, valid: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, 1, D), lambda b, pos, valid: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, Hkv, G, D), lambda b, pos, valid: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, Hkv, 8, D),
+                    lambda b, pos, valid: (b, 0, pos[b] // 8, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, Hkv, 8, D),
+                    lambda b, pos, valid: (b, 0, pos[b] // 8, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        # flat input indices INCLUDE the scalar-prefetch operands
+        # (pos=0, valid=1, q=2, k=3, v=4, nk=5, nv=6)
+        input_output_aliases={3: 1, 4: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hkv * G * S * D,
+            bytes_accessed=(k.size + v.size) * k.dtype.itemsize,
+            transcendentals=B * Hkv * G * S,
+        ),
+        interpret=interpret,
+    )(pos.astype(jnp.int32), valid.astype(jnp.int32), q, k, v, nk, nv)
+
+
+def _decode_kernel_blocked_fused(pos_ref, valid_ref, q_ref, k_ref, v_ref,
+                                 nk_ref, nv_ref, o_ref, ok_ref, ov_ref,
+                                 m_scr, l_scr, acc_scr, *, sm_scale, bs, ns,
+                                 s_actual):
+    b = pl.program_id(0)
+    si = pl.program_id(1)
+    pos = pos_ref[b]
+
+    @pl.when(si == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    k = k_ref[0]  # [Hkv, bs, D]
+    v = v_ref[0]
+    rows = si * bs + jax.lax.broadcasted_iota(jnp.int32, k.shape, 1)
+    k = jnp.where(rows == pos, nk_ref[0].astype(k.dtype), k)
+    v = jnp.where(rows == pos, nv_ref[0].astype(v.dtype), v)
+
+    @pl.when(si == pos // bs)
+    def _writeback():
+        base = (pos // 8) * 8 - si * bs
+        ktile = k_ref[0, :, pl.ds(pl.multiple_of(base, 8), 8), :]
+        vtile = v_ref[0, :, pl.ds(pl.multiple_of(base, 8), 8), :]
+        trows = (si * bs + base
+                 + jax.lax.broadcasted_iota(jnp.int32, ktile.shape, 1))
+        ok_ref[0] = jnp.where(trows == pos,
+                              nk_ref[0].astype(ktile.dtype), ktile)
+        ov_ref[0] = jnp.where(trows == pos,
+                              nv_ref[0].astype(vtile.dtype), vtile)
+
+    if s_actual % bs:
+        vcols = si * bs + jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+        v = jnp.where(vcols < s_actual, v, jnp.zeros_like(v))
+    s = jax.lax.dot_general(
+        q_ref[0], k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale
+    cols = si * bs + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    s = jnp.where(cols < valid_ref[b], s, _NEG_INF)
+
+    m_prev = m_scr[:, :, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = l_scr[:, :, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scr[:] = acc_scr[:] * alpha + pv
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(si == ns - 1)
+    def _done():
+        l = l_scr[:, :, :1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _decode_attention_bhgd_blocked_fused(q, k, v, nk, nv, pos, valid,
+                                         interpret=False):
+    B, Hkv, G, D = q.shape
+    S = k.shape[2]
+    bs = 256
+    ns = -(-S // bs)
+    kernel = functools.partial(
+        _decode_kernel_blocked_fused, sm_scale=D ** -0.5, bs=bs, ns=ns,
+        s_actual=S,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, ns),
+            in_specs=[
+                pl.BlockSpec((1, Hkv, G, D),
+                             lambda b, s, pos, valid: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, bs, D),
+                             lambda b, s, pos, valid: (b, 0, s, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, bs, D),
+                             lambda b, s, pos, valid: (b, 0, s, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, 1, D),
+                             lambda b, s, pos, valid: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, 1, D),
+                             lambda b, s, pos, valid: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, Hkv, G, D),
+                             lambda b, s, pos, valid: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, Hkv, 8, D),
+                    lambda b, s, pos, valid: (b, 0, pos[b] // 8, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, Hkv, 8, D),
+                    lambda b, s, pos, valid: (b, 0, pos[b] // 8, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((Hkv, G, 128), jnp.float32),
+                pltpu.VMEM((Hkv, G, 128), jnp.float32),
+                pltpu.VMEM((Hkv, G, D), jnp.float32),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ),
+        input_output_aliases={3: 1, 4: 2},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hkv * G * S * D,
+            bytes_accessed=(k.size + v.size) * k.dtype.itemsize,
+            transcendentals=B * Hkv * G * S,
+        ),
+        interpret=interpret,
+    )(pos.astype(jnp.int32), valid.astype(jnp.int32), q, k, v, nk, nv)
+
+
+def _quantize_new_kv(nk_ref, nv_ref):
+    """In-kernel analogue of ``quantize_kv_tokens`` for one [Hkv, 1, D]
+    token: same f32 math (max-abs per head, 1e-8 clamp, /127, round)."""
+    nk = nk_ref[0].astype(jnp.float32)
+    nv = nv_ref[0].astype(jnp.float32)
+    nks = jnp.maximum(jnp.max(jnp.abs(nk), axis=-1), 1e-8) / 127.0  # [Hkv,1]
+    nvs = jnp.maximum(jnp.max(jnp.abs(nv), axis=-1), 1e-8) / 127.0
+    nkq = jnp.clip(jnp.round(nk / nks[..., None]), -127, 127).astype(jnp.int8)
+    nvq = jnp.clip(jnp.round(nv / nvs[..., None]), -127, 127).astype(jnp.int8)
+    return nkq, nvq, nks, nvs
+
+
+def _decode_kernel_q8_fused(pos_ref, valid_ref, q_ref, k_ref, v_ref, ks_ref,
+                            vs_ref, nk_ref, nv_ref, o_ref, ok_ref, ov_ref,
+                            oks_ref, ovs_ref, *, sm_scale):
+    b = pl.program_id(0)
+    pos = pos_ref[b]
+    nkq, nvq, nks, nvs = _quantize_new_kv(nk_ref, nv_ref)
+    kb = k_ref[0]  # int8 [Hkv, S, D]
+    vb = v_ref[0]
+    rows = jax.lax.broadcasted_iota(jnp.int32, kb.shape, 1)
+    kb = jnp.where(rows == pos, nkq, kb)
+    vb = jnp.where(rows == pos, nvq, vb)
+    ksb = ks_ref[0]  # f32 [Hkv, S]
+    vsb = vs_ref[0]
+    cols2 = jax.lax.broadcasted_iota(jnp.int32, ksb.shape, 1)
+    ksb = jnp.where(cols2 == pos, nks, ksb)
+    vsb = jnp.where(cols2 == pos, nvs, vsb)
+    base = (pos // 8) * 8
+    ktile = k_ref[0, :, pl.ds(pl.multiple_of(base, 8), 8), :]
+    vtile = v_ref[0, :, pl.ds(pl.multiple_of(base, 8), 8), :]
+    trows = base + jax.lax.broadcasted_iota(jnp.int32, ktile.shape, 1)
+    ok_ref[0] = jnp.where(trows == pos, nkq, ktile)
+    ov_ref[0] = jnp.where(trows == pos, nvq, vtile)
+    # the scale planes are small (S f32 lanes/head): rewrite them whole —
+    # a dynamic LANE-dim slice would not legalize, a full-plane store does
+    oks_ref[0] = ksb
+    ovs_ref[0] = vsb
+    q = q_ref[0].astype(jnp.float32)
+    k = kb.astype(jnp.float32)
+    v = vb.astype(jnp.float32)
+    s = jnp.sum(q[:, :, None, :] * k[:, None, :, :], axis=-1) * sm_scale
+    s = s * ksb[:, None, :]
+    cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    s = jnp.where(cols < valid_ref[b], s, _NEG_INF)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    pv = p * vsb[:, None, :]
+    out = jnp.sum(pv[:, :, :, None] * v[:, None, :, :], axis=2) / l
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _decode_attention_bhgd_q8_fused(q, k, v, ks, vs, nk, nv, pos, valid,
+                                    interpret=False):
+    B, Hkv, G, D = q.shape
+    S = k.shape[2]
+    kernel = functools.partial(_decode_kernel_q8_fused, sm_scale=D ** -0.5)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, Hkv, G, D),
+                             lambda b, pos, valid: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, S, D),
+                             lambda b, pos, valid: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, S, D),
+                             lambda b, pos, valid: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, S), lambda b, pos, valid: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, S), lambda b, pos, valid: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, 1, D),
+                             lambda b, pos, valid: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, 1, D),
+                             lambda b, pos, valid: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, Hkv, G, D),
+                             lambda b, pos, valid: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, Hkv, 8, D),
+                    lambda b, pos, valid: (b, 0, pos[b] // 8, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, Hkv, 8, D),
+                    lambda b, pos, valid: (b, 0, pos[b] // 8, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((1, Hkv, S), lambda b, pos, valid: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, S), lambda b, pos, valid: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+            jax.ShapeDtypeStruct(ks.shape, ks.dtype),
+            jax.ShapeDtypeStruct(vs.shape, vs.dtype),
+        ),
+        # (pos=0, valid=1, q=2, k=3, v=4, ks=5, vs=6, nk=7, nv=8)
+        input_output_aliases={3: 1, 4: 2, 5: 3, 6: 4},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hkv * G * S * D,
+            bytes_accessed=k.size + v.size,
+            transcendentals=B * Hkv * G * S,
+        ),
+        interpret=interpret,
+    )(pos.astype(jnp.int32), valid.astype(jnp.int32), q, k, v, ks, vs,
+      nk, nv)
+
+
+def _decode_kernel_blocked_q8_fused(pos_ref, valid_ref, q_ref, k_ref, v_ref,
+                                    ks_ref, vs_ref, nk_ref, nv_ref, o_ref,
+                                    ok_ref, ov_ref, oks_ref, ovs_ref, m_scr,
+                                    l_scr, acc_scr, *, sm_scale, bs, ns,
+                                    s_actual):
+    b = pl.program_id(0)
+    si = pl.program_id(1)
+    pos = pos_ref[b]
+
+    @pl.when(si == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    nkq, nvq, nks, nvs = _quantize_new_kv(nk_ref, nv_ref)
+    kq8 = k_ref[0]  # int8 [Hkv, bs, D]
+    vq8 = v_ref[0]
+    rows = si * bs + jax.lax.broadcasted_iota(jnp.int32, kq8.shape, 1)
+    kq8 = jnp.where(rows == pos, nkq, kq8)
+    vq8 = jnp.where(rows == pos, nvq, vq8)
+    ks = ks_ref[0]  # f32 [Hkv, bs]
+    vs = vs_ref[0]
+    scols = si * bs + jax.lax.broadcasted_iota(jnp.int32, ks.shape, 1)
+    ks = jnp.where(scols == pos, nks, ks)
+    vs = jnp.where(scols == pos, nvs, vs)
+
+    # write-backs BEFORE the ragged-boundary zeroing (which is math-only;
+    # the zeroed lanes are outside the array and dropped on store anyway)
+    @pl.when(si == pos // bs)
+    def _writeback():
+        base = (pos // 8) * 8 - si * bs
+        ktile = k_ref[0, :, pl.ds(pl.multiple_of(base, 8), 8), :]
+        vtile = v_ref[0, :, pl.ds(pl.multiple_of(base, 8), 8), :]
+        trows = (si * bs + base
+                 + jax.lax.broadcasted_iota(jnp.int32, ktile.shape, 1))
+        ok_ref[0] = jnp.where(trows == pos, nkq, ktile)
+        ov_ref[0] = jnp.where(trows == pos, nvq, vtile)
+
+    oks_ref[0] = ks
+    ovs_ref[0] = vs
+
+    mxdt = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    k = kq8.astype(mxdt)
+    v = vq8.astype(mxdt)
+    if s_actual % bs:
+        vs = jnp.where(scols < s_actual, vs, 0.0)
+        ks = jnp.where(scols < s_actual, ks, 0.0)
+    s = jax.lax.dot_general(
+        q_ref[0], k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale
+    s = s * ks[:, None, :]
+    cols = si * bs + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    s = jnp.where(cols < valid_ref[b], s, _NEG_INF)
+
+    m_prev = m_scr[:, :, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = l_scr[:, :, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        (p * vs[:, None, :]).astype(mxdt), v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scr[:] = acc_scr[:] * alpha + pv
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(si == ns - 1)
+    def _done():
+        l = l_scr[:, :, :1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _decode_attention_bhgd_blocked_q8_fused(q, k, v, ks, vs, nk, nv, pos,
+                                            valid, interpret=False):
+    B, Hkv, G, D = q.shape
+    S = k.shape[2]
+    bs = 256
+    ns = -(-S // bs)
+    kernel = functools.partial(
+        _decode_kernel_blocked_q8_fused, sm_scale=D ** -0.5, bs=bs, ns=ns,
+        s_actual=S,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B, ns),
+            in_specs=[
+                pl.BlockSpec((1, Hkv, G, D),
+                             lambda b, s, pos, valid: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, bs, D),
+                             lambda b, s, pos, valid: (b, 0, s, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, bs, D),
+                             lambda b, s, pos, valid: (b, 0, s, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, bs),
+                             lambda b, s, pos, valid: (b, 0, s),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, bs),
+                             lambda b, s, pos, valid: (b, 0, s),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, 1, D),
+                             lambda b, s, pos, valid: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, 1, D),
+                             lambda b, s, pos, valid: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, Hkv, G, D),
+                             lambda b, s, pos, valid: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (1, Hkv, 8, D),
+                    lambda b, s, pos, valid: (b, 0, pos[b] // 8, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, Hkv, 8, D),
+                    lambda b, s, pos, valid: (b, 0, pos[b] // 8, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((1, Hkv, bs),
+                             lambda b, s, pos, valid: (b, 0, s),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, bs),
+                             lambda b, s, pos, valid: (b, 0, s),
+                             memory_space=pltpu.VMEM),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((Hkv, G, 128), jnp.float32),
+                pltpu.VMEM((Hkv, G, 128), jnp.float32),
+                pltpu.VMEM((Hkv, G, D), jnp.float32),
+            ],
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, Hkv, G, D), q.dtype),
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+            jax.ShapeDtypeStruct(ks.shape, ks.dtype),
+            jax.ShapeDtypeStruct(vs.shape, vs.dtype),
+        ),
+        input_output_aliases={3: 1, 4: 2, 5: 3, 6: 4},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hkv * G * S * D,
+            bytes_accessed=k.size + v.size,
+            transcendentals=B * Hkv * G * S,
+        ),
+        interpret=interpret,
+    )(pos.astype(jnp.int32), valid.astype(jnp.int32), q, k, v, ks, vs,
+      nk, nv)
+
+
+def _decode_update_impl(q, k, v, nk, nv, pos, valid, interpret=False):
+    if k.shape[2] > _SINGLE_BLOCK_MAX_S:
+        return _decode_attention_bhgd_blocked_fused(
+            q, k, v, nk, nv, pos, valid, interpret=interpret
+        )
+    return _decode_attention_bhgd_fused(q, k, v, nk, nv, pos, valid,
+                                        interpret=interpret)
+
+
+def _decode_update_impl_q8(q, kq, vq, ks, vs, nk, nv, pos, valid,
+                           interpret=False):
+    if kq.shape[2] > _SINGLE_BLOCK_MAX_S:
+        return _decode_attention_bhgd_blocked_q8_fused(
+            q, kq, vq, ks, vs, nk, nv, pos, valid, interpret=interpret
+        )
+    return _decode_attention_bhgd_q8_fused(q, kq, vq, ks, vs, nk, nv, pos,
+                                           valid, interpret=interpret)
+
+
+@functools.lru_cache(maxsize=2)
+def _spmd_decode_update(interpret: bool):
+    """custom_partitioning wrapper for the fused update+attend op — same
+    (batch, kv-head) cache-sharding contract as ``_spmd_decode``; the new
+    k/v token operands follow the cache sharding, pos/valid follow batch."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def _positional(q, k, v, nk, nv, pos, valid):
+        return _decode_update_impl(q, k, v, nk, nv, pos, valid,
+                                   interpret=interpret)
+
+    fn = custom_partitioning(_positional)
+
+    def _bh(arg_shapes):
+        spec = getattr(arg_shapes[1].sharding, "spec", PartitionSpec())
+        b_ax = spec[0] if len(spec) > 0 else None
+        h_ax = spec[1] if len(spec) > 1 else None
+        return b_ax, h_ax
+
+    def partition(mesh, arg_shapes, result_shape):
+        b_ax, h_ax = _bh(arg_shapes)
+        opshard = NamedSharding(mesh, PartitionSpec(b_ax, h_ax, None, None))
+        vshard = NamedSharding(mesh, PartitionSpec(b_ax))
+        return (
+            mesh,
+            _positional,
+            (opshard, opshard, opshard),
+            (opshard, opshard, opshard, opshard, opshard, vshard, vshard),
+        )
+
+    def infer(mesh, arg_shapes, result_shape):
+        b_ax, h_ax = _bh(arg_shapes)
+        opshard = NamedSharding(mesh, PartitionSpec(b_ax, h_ax, None, None))
+        return (opshard, opshard, opshard)
+
+    fn.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=(
+            "b h g i, b h s i, b h s j, b h u i, b h u j, b, b "
+            "-> b h g j, b h s i, b h s j"
+        ),
+        need_replication_factors=("g", "i", "s", "j", "u"),
+    )
+    return fn
+
+
+@functools.lru_cache(maxsize=2)
+def _spmd_decode_update_q8(interpret: bool):
+    """Quantized-cache form of ``_spmd_decode_update`` (int8 panels +
+    per-token scale planes ride the same (batch, kv-head) sharding)."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def _positional(q, kq, vq, ks, vs, nk, nv, pos, valid):
+        return _decode_update_impl_q8(q, kq, vq, ks, vs, nk, nv, pos, valid,
+                                      interpret=interpret)
+
+    fn = custom_partitioning(_positional)
+
+    def _bh(arg_shapes):
+        spec = getattr(arg_shapes[1].sharding, "spec", PartitionSpec())
+        b_ax = spec[0] if len(spec) > 0 else None
+        h_ax = spec[1] if len(spec) > 1 else None
+        return b_ax, h_ax
+
+    def partition(mesh, arg_shapes, result_shape):
+        b_ax, h_ax = _bh(arg_shapes)
+        opshard = NamedSharding(mesh, PartitionSpec(b_ax, h_ax, None, None))
+        sshard = NamedSharding(mesh, PartitionSpec(b_ax, h_ax, None))
+        vshard = NamedSharding(mesh, PartitionSpec(b_ax))
+        return (
+            mesh,
+            _positional,
+            (opshard, opshard, opshard, sshard, sshard),
+            (opshard, opshard, opshard, sshard, sshard, opshard, opshard,
+             vshard, vshard),
+        )
+
+    def infer(mesh, arg_shapes, result_shape):
+        b_ax, h_ax = _bh(arg_shapes)
+        opshard = NamedSharding(mesh, PartitionSpec(b_ax, h_ax, None, None))
+        sshard = NamedSharding(mesh, PartitionSpec(b_ax, h_ax, None))
+        return (opshard, opshard, opshard, sshard, sshard)
+
+    fn.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=(
+            "b h g i, b h s i, b h s j, b h s, b h s, b h u i, b h u j, "
+            "b, b -> b h g j, b h s i, b h s j, b h s, b h s"
+        ),
+        need_replication_factors=("g", "i", "s", "j", "u"),
+    )
+    return fn
+
+
+def decode_attention_update(q, cache_k, cache_v, xk, xv, pos, valid,
+                            interpret=False):
+    """Fused single-token cache write + attention. q [B, 1, Hq, D]; cache
+    k/v [B, Hkv, S, D]; xk/xv [B, 1, Hkv, D] (this step's k/v, pre-RoPE'd);
+    pos [B] write positions; valid [B] visible lengths (callers pass
+    pos + 1 to attend over the new token). Returns
+    (out [B, 1, Hq, D], new_cache_k, new_cache_v)."""
+    B, Sq, Hq, D = q.shape
+    Hkv = cache_k.shape[1]
+    G = Hq // Hkv
+    qg = q.reshape(B, Hkv, G, D)
+    nk = xk.transpose(0, 2, 1, 3).astype(cache_k.dtype)
+    nv = xv.transpose(0, 2, 1, 3).astype(cache_v.dtype)
+    pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32), (B,))
+    if len(jax.devices()) > 1:
+        o, k2, v2 = _spmd_decode_update(bool(interpret))(
+            qg, cache_k, cache_v, nk, nv, pos, valid
+        )
+    else:
+        o, k2, v2 = _decode_update_impl(
+            qg, cache_k, cache_v, nk, nv, pos, valid, interpret=interpret
+        )
+    return o.reshape(B, Sq, Hq, D), k2, v2
+
+
+def decode_attention_update_quant(q, kq: QuantizedKV, vq: QuantizedKV, xk,
+                                  xv, pos, valid, interpret=False):
+    """Fused write+attend over an int8 cache: the new token is quantized
+    IN-KERNEL with ``quantize_kv_tokens``'s exact math. Returns
+    (out, new QuantizedKV k, new QuantizedKV v)."""
+    B, Sq, Hq, D = q.shape
+    Hkv = kq.qv.shape[1]
+    G = Hq // Hkv
+    qg = q.reshape(B, Hkv, G, D)
+    nk = xk.transpose(0, 2, 1, 3)
+    nv = xv.transpose(0, 2, 1, 3)
+    pos = jnp.broadcast_to(jnp.asarray(pos, jnp.int32), (B,))
+    if len(jax.devices()) > 1:
+        o, k2, v2, ks2, vs2 = _spmd_decode_update_q8(bool(interpret))(
+            qg, kq.qv, vq.qv, kq.scale, vq.scale, nk, nv, pos, valid
+        )
+    else:
+        o, k2, v2, ks2, vs2 = _decode_update_impl_q8(
+            qg, kq.qv, vq.qv, kq.scale, vq.scale, nk, nv, pos, valid,
+            interpret=interpret,
+        )
+    return (o.reshape(B, Sq, Hq, D), QuantizedKV(k2, ks2),
+            QuantizedKV(v2, vs2))
+
+
+# ---------------------------------------------------------------------------
 # shared decode-cache helpers (used by models/llama.py and models/falcon.py —
 # one implementation of the layout-dependent update + kernel dispatch)
 # ---------------------------------------------------------------------------
@@ -696,6 +1390,67 @@ def _update_decode_cache_ragged(cache_k, cache_v, xk, xv, write_pos):
         dus4(cache_k, k, write_pos),
         dus4(cache_v, v, write_pos),
     )
+
+
+# A/B knob (scripts/fused_ab.py): False forces the two-step DUS+attend
+# path. Read at TRACE time — flip it only around fresh jit wrappers.
+FUSE_UPDATE_ATTEND = True
+
+
+def update_and_attend_decode_cache(xq, cache_k, cache_v, xk, xv, write_pos,
+                                   kv_valid_len, *, mask, impl="auto",
+                                   layout="bshd", valid_static=None,
+                                   interpret=False):
+    """One-call replacement for ``update_decode_cache`` followed by
+    ``attend_decode_cache`` on the single-token decode hot path: eligible
+    steps run the fused write+attend kernel (decode_attention_update*),
+    everything else (prefill, multi-token verify windows, CPU, falcon's
+    D=64) falls back to the two-step path unchanged. Returns
+    (out [B, S, Hq, D], (new_cache_k, new_cache_v))."""
+    B, Sq = xq.shape[0], xq.shape[1]
+    D = xq.shape[3]
+    quant = isinstance(cache_k, QuantizedKV)
+    kshape = cache_k.qv.shape if quant else cache_k.shape
+    on_tpu = jax.devices()[0].platform == "tpu"
+    fused_ok = (
+        FUSE_UPDATE_ATTEND
+        and layout == "bhsd"
+        and mask is None
+        and valid_static is None
+        and kv_valid_len is not None
+        and Sq == 1
+        and xk.shape[1] == 1
+        and impl in ("auto", "flash")
+        and D % 128 == 0
+        and kshape[2] % 8 == 0
+        and xq.dtype != jnp.float32
+        and (on_tpu or interpret)
+    )
+    if fused_ok:
+        pos = (
+            write_pos
+            if isinstance(write_pos, jnp.ndarray) and write_pos.ndim == 1
+            else jnp.full((B,), write_pos, jnp.int32)
+        )
+        if quant:
+            out, k2, v2 = decode_attention_update_quant(
+                xq, cache_k, cache_v, xk, xv, pos, kv_valid_len,
+                interpret=interpret,
+            )
+        else:
+            out, k2, v2 = decode_attention_update(
+                xq, cache_k, cache_v, xk, xv, pos, kv_valid_len,
+                interpret=interpret,
+            )
+        return out, (k2, v2)
+    cache_k, cache_v = update_decode_cache(
+        cache_k, cache_v, xk, xv, write_pos, layout=layout
+    )
+    out = attend_decode_cache(
+        xq, cache_k, cache_v, mask=mask, kv_valid_len=kv_valid_len,
+        impl=impl, layout=layout, valid_static=valid_static,
+    )
+    return out, (cache_k, cache_v)
 
 
 def attend_decode_cache(xq, cache_k, cache_v, *, mask, kv_valid_len,

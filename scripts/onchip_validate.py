@@ -155,6 +155,54 @@ def leg_spmd_wrapper_single_device():
     check("int8_spmd_wrapper_vs_kernel", _err(direct8, via8), 1e-6)
 
 
+def leg_fused_update_attend(S, label):
+    """Round-3 fused write+attend kernels on real TPU vs interpret mode:
+    the aliased-output write-back tile (scalar-dependent out index_map,
+    in-kernel dynamic sublane slice) is exactly the machinery interpret
+    mode cannot vouch for. Cache buffers must match BIT-EXACTLY; the
+    attention output to kernel-vs-interpret fp tolerance."""
+    from a3vlm_tpu.ops import decode_attention as da
+
+    rng = np.random.default_rng(3)
+    B, Hkv, G, D = 4, 8, 1, 128
+    q = jnp.asarray(rng.normal(size=(B, Hkv, G, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.bfloat16)
+    nk = jnp.asarray(rng.normal(size=(B, Hkv, 1, D)), jnp.bfloat16)
+    nv = jnp.asarray(rng.normal(size=(B, Hkv, 1, D)), jnp.bfloat16)
+    pos = jnp.asarray(rng.integers(S // 2, S, size=(B,)), jnp.int32)
+    valid = pos + 1
+
+    on_chip = jax.jit(
+        lambda *a: da._decode_update_impl(*a)
+    )(q, k, v, nk, nv, pos, valid)
+    interp = da._decode_update_impl(q, k, v, nk, nv, pos, valid,
+                                    interpret=True)
+    check(f"fused_update_attend_{label}_out", _err(on_chip[0], interp[0]),
+          2e-2)
+    check(f"fused_update_attend_{label}_cache_k",
+          _err(on_chip[1], interp[1]), 0.0)
+    check(f"fused_update_attend_{label}_cache_v",
+          _err(on_chip[2], interp[2]), 0.0)
+
+    # q8 form: in-kernel quantize + full scale-plane rewrite
+    kq, ks = da.quantize_kv_tokens(
+        jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32))
+    vq, vs = da.quantize_kv_tokens(
+        jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32))
+    oc = jax.jit(
+        lambda *a: da._decode_update_impl_q8(*a)
+    )(q, kq, vq, ks, vs, nk, nv, pos, valid)
+    it = da._decode_update_impl_q8(q, kq, vq, ks, vs, nk, nv, pos, valid,
+                                   interpret=True)
+    check(f"fused_update_attend_q8_{label}_out", _err(oc[0], it[0]), 2e-2)
+    # int8 rows: allow 1 unit of round-at-half divergence Mosaic vs XLA
+    check(f"fused_update_attend_q8_{label}_cache", max(
+        _err(oc[1], it[1]), _err(oc[2], it[2])), 1.0)
+    check(f"fused_update_attend_q8_{label}_scales", max(
+        _err(oc[3], it[3]), _err(oc[4], it[4])), 1e-6)
+
+
 def main():
     dev = jax.devices()[0]
     print(f"device: {dev} platform={dev.platform}", flush=True)
@@ -168,6 +216,8 @@ def main():
     leg_q8_decode_attention(1024, "blocked_s1024")
     leg_quant_chunked_prefill()
     leg_spmd_wrapper_single_device()
+    leg_fused_update_attend(256, "single_s256")
+    leg_fused_update_attend(1024, "blocked_s1024")
 
     failed = [r for r in RESULTS if not r[1]]
     print(f"{len(RESULTS) - len(failed)}/{len(RESULTS)} legs passed",
