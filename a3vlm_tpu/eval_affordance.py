@@ -129,6 +129,7 @@ def run_eval(
     temperature: float = 0.1,
     top_p: float = 0.75,
     fsm=None,
+    draft_k: int = 0,
 ) -> list[dict]:
     """``fsm``: a constrained.TokenFsm — grammar-masks every generated
     token so answers always parse (no repair path, no fail flags from
@@ -151,6 +152,7 @@ def run_eval(
             top_p=top_p,
             additional_stop_symbols=[conv_sep],
             fsm=fsm,
+            draft_k=draft_k,
         )
         for it, raw in zip(items, results):
             answer = extract_answer(raw)
@@ -322,10 +324,13 @@ def main(argv=None):
                         "reuse (serving_batch.py); ~12 questions share "
                         "each object render's 1456-token prefix")
     parser.add_argument("--draft_k", type=int, default=0,
-                        help="prompt-lookup speculative decoding inside "
-                        "the continuous batcher: verify K drafted tokens "
-                        "per slot per round (greedy only — requires "
-                        "--temperature 0; serving_batch.py)")
+                        help="prompt-lookup speculative decoding: verify K "
+                        "drafted tokens per round (greedy only — requires "
+                        "--temperature 0). With --continuous_batching it "
+                        "speculates per slot (serving_batch.py); without, "
+                        "batch_size 1 routes through the whole-query "
+                        "lookup jit (lookup_decode.py) — output exactly "
+                        "equals vanilla greedy either way")
     parser.add_argument("--model_parallel_size", type=int, default=1,
                         help="TP degree over the ('data','model') mesh "
                         "(the reference's torchrun --model_parallel_size, "
@@ -416,13 +421,13 @@ def main(argv=None):
             f"constrained decoding: "
             f"{'grammar FSM with %d states' % fsm.n_states if fsm else 'no grammar family matches this task; running unconstrained'}"
         )
+    if args.draft_k and args.temperature != 0.0:
+        parser.error("--draft_k is greedy-only: pass --temperature 0")
     if args.continuous_batching:
         assert args.model_parallel_size == 1, (
             "continuous batching drives its own pooled cache; combine "
             "with MP by passing a sharded model through the API instead"
         )
-        if args.draft_k and args.temperature != 0.0:
-            parser.error("--draft_k is greedy-only: pass --temperature 0")
         outputs = run_eval_continuous(
             model,
             dataset,
@@ -442,6 +447,7 @@ def main(argv=None):
             temperature=args.temperature,
             top_p=args.top_p,
             fsm=fsm,
+            draft_k=args.draft_k,
         )
     if existing:
         outputs.extend(existing)

@@ -526,6 +526,7 @@ class MetaModel:
         additional_stop_symbols: Iterable[str] = (),
         seed: int = 0,
         fsm=None,
+        draft_k: int = 0,
     ) -> List[str]:
         image_tokens = self.encode_images(images, depth_images)
         return self._get_generator().generate(
@@ -537,6 +538,7 @@ class MetaModel:
             additional_stop_symbols=additional_stop_symbols,
             seed=seed,
             fsm=fsm,
+            draft_k=draft_k,
         )
 
     def stream_generate(

@@ -76,3 +76,41 @@ def test_lookup_respects_stop_token():
         vocab_limit=250, stop_token=first,
     )
     assert int(count) == 1 and int(np.asarray(out)[0]) == first
+
+
+def test_generator_draft_k_matches_vanilla(tiny_tokenizer):
+    """The user surface: Generator.generate(draft_k=K) at batch 1 greedy
+    must return EXACTLY the vanilla loop's text — including stop-symbol
+    truncation (matched host-side on the lookup path) and the silent
+    fallback for ineligible requests (batch > 1)."""
+    from a3vlm_tpu.generation import Generator
+
+    tok = tiny_tokenizer
+    vocab = ((tok.n_words + 127) // 128) * 128
+    args = ModelArgs(
+        dim=64, n_layers=2, n_heads=4, n_kv_heads=2, vocab_size=vocab,
+        multiple_of=16, max_seq_len=192, max_batch_size=2,
+    )
+    params = llama.init_llama_params(jax.random.PRNGKey(0), args)
+    gen = Generator(params, args, tok, vocab_limit=tok.n_words)
+
+    prompts = [
+        "detect all manipulable object parts and provide their rotated "
+        "bounding boxes [0.12,0.34,0.56,0.78,0.90] [0.12,0.34,0.56,"
+    ]
+    for stops in ((), ("###",), ("0.",)):
+        want = gen.generate(
+            prompts, max_gen_len=24, temperature=0.0,
+            additional_stop_symbols=stops,
+        )
+        got = gen.generate(
+            prompts, max_gen_len=24, temperature=0.0,
+            additional_stop_symbols=stops, draft_k=6,
+        )
+        assert got == want, (stops, got, want)
+
+    # ineligible (batch 2) silently falls back and still matches
+    two = prompts * 2
+    want = gen.generate(two, max_gen_len=12, temperature=0.0)
+    got = gen.generate(two, max_gen_len=12, temperature=0.0, draft_k=6)
+    assert got == want
