@@ -277,6 +277,8 @@ def _generate_loop(
         "ops",
         "prefill_chunk",
         "stop_token",
+        "temperature",
+        "top_p",
     ),
     donate_argnames=("cache",),
 )
@@ -295,10 +297,19 @@ def _lookup_generate_loop(
     ops: GenOps,
     prefill_chunk: Optional[int],
     stop_token: int,
+    fsm_next=None,
+    temperature: float = 0.0,
+    top_p: float = 0.95,
+    rng=None,
 ):
     """Whole-query jit for the batch-1 prompt-lookup speculative path:
     prefill the FULL prompt, then lookup_decode.lookup_generate. Output
-    tokens equal vanilla greedy exactly (lookup_decode's contract)."""
+    tokens equal vanilla greedy exactly (lookup_decode's contract) —
+    grammar-constrained greedy when ``fsm_next`` is set (the first token
+    is masked at DFA state 0, matching _generate_loop's fstate0). With
+    ``temperature > 0`` the vanilla loop's rng split chain is precomputed
+    into a per-emitted-index key table, so the sampled output is
+    BIT-IDENTICAL to _generate_loop with the same seed."""
     from a3vlm_tpu.lookup_decode import lookup_generate
 
     if params_transform is not None:
@@ -316,13 +327,35 @@ def _lookup_generate_loop(
         logits = jnp.where(
             jnp.arange(logits.shape[-1]) >= vocab_limit, -1e30, logits
         )
-    first = jnp.argmax(logits, -1).astype(jnp.int32)[0]
+    fsm_state0 = None
+    if fsm_next is not None:
+        logits = jnp.where(fsm_next[0][None] >= 0, logits, -1e30)
+    sample_keys = None
+    if temperature > 0.0:
+        # reproduce _generate_loop's per-step `rng, sub = split(rng)`
+        # chain positionally: subs[t] is the key that samples emitted
+        # token t in the vanilla loop
+        def _mk(r, _):
+            r, s = jax.random.split(r)
+            return r, s
+
+        _, sample_keys = jax.lax.scan(
+            _mk, rng, None, length=gen_len + draft_k
+        )
+        first = sample_token(
+            sample_keys[0], logits, temperature, top_p
+        ).astype(jnp.int32)[0]
+    else:
+        first = jnp.argmax(logits, -1).astype(jnp.int32)[0]
+    if fsm_next is not None:
+        fsm_state0 = jnp.maximum(fsm_next[0, first], 0)
     W = 0 if image_tokens is None else image_tokens.shape[1]
     P = prompt_tokens.shape[1]
     return lookup_generate(
         params, args, cache, prompt_tokens[0], P + W, first,
         gen_len=gen_len, draft_k=draft_k, vocab_limit=vocab_limit,
-        stop_token=stop_token,
+        stop_token=stop_token, fsm_next=fsm_next, fsm_state0=fsm_state0,
+        temperature=temperature, top_p=top_p, sample_keys=sample_keys,
     )
 
 
@@ -407,13 +440,19 @@ class Generator:
         masked to the answer grammar (malformed triads become impossible;
         EOS only in accepting states). Works with greedy and top-p.
 
-        ``draft_k``: batch-1 greedy requests route through prompt-lookup
+        ``draft_k``: batch-1 requests route through prompt-lookup
         speculative decoding (lookup_decode) — output text is EXACTLY the
-        vanilla greedy output (measured 540 -> 330 ms image->triad p50 on
-        loopy triad answers). Silently falls back to the vanilla loop when
-        ineligible (batch > 1, sampling, fsm, non-llama ops). The lookup
-        path compiles per (prompt_len, gen_len) — it is the
-        latency-oriented single-query mode, not the bucketed eval mode."""
+        vanilla loop's output (measured 540 -> 330 ms image->triad p50 on
+        loopy triad answers). Composes with ``fsm`` (verify windows are
+        grammar-masked per position, drafts repaired to legal tokens;
+        output equals constrained greedy exactly, and grammar structure
+        raises draft acceptance) and with ``temperature > 0`` (each
+        verify position uses the vanilla loop's own per-step rng key, so
+        the sampled output is bit-identical for the same seed — not just
+        distribution-equal). Silently falls back to the vanilla loop when
+        ineligible (batch > 1, non-llama ops). The lookup path compiles
+        per (prompt_len, gen_len) — it is the latency-oriented
+        single-query mode, not the bucketed eval mode."""
         if isinstance(prompts, str):
             raise ValueError("generate expects a batched LIST of prompts")
         bsz = len(prompts)
@@ -445,29 +484,6 @@ class Generator:
             stop_tok.append(tuple(tok.encode_wo_prefix_space(sym)))
         stop_tokens = tuple(dict.fromkeys(stop_tok))  # dedup, keep order
 
-        if (
-            draft_k
-            and bsz == 1
-            and temperature == 0.0
-            and fsm is None
-            and self.ops is LLAMA_GEN_OPS
-        ):
-            return self._generate_lookup(
-                prompt_tokens[0], image_tokens, max_gen_len, stop_tokens,
-                draft_k, impl,
-            )
-
-        P = _prefill_bucket(min_prompt)
-        cache_len = total_len + (0 if image_tokens is None else self.image_words)
-        from a3vlm_tpu.ops.decode_attention import kv_cache_dtype
-
-        cache = self.ops.create_cache(
-            args, bsz, cache_len, kv_cache_dtype(self.kv_cache_bits)
-        )
-        cache = self._shard_cache(cache, bsz)
-        if image_tokens is not None:
-            image_tokens = self._shard_batched(image_tokens)
-
         fsm_next = None
         if fsm is not None:
             nxt = fsm.next_state
@@ -484,6 +500,28 @@ class Generator:
                 fsm_next = jax.device_put(
                     fsm_next, NamedSharding(self.mesh, PS(None, None))
                 )
+
+        if (
+            draft_k
+            and bsz == 1
+            and self.ops is LLAMA_GEN_OPS
+        ):
+            return self._generate_lookup(
+                prompt_tokens[0], image_tokens, max_gen_len, stop_tokens,
+                draft_k, impl, fsm_next=fsm_next,
+                temperature=temperature, top_p=top_p, seed=seed,
+            )
+
+        P = _prefill_bucket(min_prompt)
+        cache_len = total_len + (0 if image_tokens is None else self.image_words)
+        from a3vlm_tpu.ops.decode_attention import kv_cache_dtype
+
+        cache = self.ops.create_cache(
+            args, bsz, cache_len, kv_cache_dtype(self.kv_cache_bits)
+        )
+        cache = self._shard_cache(cache, bsz)
+        if image_tokens is not None:
+            image_tokens = self._shard_batched(image_tokens)
 
         out_tokens, stop_pos, _cache_out = _generate_loop(
             self.params,
@@ -515,7 +553,9 @@ class Generator:
         return decoded
 
     def _generate_lookup(self, t, image_tokens, max_gen_len, stop_tokens,
-                         draft_k, impl):
+                         draft_k, impl, fsm_next=None,
+                         temperature: float = 0.0, top_p: float = 0.95,
+                         seed: int = 0):
         """Batch-1 greedy generation through prompt-lookup speculation.
         The device loop stops on EOS only; multi-token stop sequences are
         matched HERE with the vanilla loop's exact window semantics
@@ -548,6 +588,8 @@ class Generator:
             vocab_limit=self.vocab_limit,
             params_transform=self.params_transform, ops=self.ops,
             prefill_chunk=self.prefill_chunk, stop_token=tok.eos_id,
+            fsm_next=fsm_next, temperature=temperature, top_p=top_p,
+            rng=jax.random.PRNGKey(seed),
         )
         gen = np.asarray(out)[: int(count)].tolist()
         buf = list(t) + gen

@@ -61,7 +61,7 @@ def _verify_step(params, args, cache, tokens_k, pos):
 @functools.partial(
     jax.jit,
     static_argnames=("args", "gen_len", "draft_k", "vocab_limit",
-                     "stop_token"),
+                     "stop_token", "temperature", "top_p"),
     donate_argnames=("cache",),
 )
 def lookup_generate(
@@ -75,11 +75,40 @@ def lookup_generate(
     draft_k: int = 8,
     vocab_limit=None,
     stop_token: int = -1,
+    fsm_next=None,  # [S, V] int32 grammar table (constrained.TokenFsm)
+    fsm_state0=None,  # scalar: DFA state AFTER first_token
+    temperature: float = 0.0,
+    top_p: float = 0.95,
+    sample_keys=None,  # [gen_len + draft_k, 2] uint32: vanilla split chain
 ):
     """Greedy speculative generation; returns (tokens [gen_len], count).
 
     ``tokens[:count]`` equals exactly what one-token-at-a-time greedy
     decoding would produce (stopping at ``stop_token`` if emitted).
+
+    SAMPLING (``temperature > 0``): verify position ``i`` of a window that
+    starts with ``n_emit`` tokens already emitted is sampled with
+    ``sample_keys[n_emit + i]`` — the caller passes the vanilla loop's
+    per-step rng split chain, so the output is BIT-IDENTICAL to the
+    one-token-at-a-time sampling loop with the same seed, not merely
+    equal in distribution: each position's logits condition on the draft
+    prefix, which equals the emitted prefix wherever the token counts as
+    accepted, and the key for emitted index t is sub_t either way.
+    Acceptance compares the SAMPLED token to the draft, so acceptance
+    rates drop as temperature rises (the draft is deterministic), but
+    exactness never does.
+
+    With ``fsm_next`` set, the guarantee is against grammar-CONSTRAINED
+    greedy decoding (generation._generate_loop's fsm semantics): each
+    verify position's logits are masked by the DFA state walked along the
+    draft prefix, and draft tokens that would kill the DFA are repaired to
+    a legal token before verification (repair only changes PROPOSALS, so
+    exactness is unaffected; it keeps later window positions meaningful —
+    an illegal draft token would make every subsequent position's state,
+    and thus its mask, garbage). Grammar structure raises acceptance:
+    format tokens (tags, brackets, separators) are often the only legal
+    continuation, so repaired drafts match the constrained argmax even
+    where the n-gram lookup misses.
 
     CACHE SIZING: the final verify window can write up to ``draft_k``
     rows past the last emitted position — size the cache with
@@ -92,10 +121,16 @@ def lookup_generate(
     buf = jnp.zeros((BUF,), jnp.int32)
     buf = jax.lax.dynamic_update_slice(buf, prompt_ids, (0,))
     buf = buf.at[P].set(first_token)
+    use_fsm = fsm_next is not None
 
-    def mask_logits(lg):
+    def mask_logits(lg, states=None):
+        # -1e30 (not -inf) to match _generate_loop's mask bit-for-bit:
+        # the sampling path's softmax input must be identical
         if vocab_limit is not None and vocab_limit < lg.shape[-1]:
-            lg = lg.at[..., vocab_limit:].set(-jnp.inf)
+            lg = lg.at[..., vocab_limit:].set(-1e30)
+        if use_fsm:
+            # states[i] = DFA state before predicting position i's token
+            lg = jnp.where(fsm_next[states] >= 0, lg, -1e30)
         return lg
 
     def find_draft(buf, n_buf, last_tok, max_n: int = 4):
@@ -128,17 +163,45 @@ def lookup_generate(
         return cont
 
     def cond(state):
-        buf, n_emit, pos, cache, done = state
+        buf, n_emit, pos, cache, done, fstate = state
         return (~done) & (n_emit < gen_len)
 
     def body(state):
-        buf, n_emit, pos, cache, done = state
+        buf, n_emit, pos, cache, done, fstate = state
         n_buf = P + n_emit
         last = buf[n_buf - 1]
         draft = find_draft(buf, n_buf, last)
+        if use_fsm:
+            # walk the DFA along the draft, repairing illegal tokens to
+            # the first legal one (liveness: every state has >=1);
+            # st[i] = state after tokens_k[:i+1] = the mask state for
+            # position i's prediction
+            def walk(s, d):
+                ok = fsm_next[s, d] >= 0
+                d = jnp.where(
+                    ok, d, jnp.argmax(fsm_next[s] >= 0).astype(jnp.int32)
+                )
+                ns = fsm_next[s, d]
+                return ns, (d, ns)
+
+            _, (draft, st_tail) = jax.lax.scan(walk, fstate, draft)
+            st = jnp.concatenate([fstate[None], st_tail])[:K]
+        else:
+            st = None
         tokens_k = jnp.concatenate([last[None], draft])  # [K]
         logits, cache = _verify_step(params, args, cache, tokens_k, pos)
-        preds = jnp.argmax(mask_logits(logits), axis=-1).astype(jnp.int32)
+        lg = mask_logits(logits, st)
+        if temperature > 0.0:
+            from a3vlm_tpu.ops.sampling import sample_token
+
+            # position i emits token index n_emit + i -> key sub_{n_emit+i}
+            keys = jax.lax.dynamic_slice(sample_keys, (n_emit, 0), (K, 2))
+            preds = jax.vmap(
+                lambda k, row: sample_token(
+                    k, row[None], temperature, top_p)[0]
+            )(keys, lg).astype(jnp.int32)
+        else:
+            preds = jnp.argmax(lg, axis=-1).astype(jnp.int32)
 
         # accepted[i]: draft token i+1 matched pred i, all previous too
         match = preds[: K - 1] == draft
@@ -153,14 +216,23 @@ def lookup_generate(
         m = jnp.minimum(m, first_stop + 1)
         done = first_stop < m
 
+        if use_fsm:
+            # DFA state after the LAST emitted token (m >= 1 always):
+            # accepted positions i < m-1 land back on st[i+1]; only the
+            # final emitted token can diverge from the draft walk
+            fstate = jnp.maximum(fsm_next[st[m - 1], preds[m - 1]], 0)
+
         # write all K preds after the current end; only m count
         buf = jax.lax.dynamic_update_slice(buf, preds, (n_buf,))
-        return buf, n_emit + m, pos + m, cache, done
+        return buf, n_emit + m, pos + m, cache, done, fstate
 
     first_is_stop = jnp.asarray(first_token, jnp.int32) == stop_token
-    buf, n_emit, pos, cache, done = jax.lax.while_loop(
+    fstate0 = jnp.asarray(
+        fsm_state0 if fsm_state0 is not None else 0, jnp.int32
+    )
+    buf, n_emit, pos, cache, done, _ = jax.lax.while_loop(
         cond, body, (buf, jnp.int32(1), jnp.asarray(start_pos, jnp.int32),
-                     cache, first_is_stop),
+                     cache, first_is_stop, fstate0),
     )
     out = jax.lax.dynamic_slice(buf, (P,), (gen_len,))
     # cache returned (and dropped by callers) purely to give the donated
@@ -169,19 +241,29 @@ def lookup_generate(
 
 
 def greedy_reference(params, args, cache, start_pos, first_token,
-                     gen_len, vocab_limit=None, stop_token=-1):
-    """One-token-at-a-time greedy loop (the exactness oracle for tests)."""
+                     gen_len, vocab_limit=None, stop_token=-1,
+                     fsm_next=None, fsm_state0=0):
+    """One-token-at-a-time greedy loop (the exactness oracle for tests);
+    with ``fsm_next`` it is the grammar-constrained greedy oracle."""
+    import numpy as np
+
     out = [int(first_token)]
     pos = int(start_pos)
     t = int(first_token)
+    fstate = int(fsm_state0)
     while len(out) < gen_len and t != stop_token:
         logits, cache = llama.decode_step(
             params, args, cache, jnp.asarray([[t]], jnp.int32), pos
         )
-        lg = logits[0]
+        lg = np.asarray(logits[0], np.float32)
         if vocab_limit is not None:
             lg = lg[:vocab_limit]
-        t = int(jnp.argmax(lg))
+        if fsm_next is not None:
+            row = np.asarray(fsm_next)[fstate, : lg.shape[-1]]
+            lg = np.where(row >= 0, lg, -np.inf)
+        t = int(np.argmax(lg))
+        if fsm_next is not None:
+            fstate = max(int(np.asarray(fsm_next)[fstate, t]), 0)
         out.append(t)
         pos += 1
     return out

@@ -114,3 +114,127 @@ def test_generator_draft_k_matches_vanilla(tiny_tokenizer):
     want = gen.generate(two, max_gen_len=12, temperature=0.0)
     got = gen.generate(two, max_gen_len=12, temperature=0.0, draft_k=6)
     assert got == want
+
+
+def _toy_fsm(vocab=256, eos=2):
+    """Synthetic 3-state grammar table over the tiny test vocab: state 0
+    admits [5, 50) -> 1; state 1 admits [5, 120) -> 2; state 2 accepts
+    (EOS self-loops) and admits [10, 30) -> 0. Exercises mask rows that
+    change every position and an EOS that is only sometimes legal."""
+    nxt = np.full((3, vocab), -1, np.int32)
+    nxt[0, 5:50] = 1
+    nxt[1, 5:120] = 2
+    nxt[2, 10:30] = 0
+    nxt[2, eos] = 2  # accepting: EOS legal, self-loop
+    return nxt
+
+
+@pytest.mark.parametrize("seed", [0, 1, 4])
+def test_lookup_constrained_matches_constrained_greedy(seed):
+    """With a grammar table, lookup_generate must equal the one-token
+    CONSTRAINED greedy oracle exactly: per-position verify masks follow
+    the DFA walked along the (repaired) draft, and the carried state
+    resumes correctly across verify windows of varying accepted length."""
+    args = _args()
+    rng = np.random.default_rng(seed)
+    pat = rng.integers(5, 30, size=5).tolist()
+    prompt = [1] + pat * 7 + pat[:2]
+    fsm = _toy_fsm()
+    gen = 24
+
+    def setup():
+        # the first token must be drawn under the state-0 mask (the
+        # Generator masks prefill logits the same way)
+        params = llama.unstack_layers(
+            llama.init_llama_params(jax.random.PRNGKey(seed), args)
+        )
+        cache = llama.KVCache.create(
+            args, 1, max_seq_len=160, dtype=jnp.float32, layered=True
+        )
+        logits, cache, _ = llama.prefill(
+            params, args, cache, jnp.asarray([prompt], jnp.int32)
+        )
+        lg = np.asarray(logits[0], np.float32)[:250]
+        lg = np.where(fsm[0, :250] >= 0, lg, -np.inf)
+        first = int(np.argmax(lg))
+        state0 = max(int(fsm[0, first]), 0)
+        return params, cache, first, state0
+
+    params, cache_ref, first, state0 = setup()
+    expected = greedy_reference(
+        params, args, cache_ref, len(prompt), first, gen,
+        vocab_limit=250, stop_token=2, fsm_next=fsm, fsm_state0=state0,
+    )
+    params, cache0, first2, state02 = setup()
+    assert (first2, state02) == (first, state0)
+    out, count, _ = lookup_generate(
+        params, args, cache0, jnp.asarray(prompt, jnp.int32),
+        len(prompt), first, gen_len=gen, draft_k=6,
+        vocab_limit=250, stop_token=2,
+        fsm_next=jnp.asarray(fsm), fsm_state0=jnp.int32(state0),
+    )
+    got = np.asarray(out)[: int(count)].tolist()
+    assert got == expected, (got, expected)
+    # every emitted token transition is legal under the grammar
+    st = state0
+    for t in got[1:]:
+        row = _toy_fsm()[st]
+        assert row[t] >= 0, (st, t)
+        st = int(row[t])
+
+
+def test_generator_constrained_draft_k_matches_vanilla(tiny_tokenizer):
+    """The user surface: fsm= and draft_k= COMPOSE at batch 1 — the
+    speculative path must return exactly the constrained vanilla loop's
+    text, and the text must parse under the grammar."""
+    from a3vlm_tpu import constrained as C
+    from a3vlm_tpu.generation import Generator
+
+    tok = tiny_tokenizer
+    vocab = ((tok.n_words + 127) // 128) * 128
+    args = ModelArgs(
+        dim=64, n_layers=2, n_heads=4, n_kv_heads=2, vocab_size=vocab,
+        multiple_of=16, max_seq_len=192, max_batch_size=1,
+    )
+    params = llama.init_llama_params(jax.random.PRNGKey(3), args)
+    gen = Generator(params, args, tok, vocab_limit=tok.n_words)
+    fsm = C.compile_grammar(C.joint_rec_grammar(), tok)
+    prompts = ["provide the joint's type and its 2D rotated bounding box"]
+    want = gen.generate(prompts, max_gen_len=48, temperature=0.0, fsm=fsm)
+    got = gen.generate(
+        prompts, max_gen_len=48, temperature=0.0, fsm=fsm, draft_k=6
+    )
+    assert got == want, (got, want)
+    dfa = C.CharDfa(C.Seq(C.Opt(C.Lit(" ")), C.joint_rec_grammar()))
+    assert dfa.matches(got[0]), repr(got[0])
+
+
+def test_generator_sampled_draft_k_bit_identical(tiny_tokenizer):
+    """temperature > 0 composes with draft_k: the speculative path
+    precomputes the vanilla loop's rng split chain per emitted index, so
+    the sampled text is BIT-IDENTICAL to the vanilla loop with the same
+    seed — with and without a grammar."""
+    from a3vlm_tpu import constrained as C
+    from a3vlm_tpu.generation import Generator
+
+    tok = tiny_tokenizer
+    vocab = ((tok.n_words + 127) // 128) * 128
+    args = ModelArgs(
+        dim=64, n_layers=2, n_heads=4, n_kv_heads=2, vocab_size=vocab,
+        multiple_of=16, max_seq_len=192, max_batch_size=1,
+    )
+    params = llama.init_llama_params(jax.random.PRNGKey(7), args)
+    gen = Generator(params, args, tok, vocab_limit=tok.n_words)
+    prompts = ["provide the joint's type and its 2D rotated bounding box"]
+
+    for fsm in (None, C.compile_grammar(C.joint_rec_grammar(), tok)):
+        for seed in (0, 3):
+            want = gen.generate(
+                prompts, max_gen_len=20, temperature=0.8, top_p=0.9,
+                seed=seed, fsm=fsm,
+            )
+            got = gen.generate(
+                prompts, max_gen_len=20, temperature=0.8, top_p=0.9,
+                seed=seed, fsm=fsm, draft_k=5,
+            )
+            assert got == want, (fsm is not None, seed, got, want)
