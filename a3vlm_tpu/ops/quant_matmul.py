@@ -39,6 +39,18 @@ from a3vlm_tpu.quant import LoraWeight, QuantizedWeight, unpack_int4
 # process-wide resolution of variant="auto" (see _int4_matmul_2d)
 _AUTO_VARIANT = os.environ.get("A3VLM_INT4_VARIANT", "v1")
 
+# Large-M (prefill) dispatch knobs — read at TRACE time (re-jit to flip;
+# scripts/prefill_ab.py interleaves fresh jits per arm). Rationale: at
+# M ~ 1500 the fused kernel is no longer weight-bandwidth bound — the
+# per-weight dequant VPU chain throttles the MXU (~53% MFU on the triad
+# prefill leg). Candidate fixes under A/B:
+#   PREFILL_DENSE_MIN_M: if set, int4 matmuls with M >= it route to the
+#     XLA dequant-then-dense-dot path (2x weight traffic, full-rate MXU).
+#   PREFILL_BM: if set to (min_m, bm), kernel calls with M >= min_m use
+#     BM=bm instead of 256 (halves dequant work per MXU flop at bm=512).
+PREFILL_DENSE_MIN_M = None
+PREFILL_BM = None
+
 
 def _int4_kernel(xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref, o_ref, acc_ref,
                  *, group: int, nk: int):
@@ -155,10 +167,10 @@ def _int4_kernel_v3(xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref, o_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("group", "interpret", "variant", "block")
+    jax.jit, static_argnames=("group", "interpret", "variant", "block", "bm")
 )
 def _int4_matmul_2d(x, q, scale, *, group: int, interpret: bool = False,
-                    variant: str = "auto", block=None):
+                    variant: str = "auto", block=None, bm=None):
     """x [M, Kpad] (bf16/f32), q [Kpad/2, N] int8 packed, scale [Kpad/g, N]
     f32 -> [M, N] in x.dtype. ``variant``: "v1" = expanded-scale kernel,
     "v3" = group-factored scales (see _int4_kernel_v3), "auto" = the
@@ -193,7 +205,7 @@ def _int4_matmul_2d(x, q, scale, *, group: int, interpret: bool = False,
         BK = next(b for b in (1024, 512) if half % b == 0)
         BN = min(1024, -(-N // 128) * 128)
     assert (BK % group == 0) and BK // group >= 8, (half, BK, group)
-    BM = min(256, -(-M // 16) * 16)
+    BM = bm if bm is not None else min(256, -(-M // 16) * 16)
     Mpad = -(-M // BM) * BM
     if Mpad != M:
         x = jnp.pad(x, ((0, Mpad - M), (0, 0)))
@@ -456,8 +468,14 @@ def int4_matmul(x, qw: QuantizedWeight, interpret: bool = False):
     if not (interpret or _kernel_eligible(x, qw)):
         return _int4_matmul_xla(x, qw)
     x2 = x.reshape(-1, Kpad)
+    M = x2.shape[0]
+    if PREFILL_DENSE_MIN_M is not None and M >= PREFILL_DENSE_MIN_M:
+        return _int4_matmul_xla(x, qw)
+    bm = None
+    if PREFILL_BM is not None and M >= PREFILL_BM[0]:
+        bm = PREFILL_BM[1]
     out = _int4_matmul_2d(
-        x2, qw.q, qw.scale, group=qw.group, interpret=interpret
+        x2, qw.q, qw.scale, group=qw.group, interpret=interpret, bm=bm
     )
     return out.reshape(*lead, out.shape[-1])
 
