@@ -325,12 +325,13 @@ def main(argv=None):
                         "each object render's 1456-token prefix")
     parser.add_argument("--draft_k", type=int, default=0,
                         help="prompt-lookup speculative decoding: verify K "
-                        "drafted tokens per round (greedy only — requires "
-                        "--temperature 0). With --continuous_batching it "
-                        "speculates per slot (serving_batch.py); without, "
-                        "batch_size 1 routes through the whole-query "
-                        "lookup jit (lookup_decode.py) — output exactly "
-                        "equals vanilla greedy either way")
+                        "drafted tokens per round. With "
+                        "--continuous_batching it speculates per slot "
+                        "(serving_batch.py; greedy only — requires "
+                        "--temperature 0); without, batch_size 1 routes "
+                        "through the whole-query lookup jit "
+                        "(lookup_decode.py) — output is bit-identical to "
+                        "the vanilla loop, greedy or sampled")
     parser.add_argument("--model_parallel_size", type=int, default=1,
                         help="TP degree over the ('data','model') mesh "
                         "(the reference's torchrun --model_parallel_size, "
@@ -421,8 +422,11 @@ def main(argv=None):
             f"constrained decoding: "
             f"{'grammar FSM with %d states' % fsm.n_states if fsm else 'no grammar family matches this task; running unconstrained'}"
         )
-    if args.draft_k and args.temperature != 0.0:
-        parser.error("--draft_k is greedy-only: pass --temperature 0")
+    if args.draft_k and args.temperature != 0.0 and args.continuous_batching:
+        # the slot-pool speculative verify is greedy-only (serving_batch);
+        # the batch-1 lookup path samples bit-identically to vanilla
+        parser.error("--continuous_batching --draft_k is greedy-only: "
+                     "pass --temperature 0")
     if args.continuous_batching:
         assert args.model_parallel_size == 1, (
             "continuous batching drives its own pooled cache; combine "

@@ -279,6 +279,7 @@ def _generate_loop(
         "stop_token",
         "temperature",
         "top_p",
+        "key_offset",
     ),
     donate_argnames=("cache",),
 )
@@ -301,6 +302,7 @@ def _lookup_generate_loop(
     temperature: float = 0.0,
     top_p: float = 0.95,
     rng=None,
+    key_offset: int = 0,
 ):
     """Whole-query jit for the batch-1 prompt-lookup speculative path:
     prefill the FULL prompt, then lookup_decode.lookup_generate. Output
@@ -333,15 +335,19 @@ def _lookup_generate_loop(
     sample_keys = None
     if temperature > 0.0:
         # reproduce _generate_loop's per-step `rng, sub = split(rng)`
-        # chain positionally: subs[t] is the key that samples emitted
-        # token t in the vanilla loop
+        # chain positionally: the vanilla loop starts at the PREFILL
+        # BUCKET and consumes one key per in-prompt step before the first
+        # token is actually generated, so emitted token t is sampled with
+        # sub_{key_offset + t} (key_offset = prompt_len - bucket). The
+        # lookup path prefills the full prompt, so we burn those keys here.
         def _mk(r, _):
             r, s = jax.random.split(r)
             return r, s
 
         _, sample_keys = jax.lax.scan(
-            _mk, rng, None, length=gen_len + draft_k
+            _mk, rng, None, length=key_offset + gen_len + draft_k
         )
+        sample_keys = sample_keys[key_offset:]
         first = sample_token(
             sample_keys[0], logits, temperature, top_p
         ).astype(jnp.int32)[0]
@@ -590,6 +596,7 @@ class Generator:
             prefill_chunk=self.prefill_chunk, stop_token=tok.eos_id,
             fsm_next=fsm_next, temperature=temperature, top_p=top_p,
             rng=jax.random.PRNGKey(seed),
+            key_offset=len(t) - _prefill_bucket(len(t)),
         )
         gen = np.asarray(out)[: int(count)].tolist()
         buf = list(t) + gen

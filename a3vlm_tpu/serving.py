@@ -101,8 +101,11 @@ class ModelServer:
         temperature: float = 0.0,
         top_p: float = 0.95,
         additional_stop_symbols: Iterable[str] = (),
-        fsm=None,
+        **kw,
     ) -> List[str]:
+        # **kw delegation (like stream_generate below): every MetaModel
+        # generate kwarg — fsm, draft_k, seed, future ones — flows through
+        # without this facade having to chase the signature.
         with self.mesh:
             return self.model.generate(
                 prompts,
@@ -111,7 +114,7 @@ class ModelServer:
                 temperature=temperature,
                 top_p=top_p,
                 additional_stop_symbols=additional_stop_symbols,
-                fsm=fsm,
+                **kw,
             )
 
     def stream_generate(self, prompt: str, image=None, **kw):
