@@ -1,6 +1,12 @@
 """Single-turn instruction dataset (reference model/accessory/data/alpaca.py):
 alpaca-style prompt formatting, labels masking the prompt, pad-with(-1)->0
-semantics, per-type groups, MetaPreprocessor recipes."""
+semantics, per-type groups, MetaPreprocessor recipes.
+
+Also covers the point-cloud variant (finetune_dataset_w_pointcloud.py:21):
+META entries with type "point" load objaverse .npy clouds through
+load_objaverse_point_cloud and return the [pointnum, 6] float32 cloud in
+the "image" slot; ``image_words`` may be a {meta_type: words} dict so the
+text budget differs per modality (finetune_dataset_w_pointcloud.py:196)."""
 
 from __future__ import annotations
 
@@ -115,6 +121,7 @@ class FinetuneDataset:
             prompt_type = meta.get("prompt_type", "alpaca")
             for item in meta_l:
                 item["sys_prompt"] = prompt_type
+                item["meta_type"] = meta["type"]
             group_ann.setdefault(meta["type"], []).extend(meta_l)
         for meta_l in group_ann.values():
             meta_l.sort(key=sort_key)
@@ -139,9 +146,19 @@ class FinetuneDataset:
         if self.cache_on_disk:
             data_item = json.loads(data_item)
 
+        meta_type = data_item.get("meta_type", "image_text")
         image = data_item.get("image")
         if image is not None:
-            image = self.transform(Image.open(image).convert("RGB"))
+            if meta_type == "point":
+                from a3vlm_tpu.data.transforms import (
+                    load_objaverse_point_cloud,
+                )
+
+                image = load_objaverse_point_cloud(
+                    image, use_color=True
+                ).astype(np.float32)
+            else:
+                image = self.transform(Image.open(image).convert("RGB"))
 
         answer = data_item["output"]
         input1 = format_prompt(data_item, data_item["sys_prompt"])
@@ -151,8 +168,13 @@ class FinetuneDataset:
             self.tokenizer.encode(input2, bos=True, eos=True), np.int64
         )
 
+        image_words = (
+            self.image_words.get(meta_type, 0)
+            if isinstance(self.image_words, dict)
+            else self.image_words
+        )
         max_words = self.max_words - (
-            self.image_words if image is not None else 0
+            image_words if image is not None else 0
         )
         padding = max_words - t2.shape[0]
         if padding > 0:

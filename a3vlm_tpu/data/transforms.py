@@ -98,17 +98,22 @@ def get_transform(transform_type: str, size: int = 224):
 
 
 def pc_norm(pc: np.ndarray) -> np.ndarray:
-    """Center xyz and scale to the unit sphere; colors shifted to [-0.5, 0.5]
-    (transform.py:82-100)."""
+    """Center xyz and scale to the unit sphere; colors normalized to [0, 1]
+    (/255 when the input looks like uint8 values) and clipped
+    (transform.py:82-100). NOTE: like the reference, the live objaverse
+    loader below does NOT call this — it is kept for callers that want an
+    explicitly normalized cloud."""
     xyz = pc[:, :3]
-    other = pc[:, 3:]
+    rgb = pc[:, 3:]
     centroid = xyz.mean(axis=0)
     xyz = xyz - centroid
     m = np.max(np.sqrt(np.sum(xyz**2, axis=1)))
     xyz = xyz / (m + 1e-8)
-    if other.shape[1] > 0:
-        other = other - 0.5
-    return np.concatenate([xyz, other], axis=1).astype(np.float32)
+    if rgb.shape[1] > 0:
+        if np.max(rgb) > 1:
+            rgb = rgb / 255.0
+        rgb = np.clip(rgb, 0.0, 1.0)
+    return np.concatenate([xyz, rgb], axis=1).astype(np.float32)
 
 
 def farthest_point_sample(points: np.ndarray, npoint: int) -> np.ndarray:
@@ -128,13 +133,40 @@ def farthest_point_sample(points: np.ndarray, npoint: int) -> np.ndarray:
     return points[idx]
 
 
-def load_point_cloud(path: str, num_points: int = 8192) -> np.ndarray:
-    """Load a .npy point cloud, normalize, sample to num_points
-    (transform.py:102-132)."""
-    pc = np.load(path)
-    if pc.shape[0] > num_points:
-        choice = np.random.default_rng(0).choice(
-            pc.shape[0], num_points, replace=False
-        )
-        pc = pc[choice]
-    return pc_norm(pc)
+def load_objaverse_point_cloud(
+    filename: str,
+    pointnum: int = 8192,
+    use_color: bool = True,
+    rng: np.random.Generator | None = None,
+) -> np.ndarray:
+    """Load a .npy point cloud with the reference's exact live semantics
+    (transform.py:102-132): 9-dim clouds keep columns [0,1,2,6,7,8]
+    (xyz + rgb, dropping normals); rgb is /255-normalized only when it
+    looks like uint8 values; clouds smaller than ``pointnum`` are TILED UP
+    to size; larger ones are randomly subsampled without replacement.
+    pc_norm is deliberately NOT applied — the reference commented it out
+    and every live call site (eval_affordance_with_quant.py:188,
+    data_reader.py:9, finetune_dataset_w_pointcloud.py:185) consumes the
+    raw-coordinate cloud."""
+    pc = np.load(filename).astype(np.float64, copy=True)
+    if pc.shape[1] == 9:
+        pc = pc[:, [0, 1, 2, 6, 7, 8]]
+    if pc.shape[1] >= 6 and np.max(pc[:, 3:]) > 1:
+        pc[:, 3:] = pc[:, 3:] / 255.0
+    if pc.shape[0] < pointnum:
+        duplicate_num = pointnum // pc.shape[0] + 1
+        pc = np.tile(pc, (duplicate_num, 1))[:pointnum]
+    if pc.shape[0] > pointnum:
+        rng = np.random.default_rng(0) if rng is None else rng
+        choice = rng.choice(pc.shape[0], pointnum, replace=False)
+        pc = pc[choice, :]
+    if not use_color:
+        pc = pc[:, :3]
+        assert pc.shape[1] == 3
+    else:
+        assert pc.shape[1] == 6
+    return pc
+
+
+# Back-compat name used by earlier rounds; same loader.
+load_point_cloud = load_objaverse_point_cloud

@@ -102,15 +102,24 @@ class VQADataset:
 
 
     def _render_point_cloud(self, path: str) -> np.ndarray:
-        from a3vlm_tpu.data.transforms import CLIP_MEAN, CLIP_STD, pc_norm
+        from a3vlm_tpu.data.transforms import (
+            CLIP_MEAN,
+            CLIP_STD,
+            load_objaverse_point_cloud,
+        )
 
-        pc = pc_norm(np.load(path))
+        # reference loader semantics (raw coordinates, rgb in [0,1]);
+        # center/scale xyz locally just for the 2-D projection
+        pc = load_objaverse_point_cloud(path)
+        xyz = pc[:, :3] - pc[:, :3].mean(axis=0)
+        m = np.max(np.sqrt(np.sum(xyz**2, axis=1)))
+        xyz = xyz / (m + 1e-8)
         s = self.input_size
         img = np.zeros((s, s, 3), np.float32)
-        xy = ((pc[:, :2] * 0.5 + 0.5) * (s - 1)).astype(int)
+        xy = ((xyz[:, :2] * 0.5 + 0.5) * (s - 1)).astype(int)
         colors = (
-            pc[:, 3:6] + 0.5 if pc.shape[1] >= 6
-            else np.tile((pc[:, 2:3] * 0.5 + 0.5), (1, 3))
+            pc[:, 3:6] if pc.shape[1] >= 6
+            else np.tile((xyz[:, 2:3] * 0.5 + 0.5), (1, 3))
         )
         img[xy[:, 1], xy[:, 0]] = np.clip(colors, 0, 1)
         return (img - CLIP_MEAN) / CLIP_STD

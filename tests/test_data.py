@@ -217,6 +217,97 @@ def test_alpaca_dataset(tmp_path, tiny_tokenizer):
     np.testing.assert_array_equal(item["labels"][nz], item["examples"][nz])
 
 
+def test_load_objaverse_point_cloud_reference_semantics(tmp_path):
+    """Golden against transform.py:102-132: 9-dim column extraction,
+    uint8-rgb /255, tile-up for small clouds, subsample for big ones,
+    use_color=False slicing — and NO pc_norm (raw coordinates survive)."""
+    from a3vlm_tpu.data.transforms import load_objaverse_point_cloud
+
+    rng = np.random.default_rng(7)
+    # 9-dim cloud: xyz | normals | rgb(uint8-scale) — keeps [0,1,2,6,7,8]
+    pc9 = np.concatenate(
+        [
+            rng.uniform(-3, 3, (500, 3)),
+            rng.uniform(-1, 1, (500, 3)),
+            rng.uniform(0, 255, (500, 3)),
+        ],
+        axis=1,
+    )
+    p = tmp_path / "pc9.npy"
+    np.save(p, pc9)
+    out = load_objaverse_point_cloud(str(p), pointnum=8192)
+    assert out.shape == (8192, 6)
+    # rgb normalized to [0,1]; xyz NOT normalized (raw coords preserved)
+    assert out[:, 3:].max() <= 1.0 and out[:, 3:].min() >= 0.0
+    assert out[:, :3].max() > 1.5  # pc_norm would have shrunk to unit sphere
+    # tile-up: 500 -> 8192 repeats the cloud; first 500 rows = extracted dims
+    np.testing.assert_allclose(out[:500, :3], pc9[:500, :3])
+    np.testing.assert_allclose(out[:500, 3:], pc9[:500, 6:9] / 255.0)
+    np.testing.assert_allclose(out[500:1000], out[:500])
+
+    # already-[0,1] rgb is NOT re-divided
+    pc6 = np.concatenate(
+        [rng.uniform(-3, 3, (100, 3)), rng.uniform(0, 1, (100, 3))], axis=1
+    )
+    p6 = tmp_path / "pc6.npy"
+    np.save(p6, pc6)
+    out6 = load_objaverse_point_cloud(str(p6), pointnum=200)
+    np.testing.assert_allclose(out6[:100, 3:], pc6[:, 3:])
+
+    # oversized cloud subsamples without replacement
+    big = rng.uniform(0, 1, (300, 6))
+    pb = tmp_path / "big.npy"
+    np.save(pb, big)
+    outb = load_objaverse_point_cloud(str(pb), pointnum=64)
+    assert outb.shape == (64, 6)
+
+    # use_color=False keeps xyz only
+    outn = load_objaverse_point_cloud(str(pb), pointnum=64, use_color=False)
+    assert outn.shape == (64, 3)
+
+
+def test_finetune_dataset_point(tmp_path, tiny_tokenizer):
+    """finetune_dataset_w_pointcloud.py:21 parity: META type "point" loads
+    the cloud into the "image" slot and the per-modality image_words dict
+    sets the text budget."""
+    rng = np.random.default_rng(3)
+    cloud = np.concatenate(
+        [rng.uniform(-2, 2, (50, 3)), rng.uniform(0, 255, (50, 3))], axis=1
+    )
+    pc_path = tmp_path / "obj.npy"
+    np.save(pc_path, cloud)
+    records = [
+        {
+            "image": str(pc_path),
+            "instruction": "Describe the object.",
+            "input": "",
+            "output": "a box",
+        }
+    ]
+    meta = tmp_path / "point.json"
+    meta.write_text(json.dumps(records))
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(f"META:\n - path: {meta}\n   type: point\n")
+
+    from a3vlm_tpu.data.alpaca import FinetuneDataset
+
+    ds = FinetuneDataset(
+        str(cfg),
+        transform=None,
+        max_words=192,
+        image_words={"point": 64},
+        tokenizer=tiny_tokenizer,
+    )
+    item = ds[0]
+    assert item["image"].shape == (8192, 6)
+    assert item["image"].dtype == np.float32
+    # max_words - image_words["point"] = 128 text slots
+    assert item["examples"].shape == (128,)
+    nz = item["labels"] != 0
+    assert nz.any()
+    np.testing.assert_array_equal(item["labels"][nz], item["examples"][nz])
+
+
 def test_format_prompt_variants():
     no_input = format_prompt({"instruction": "do x", "input": ""})
     assert "### Input" not in no_input and "do x" in no_input
