@@ -434,11 +434,23 @@ def _decode_attention_bhgd_blocked_q8(q, k, v, ks, vs, valid,
 # whole-panel kernel above this cache length would blow the scoped-vmem
 # stack (f32 score/product temps scale with Hkv * S * D)
 _SINGLE_BLOCK_MAX_S = 512
+# ... and the S cap alone is NOT sufficient: the whole-panel kernels
+# materialize two f32 [Hkv, S, D] temps (k and v casts), so the stack
+# footprint scales with Hkv too. The 7B (Hkv=32) q8 fused kernel OOMed
+# the 16M scoped-vmem limit at S=384 on real hardware (16.55M; round-4
+# continuous-batching bench) while the Hkv=8 validation shapes fit at
+# S=512. Budget chosen so the validated Hkv=8/S=512/D=128 shape (4.2M of
+# panel temps) stays on the single-pass kernel and 7B caps at S<=176.
+_SINGLE_PANEL_BYTES = 6 * 1024 * 1024
+
+
+def _use_blocked(Hkv: int, S: int, D: int) -> bool:
+    return S > _SINGLE_BLOCK_MAX_S or Hkv * S * D * 8 > _SINGLE_PANEL_BYTES
 
 
 def _decode_impl(q, k, v, valid, interpret=False):
     """Local (per-shard) kernel dispatch on bhgd operands."""
-    if k.shape[2] > _SINGLE_BLOCK_MAX_S:
+    if _use_blocked(k.shape[1], k.shape[2], k.shape[3]):
         return _decode_attention_bhgd_blocked(q, k, v, valid,
                                               interpret=interpret)
     return _decode_attention_bhgd(q, k, v, valid, interpret=interpret)
@@ -532,7 +544,7 @@ def decode_attention(q, k, v, valid, interpret=False):
 
 def _decode_impl_q8(q, kq, vq, ks, vs, valid, interpret=False):
     """Local (per-shard) quantized kernel dispatch on bhgd operands."""
-    if kq.shape[2] > _SINGLE_BLOCK_MAX_S:
+    if _use_blocked(kq.shape[1], kq.shape[2], kq.shape[3]):
         return _decode_attention_bhgd_blocked_q8(
             q, kq, vq, ks, vs, valid, interpret=interpret
         )
@@ -1132,7 +1144,7 @@ def _decode_attention_bhgd_blocked_q8_fused(q, k, v, ks, vs, nk, nv, pos,
 
 
 def _decode_update_impl(q, k, v, nk, nv, pos, valid, interpret=False):
-    if k.shape[2] > _SINGLE_BLOCK_MAX_S:
+    if _use_blocked(k.shape[1], k.shape[2], k.shape[3]):
         return _decode_attention_bhgd_blocked_fused(
             q, k, v, nk, nv, pos, valid, interpret=interpret
         )
@@ -1142,7 +1154,7 @@ def _decode_update_impl(q, k, v, nk, nv, pos, valid, interpret=False):
 
 def _decode_update_impl_q8(q, kq, vq, ks, vs, nk, nv, pos, valid,
                            interpret=False):
-    if kq.shape[2] > _SINGLE_BLOCK_MAX_S:
+    if _use_blocked(kq.shape[1], kq.shape[2], kq.shape[3]):
         return _decode_attention_bhgd_blocked_q8_fused(
             q, kq, vq, ks, vs, nk, nv, pos, valid, interpret=interpret
         )

@@ -127,6 +127,49 @@ def test_dispatcher_routes_and_matches():
     )
 
 
+def test_vmem_footprint_routes_to_blocked():
+    """Whole-panel single-pass kernels materialize two f32 [Hkv, S, D]
+    temps; at 7B's Hkv=32 the q8 fused kernel OOMed the 16M scoped-vmem
+    stack at S=384 on real hardware (round-4 continuous-batching bench)
+    even though S <= 512. The dispatch must be footprint-aware — and the
+    blocked path it reroutes to must stay exact at that shape."""
+    # the exact on-chip OOM shape class routes blocked...
+    assert da._use_blocked(Hkv=32, S=384, D=128)
+    # ...while the on-chip-validated Hkv=8 single-pass shapes still don't
+    assert not da._use_blocked(Hkv=8, S=512, D=128)
+    assert not da._use_blocked(Hkv=2, S=24, D=128)
+    assert da._use_blocked(Hkv=2, S=600, D=128)  # S cap still applies
+
+    # exactness of the rerouted (blocked, fused q8) path at Hkv=32, S=384,
+    # scaled-down batch; interpret mode = the math, CPU-checkable
+    rng = np.random.default_rng(11)
+    B, Hkv, G, S, D = 1, 32, 1, 384, 128
+    q = jnp.asarray(rng.normal(size=(B, Hkv, G, D)), jnp.bfloat16)
+    kf = rng.normal(size=(B, Hkv, S, D)).astype(np.float32)
+    vf = rng.normal(size=(B, Hkv, S, D)).astype(np.float32)
+    ks = np.maximum(np.abs(kf).max(-1), 1e-6) / 127.0
+    vs = np.maximum(np.abs(vf).max(-1), 1e-6) / 127.0
+    kq = jnp.asarray(np.round(kf / ks[..., None]), jnp.int8)
+    vq = jnp.asarray(np.round(vf / vs[..., None]), jnp.int8)
+    nk = jnp.asarray(rng.normal(size=(B, Hkv, 1, D)), jnp.bfloat16)
+    nv = jnp.asarray(rng.normal(size=(B, Hkv, 1, D)), jnp.bfloat16)
+    pos = jnp.asarray([200], jnp.int32)
+    valid = pos + 1
+    blocked = da._decode_attention_bhgd_blocked_q8_fused(
+        q, kq, vq, jnp.asarray(ks), jnp.asarray(vs), nk, nv, pos, valid,
+        interpret=True,
+    )
+    single = da._decode_attention_bhgd_q8_fused(
+        q, kq, vq, jnp.asarray(ks), jnp.asarray(vs), nk, nv, pos, valid,
+        interpret=True,
+    )
+    for b, s in zip(blocked, single):
+        np.testing.assert_allclose(
+            np.asarray(b, np.float32), np.asarray(s, np.float32),
+            atol=2e-2, rtol=2e-2,
+        )
+
+
 def test_dispatcher_fallback_multi_token():
     """Multi-token windows (speculative verify) must NOT take the fused
     path — the dispatcher falls back to two-step and stays correct."""
