@@ -299,7 +299,8 @@ class MetaModel:
                 head, ((0, 0), (0, V - head.shape[-1]))
             )
 
-    def quantize(self, bits: int = 4, tp_align: int = 0) -> None:
+    def quantize(self, bits: int = 4, tp_align: int = 0,
+                 row_parallel: int = 0) -> None:
         """Post-hoc weight-only quantization of the decoder (the NF4 eval
         path, eval_affordance_with_quant.py:327-342). Vision towers and
         projectors stay dense (quant blocklist).
@@ -313,17 +314,24 @@ class MetaModel:
 
         ``tp_align`` (model_parallel_size * 128): pad the ffn hidden dim so
         TP output sharding of the quantized gate/up weights stays
-        lane-aligned at mp>2 (quant.quantize_params)."""
+        lane-aligned at mp>2 (quant.quantize_params).
+
+        ``row_parallel`` (model_parallel_size): chunk-pack wo/w2 so they
+        K-shard (true row-parallel TP with a psum of partials) instead of
+        column-sharding with activation all-gathers — see
+        quant.quantize_params."""
         from a3vlm_tpu.quant import quantize_params
 
         if self.llama_type in ("llama", "falcon"):
             self.params = quantize_params(
-                self.params, bits=bits, tp_align=tp_align
+                self.params, bits=bits, tp_align=tp_align,
+                row_parallel=row_parallel,
             )
         else:
             self.params = dict(self.params)
             self.params["llama"] = quantize_params(
-                self.params["llama"], bits=bits, tp_align=tp_align
+                self.params["llama"], bits=bits, tp_align=tp_align,
+                row_parallel=row_parallel,
             )
         self._params_transform = None  # qmat consumes packed leaves directly
         self._generator = None

@@ -167,18 +167,30 @@ def _int4_kernel_v3(xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref, o_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("group", "interpret", "variant", "block", "bm")
+    jax.jit,
+    static_argnames=("group", "interpret", "variant", "block", "bm",
+                     "chunks"),
 )
 def _int4_matmul_2d(x, q, scale, *, group: int, interpret: bool = False,
-                    variant: str = "auto", block=None, bm=None):
+                    variant: str = "auto", block=None, bm=None,
+                    chunks: int = 1):
     """x [M, Kpad] (bf16/f32), q [Kpad/2, N] int8 packed, scale [Kpad/g, N]
     f32 -> [M, N] in x.dtype. ``variant``: "v1" = expanded-scale kernel,
     "v3" = group-factored scales (see _int4_kernel_v3), "auto" = the
     per-shape winner from the on-chip sweep. ``block``: (BK, BN) override
-    for sweeps (scripts/int4_sweep.py)."""
+    for sweeps (scripts/int4_sweep.py).
+
+    ``chunks > 1``: q is CHUNK-PACKED (quant._quantize_leaf_int4
+    k_chunks) flattened to 2D — byte rows are [chunk0's Kc/2 rows;
+    chunk1's; ...] and the split-half pairing is per chunk. Same kernel
+    bodies; only the x/scale BlockSpec index maps change (each K block
+    addresses its chunk's lo/hi half instead of the global halves), so
+    single-device chunked matmul costs exactly the unchunked one."""
     M, Kpad = x.shape
     half, N = q.shape
     assert Kpad == 2 * half, (x.shape, q.shape)
+    assert half % chunks == 0, (q.shape, chunks)
+    halfc = half // chunks
 
     # variant/block stay AVAILABLE as sweep knobs (scripts/int4_sweep.py)
     # but "auto" is the round-2 v1 + 1024x1024 configuration: the round-3
@@ -196,37 +208,54 @@ def _int4_matmul_2d(x, q, scale, *, group: int, interpret: bool = False,
         variant = _AUTO_VARIANT
     if block is not None:
         BK, BN = block
-        assert half % BK == 0, (half, BK)
+        assert halfc % BK == 0, (halfc, BK)
     else:
         # BK 1024 / BN 1024 (v5e in-loop sweeps); BK x BN capped at ~1M
         # elements — the dequant temporaries (unpacked i32 halves,
         # expanded scales, bf16 weights) live on the Mosaic stack and
-        # 2048x1024 blocks OOM vmem.
-        BK = next(b for b in (1024, 512) if half % b == 0)
+        # 2048x1024 blocks OOM vmem. BK 256 only exists for chunked
+        # shards (group 32 keeps the scale block at sg >= 8 sublanes).
+        BK = next(
+            b for b in (1024, 512, 256)
+            if halfc % b == 0 and b // group >= 8
+        )
         BN = min(1024, -(-N // 128) * 128)
-    assert (BK % group == 0) and BK // group >= 8, (half, BK, group)
+    assert (BK % group == 0) and BK // group >= 8, (halfc, BK, group)
     BM = bm if bm is not None else min(256, -(-M // 16) * 16)
     Mpad = -(-M // BM) * BM
     if Mpad != M:
         x = jnp.pad(x, ((0, Mpad - M), (0, 0)))
 
-    nm, nn, nk = Mpad // BM, -(-N // BN), half // BK
-    sg = BK // group  # scale rows per K step
+    nm, nn = Mpad // BM, -(-N // BN)
+    hb = halfc // BK       # K blocks per half-chunk
+    nk = chunks * hb       # total K blocks
+    sg = BK // group       # scale rows per K step
+
+    # grid k walks chunks in order; within chunk ci (= k // hb) the lo
+    # half sits at block column ci*2*hb + kb and the hi half hb later —
+    # with chunks=1 this is the classic (k, k + nk) split-half addressing.
+    # x and the scale rows share the same chunk-major layout, so one
+    # formula serves both.
+    def _lo(i, j, k):
+        return (i, (k // hb) * 2 * hb + k % hb)
+
+    def _hi(i, j, k):
+        return (i, (k // hb) * 2 * hb + hb + k % hb)
 
     kernel = _int4_kernel if variant == "v1" else _int4_kernel_v3
     out = pl.pallas_call(
         functools.partial(kernel, group=group, nk=nk),
         grid=(nm, nn, nk),
         in_specs=[
-            pl.BlockSpec((BM, BK), lambda i, j, k: (i, k),
+            pl.BlockSpec((BM, BK), _lo,
                          memory_space=pltpu.VMEM),           # x low half
-            pl.BlockSpec((BM, BK), lambda i, j, k: (i, k + nk),
+            pl.BlockSpec((BM, BK), _hi,
                          memory_space=pltpu.VMEM),           # x high half
             pl.BlockSpec((BK, BN), lambda i, j, k: (k, j),
                          memory_space=pltpu.VMEM),           # packed weight
-            pl.BlockSpec((sg, BN), lambda i, j, k: (k, j),
+            pl.BlockSpec((sg, BN), lambda i, j, k: (_lo(i, j, k)[1], j),
                          memory_space=pltpu.VMEM),           # lo scales
-            pl.BlockSpec((sg, BN), lambda i, j, k: (k + nk, j),
+            pl.BlockSpec((sg, BN), lambda i, j, k: (_hi(i, j, k)[1], j),
                          memory_space=pltpu.VMEM),           # hi scales
         ],
         out_specs=pl.BlockSpec((BM, BN), lambda i, j, k: (i, j),
@@ -357,10 +386,16 @@ def _on_tpu() -> bool:
     return jax.devices()[0].platform == "tpu"
 
 
-def _int4_shapes_eligible(half: int, N: int, g: int) -> bool:
-    return (
-        half % 512 == 0 and 512 % g == 0 and 512 // g >= 8 and N % 128 == 0
+def _int4_shapes_eligible(half: int, N: int, g: int,
+                          chunks: int = 1) -> bool:
+    if half % chunks:
+        return False
+    halfc = half // chunks
+    ok_k = any(
+        halfc % b == 0 and b % g == 0 and b // g >= 8
+        for b in (1024, 512, 256)
     )
+    return ok_k and N % 128 == 0
 
 
 def _kernel_eligible(x, qw: QuantizedWeight) -> bool:
@@ -393,6 +428,31 @@ def _int4_local(x, q, scale, *, group: int, interpret: bool):
     if _int4_shapes_eligible(half, N, group) and (_on_tpu() or interpret):
         return _int4_matmul_2d(x, q, scale, group=group, interpret=interpret)
     return _int4_xla_2d(x, q, scale, group=group)
+
+
+def _int4_local_chunked(x, q3, s3, *, group: int, interpret: bool):
+    """Per-shard dispatch for CHUNK-PACKED operands: x [M, cl*Kc],
+    q3 [cl, halfc, N], s3 [cl, Kc/group, N]. One kernel launch covers all
+    local chunks (the chunk-aware index maps in _int4_matmul_2d); the XLA
+    fallback sums per-chunk two-dot matmuls."""
+    cl, halfc, N = q3.shape
+    q2 = q3.reshape(cl * halfc, N)
+    s2 = s3.reshape(-1, N)
+    if (
+        _int4_shapes_eligible(cl * halfc, N, group, chunks=cl)
+        and (_on_tpu() or interpret)
+    ):
+        return _int4_matmul_2d(
+            x, q2, s2, group=group, interpret=interpret, chunks=cl
+        )
+    Kc = 2 * halfc
+    out = None
+    for ci in range(cl):
+        part = _int4_xla_2d(
+            x[:, ci * Kc:(ci + 1) * Kc], q3[ci], s3[ci], group=group
+        )
+        out = part if out is None else out + part
+    return out
 
 
 @functools.lru_cache(maxsize=8)
@@ -452,8 +512,119 @@ def _spmd_int4(group: int, interpret: bool):
     return fn
 
 
+@functools.lru_cache(maxsize=8)
+def _spmd_int4_rowp(group: int, interpret: bool):
+    """custom_partitioning wrapper for CHUNK-PACKED (row-parallel) int4:
+    operands are x3 [M, c, Kc], q3 [c, Kc/2, N], s3 [c, Kc/group, N] so
+    the chunk axis is a single shardable factor across all three. Each
+    shard runs the fused kernel on its own chunks (a chunk shard IS
+    standard split-half packing of that K-shard) and the partial [M, N]
+    outputs psum over the sharded mesh axis — Megatron RowParallelLinear
+    (reference llama_ens5.py:202-210): activation-sized reduce instead of
+    all-gathering activations into a column-parallel consumer. Partials
+    reduce in f32 and cast once after the psum, so sharded-vs-local
+    differences are f32 summation order only."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def _local(x3, q3, s3):
+        M = x3.shape[0]
+        return _int4_local_chunked(
+            x3.reshape(M, -1), q3, s3, group=group, interpret=interpret
+        )
+
+    def _positional(x3, q3, s3):
+        return _local(x3, q3, s3)
+
+    fn = custom_partitioning(_positional)
+
+    def _axes(arg_shapes):
+        xspec = getattr(arg_shapes[0].sharding, "spec", PartitionSpec())
+        m_ax = xspec[0] if len(xspec) > 0 else None
+        qspec = getattr(arg_shapes[1].sharding, "spec", PartitionSpec())
+        c_ax = qspec[0] if len(qspec) > 0 else None
+        return m_ax, c_ax
+
+    def partition(mesh, arg_shapes, result_shape):
+        m_ax, c_ax = _axes(arg_shapes)
+
+        def lower(x3, q3, s3):
+            out = _local(x3, q3, s3)
+            if c_ax is not None:
+                out = jax.lax.psum(out.astype(jnp.float32), c_ax).astype(
+                    out.dtype
+                )
+            return out
+
+        return (
+            mesh,
+            lower,
+            NamedSharding(mesh, PartitionSpec(m_ax, None)),
+            (
+                NamedSharding(mesh, PartitionSpec(m_ax, c_ax, None)),
+                NamedSharding(mesh, PartitionSpec(c_ax, None, None)),
+                NamedSharding(mesh, PartitionSpec(c_ax, None, None)),
+            ),
+        )
+
+    def infer(mesh, arg_shapes, result_shape):
+        m_ax, _ = _axes(arg_shapes)
+        return NamedSharding(mesh, PartitionSpec(m_ax, None))
+
+    fn.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        # x [m, c, k], q [c, h, n], s [c, g, n] -> [m, n]; c is the
+        # contraction factor that MAY shard (the partition fn psums);
+        # within-chunk dims stay replicated
+        sharding_rule="m c k, c h n, c g n -> m n",
+        need_replication_factors=("k", "h", "g"),
+    )
+    return fn
+
+
+def int4_matmul_chunked(x, qw: QuantizedWeight, interpret: bool = False):
+    """x [..., K] @ chunk-packed int4 weight (k_chunks > 1) -> [..., N].
+    3-D q (a single layer) takes the SPMD rowp wrapper under multi-device
+    runtimes or the chunked kernel locally; stacked [L, ...] weights use
+    the XLA per-chunk fallback (training scans slice to 3-D per layer
+    before reaching here)."""
+    c = qw.k_chunks
+    halfc, N = qw.q.shape[-2:]
+    Kpad = c * 2 * halfc
+    K = x.shape[-1]
+    assert K == qw.in_dim, (K, qw.in_dim)
+    if Kpad != K:
+        x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, Kpad - K)])
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, Kpad)
+    if qw.q.ndim == 3:
+        if len(jax.devices()) > 1:
+            out = _spmd_int4_rowp(qw.group, bool(interpret))(
+                x2.reshape(-1, c, 2 * halfc), qw.q, qw.scale
+            )
+        else:
+            out = _int4_local_chunked(
+                x2, qw.q, qw.scale, group=qw.group, interpret=interpret
+            )
+        return out.reshape(*lead, N)
+    # stacked/leading dims: XLA per-chunk two-dot (non-hot path)
+    Kc = 2 * halfc
+    out = None
+    for ci in range(c):
+        sub = QuantizedWeight(
+            qw.q[..., ci, :, :], qw.scale[..., ci, :, :],
+            bits=4, group=qw.group, in_dim=Kc,
+        )
+        part = _int4_matmul_xla(x[..., ci * Kc:(ci + 1) * Kc], sub)
+        out = part if out is None else out + part
+    return out
+
+
 def int4_matmul(x, qw: QuantizedWeight, interpret: bool = False):
     """x [..., K] @ int4-packed weight [Kpad, N] -> [..., N]."""
+    if qw.k_chunks > 1:
+        return int4_matmul_chunked(x, qw, interpret=interpret)
     Kpad = qw.q.shape[-2] * 2
     K = x.shape[-1]
     assert K == qw.in_dim, (K, qw.in_dim)
@@ -633,30 +804,31 @@ def int8_matmul(x, qw: QuantizedWeight, interpret: bool = False):
     return out.reshape(*lead, out.shape[-1])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _qmat_quant(bits, group, in_dim, x, q, scale):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _qmat_quant(bits, group, in_dim, k_chunks, x, q, scale):
     """Differentiable wrapper over the quantized dispatch: neither the
     Pallas kernels nor the SPMD ``custom_partitioning`` wrappers carry
     autodiff rules, but QLoRA training (reference main_finetune.py:172-210)
     needs d/dx through the frozen base matmul. Forward is the fused path
     unchanged; backward is ``g @ W_deq^T`` (the packed ints and scales get
     no cotangent — they are frozen by construction)."""
-    qw = QuantizedWeight(q, scale, bits, group, in_dim)
+    qw = QuantizedWeight(q, scale, bits, group, in_dim, k_chunks)
     if bits == 8:
         return int8_matmul(x, qw)
     return int4_matmul(x, qw)
 
 
-def _qmat_quant_fwd(bits, group, in_dim, x, q, scale):
-    return _qmat_quant(bits, group, in_dim, x, q, scale), (q, scale)
+def _qmat_quant_fwd(bits, group, in_dim, k_chunks, x, q, scale):
+    return _qmat_quant(bits, group, in_dim, k_chunks, x, q, scale), (q, scale)
 
 
-def _qmat_quant_bwd(bits, group, in_dim, res, g):
+def _qmat_quant_bwd(bits, group, in_dim, k_chunks, res, g):
     from a3vlm_tpu.quant import _dequantize_leaf
 
     q, scale = res
     w = _dequantize_leaf(
-        QuantizedWeight(q, scale, bits, group, in_dim), dtype=g.dtype
+        QuantizedWeight(q, scale, bits, group, in_dim, k_chunks),
+        dtype=g.dtype,
     )
     return g @ w.swapaxes(-1, -2), None, None
 
@@ -675,4 +847,5 @@ def qmat(x, w):
         return base + (x @ w.a.astype(x.dtype)) @ w.b.astype(x.dtype)
     if not isinstance(w, QuantizedWeight):
         return x @ w
-    return _qmat_quant(w.bits, w.group, w.in_dim, x, w.q, w.scale)
+    return _qmat_quant(w.bits, w.group, w.in_dim, w.k_chunks, x, w.q,
+                       w.scale)

@@ -30,17 +30,32 @@ MODEL_AXIS = "model"  # TP mesh axis name (parallel/mesh.py; no import cycle)
 
 
 class QuantizedWeight:
-    """Pytree node: (q, scale) as children, (bits, group, in_dim) static."""
+    """Pytree node: (q, scale) as children, (bits, group, in_dim, k_chunks)
+    static.
 
-    def __init__(self, q, scale, bits: int, group: int = 0, in_dim: int = 0):
+    ``k_chunks > 1`` marks CHUNK-PACKED int4 (round 4): the padded input
+    dim is split into ``k_chunks`` equal chunks and split-half packing is
+    applied per chunk, with ``q`` stored [*, k_chunks, Kc/2, N] and
+    ``scale`` [*, k_chunks, Kc/group, N]. A contiguous shard of the chunk
+    axis is then EXACTLY the standard split-half packing of that K-shard,
+    which is what makes int4 weights row-parallel (K-sharded) under TP —
+    the fairscale RowParallelLinear layout for wo/w2
+    (reference llama_ens5.py:202-210) that plain split-half packing cannot
+    express (byte row r pairs global rows (r, r + K/2))."""
+
+    def __init__(self, q, scale, bits: int, group: int = 0, in_dim: int = 0,
+                 k_chunks: int = 1):
         self.q = q
         self.scale = scale
         self.bits = bits
         self.group = group
         self.in_dim = in_dim
+        self.k_chunks = k_chunks
 
     def tree_flatten(self):
-        return (self.q, self.scale), (self.bits, self.group, self.in_dim)
+        return (self.q, self.scale), (
+            self.bits, self.group, self.in_dim, self.k_chunks
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -120,7 +135,22 @@ def int4_geometry(in_dim: int) -> tuple[int, int]:
     return pad_in, g
 
 
-def _quantize_leaf_int4(w: np.ndarray) -> QuantizedWeight:
+def int4_chunked_geometry(in_dim: int, k_chunks: int):
+    """(padded_in_dim, group) for CHUNK-PACKED int4, or None when the dim
+    cannot chunk without >12.5% zero-padding. Every chunk is 512-row
+    aligned so the per-shard kernel keeps lane/sublane-aligned blocks
+    (half-chunk % 256 with BK down to 256; group 32 keeps the scale block
+    at >= 8 sublanes there)."""
+    unit = 512 * k_chunks
+    pad_in = -(-in_dim // unit) * unit
+    if pad_in > 1.125 * in_dim:
+        return None
+    return pad_in, 32
+
+
+def _quantize_leaf_int4(
+    w: np.ndarray, k_chunks: int = 1
+) -> QuantizedWeight:
     """Group-wise symmetric int4 over the second-to-last dim, packed
     SPLIT-HALF: byte row ``r`` holds row ``r`` in the low nibble and row
     ``r + in/2`` in the high nibble. Unpacking is then two contiguous
@@ -129,10 +159,21 @@ def _quantize_leaf_int4(w: np.ndarray) -> QuantizedWeight:
     (ops/quant_matmul.py) consumes directly.
 
     Large weights are zero-padded along in_dim so the kernel's K-blocking
-    and group scales align (see ``int4_geometry``; <=12.5% overhead)."""
+    and group scales align (see ``int4_geometry``; <=12.5% overhead).
+
+    ``k_chunks > 1``: split the padded input dim into equal chunks and
+    split-half pack PER CHUNK, storing q [*, k_chunks, Kc/2, N] and scale
+    [*, k_chunks, Kc/group, N] — the K-shardable layout (see
+    QuantizedWeight). Quantized VALUES are a function of (pad_in, group)
+    only; chunking changes byte LAYOUT, so quantize->shard commutes."""
     *lead, in_dim, out_dim = w.shape
     assert in_dim % 2 == 0, "int4 packing needs an even input dim"
-    pad_in, g = int4_geometry(in_dim)
+    if k_chunks > 1:
+        geo = int4_chunked_geometry(in_dim, k_chunks)
+        assert geo is not None, (in_dim, k_chunks)
+        pad_in, g = geo
+    else:
+        pad_in, g = int4_geometry(in_dim)
     if pad_in != in_dim:
         w = np.concatenate(
             [w, np.zeros((*lead, pad_in - in_dim, out_dim), w.dtype)],
@@ -143,14 +184,28 @@ def _quantize_leaf_int4(w: np.ndarray) -> QuantizedWeight:
     scale = np.maximum(scale, 1e-8) / 7.0
     q = np.clip(np.round(wg / scale), -7, 7).astype(np.int8)
     q = q.reshape(*lead, pad_in, out_dim)
+    scale = scale.reshape(*lead, pad_in // g, out_dim).astype(np.float32)
+    if k_chunks > 1:
+        Kc = pad_in // k_chunks
+        halfc = Kc // 2
+        qc = q.reshape(*lead, k_chunks, Kc, out_dim)
+        lo = qc[..., :halfc, :] & 0x0F
+        hi = (qc[..., halfc:, :] & 0x0F) << 4
+        packed = (lo | hi).astype(np.int8)
+        return QuantizedWeight(
+            jnp.asarray(packed),
+            jnp.asarray(
+                scale.reshape(*lead, k_chunks, Kc // g, out_dim)
+            ),
+            bits=4, group=g, in_dim=in_dim, k_chunks=k_chunks,
+        )
     half = pad_in // 2
     lo = q[..., :half, :] & 0x0F
     hi = (q[..., half:, :] & 0x0F) << 4
     packed = (lo | hi).astype(np.int8)
     return QuantizedWeight(
         jnp.asarray(packed),
-        jnp.asarray(scale.reshape(*lead, pad_in // g, out_dim)
-                    .astype(np.float32)),
+        jnp.asarray(scale),
         bits=4, group=g, in_dim=in_dim,
     )
 
@@ -169,12 +224,21 @@ def _dequantize_leaf(leaf: QuantizedWeight, dtype=jnp.bfloat16):
         return (leaf.q.astype(jnp.float32) * leaf.scale).astype(dtype)
     packed = leaf.q
     lo, hi = unpack_int4(packed)
-    *lead, half, out_dim = packed.shape
-    q = jnp.concatenate([lo, hi], axis=-2)  # [*, pad_in, out]
     g, in_dim = leaf.group, leaf.in_dim
-    qg = q.reshape(*lead, 2 * half // g, g, out_dim).astype(jnp.float32)
-    w = qg * leaf.scale[..., :, None, :]
-    w = w.reshape(*lead, 2 * half, out_dim)
+    if leaf.k_chunks > 1:
+        # [*, c, halfc, N] -> per-chunk halves -> [*, pad_in, N]
+        *lead, c, halfc, out_dim = packed.shape
+        q = jnp.concatenate([lo, hi], axis=-2)  # [*, c, Kc, N]
+        q = q.reshape(*lead, c * 2 * halfc, out_dim)
+        scale = leaf.scale.reshape(*lead, c * 2 * halfc // g, out_dim)
+    else:
+        *lead, half, out_dim = packed.shape
+        q = jnp.concatenate([lo, hi], axis=-2)  # [*, pad_in, out]
+        scale = leaf.scale
+    pad_in = q.shape[-2]
+    qg = q.reshape(*lead, pad_in // g, g, out_dim).astype(jnp.float32)
+    w = qg * scale[..., :, None, :]
+    w = w.reshape(*lead, pad_in, out_dim)
     return w[..., :in_dim, :].astype(dtype)
 
 
@@ -187,6 +251,10 @@ def _is_quantized_leaf(x) -> bool:
 # lane-aligned width (llama w1/w3 -> w2; falcon mlp up -> down)
 _TP_PAD_OUT = {"w1", "w3", "dense_h_to_4h"}
 _TP_PAD_IN = {"w2", "dense_4h_to_h"}
+# row-parallel (K-sharded) weights under Megatron-style TP: the second
+# linear of each pair, whose INPUT dim carries the sharded intermediate
+# (fairscale RowParallelLinear, reference llama_ens5.py:202-210)
+_ROW_PARALLEL = {"wo", "w2", "dense_4h_to_h"}
 
 
 def quantize_params(
@@ -194,6 +262,7 @@ def quantize_params(
     bits: int = 4,
     blocklist: Sequence[str] = (),
     tp_align: int = 0,
+    row_parallel: int = 0,
 ) -> Any:
     """Quantize linear ``weight`` leaves outside blocklisted top-level
     subtrees. Matches the reference's layer filter (util/quant.py:18-93,
@@ -202,11 +271,20 @@ def quantize_params(
 
     ``tp_align`` (= model_parallel_size * 128): zero-pads the ffn hidden
     dim to this multiple so the gate/up weights' OUTPUT dim splits into
-    lane-aligned TP shards (quantized TP is all-column-parallel — the
-    split-half int4 packing cannot K-shard; see quantized_partition_specs).
-    7B's 11008 and 13B's 13824 don't divide at mp=4/8 without it. The
-    padded gate/up columns are exact zeros -> silu(0)*0 = 0 into the
-    down-projection's zero input rows: forward-identical to unpadded."""
+    lane-aligned TP shards. 7B's 11008 and 13B's 13824 don't divide at
+    mp=4/8 without it. The padded gate/up columns are exact zeros ->
+    silu(0)*0 = 0 into the down-projection's zero input rows:
+    forward-identical to unpadded.
+
+    ``row_parallel`` (= model_parallel_size, int4 only): CHUNK-PACK the
+    row-parallel weights (wo/w2, Megatron RowParallelLinear) with
+    k_chunks=row_parallel so their input dim K-shards over "model" and the
+    matmul psums activation-sized partials instead of all-gathering
+    activations into every column-parallel consumer (the ~15 ms of
+    [1,1455,4096] prefill gathers in the mp=8 projection, PERFORMANCE.md).
+    The ffn pad unit widens to 512*mp so w1/w3 output shards align with
+    w2's input chunks. Weights whose dims can't chunk within the padding
+    budget (int4_chunked_geometry) silently stay column-parallel."""
     assert bits in (4, 8)
     # embeddings stay dense: the reference's bnb quantize() swaps *Linear*
     # modules only (util/quant.py:18-93) and the native qmat path gathers
@@ -222,12 +300,19 @@ def quantize_params(
             if isinstance(n, str)
         )
 
+    # when row-parallel chunking is on, the ffn pad unit must make w1/w3
+    # OUTPUT shards coincide with w2 INPUT chunks: 512*mp (a multiple of
+    # the lane-alignment tp_align = 128*mp)
+    ffn_align = tp_align
+    if row_parallel > 1 and bits == 4:
+        ffn_align = max(tp_align, 512 * row_parallel)
+
     def _tp_pad(x, parent):
-        if not tp_align or parent not in (_TP_PAD_OUT | _TP_PAD_IN):
+        if not ffn_align or parent not in (_TP_PAD_OUT | _TP_PAD_IN):
             return x
         axis = -1 if parent in _TP_PAD_OUT else -2
         F = x.shape[axis]
-        pad = -F % tp_align
+        pad = -F % ffn_align
         if not pad:
             return x
         widths = [(0, 0)] * x.ndim
@@ -242,9 +327,17 @@ def quantize_params(
             names = [root] + keys[:-1]
             if x.ndim < 2 or _keep_dense(names, leaf_name):
                 return jnp.asarray(x)
-            x = _tp_pad(x, keys[-2] if len(keys) > 1 else None)
+            parent = keys[-2] if len(keys) > 1 else None
+            x = _tp_pad(x, parent)
             if bits == 8 or x.shape[-2] % 2:
                 return _quantize_leaf_int8(x)
+            if (
+                row_parallel > 1
+                and parent in _ROW_PARALLEL
+                and int4_chunked_geometry(x.shape[-2], row_parallel)
+                is not None
+            ):
+                return _quantize_leaf_int4(x, k_chunks=row_parallel)
             return _quantize_leaf_int4(x)
 
         return jax.tree_util.tree_map_with_path(leaf_fn, tree)
@@ -290,27 +383,43 @@ def quantized_partition_specs(dense_specs: Any, params: Any, n_model: int):
     """PartitionSpecs for a (partially) quantized tree.
 
     QuantizedWeight leaves shard their OUTPUT dim over "model"
-    (all-column-parallel TP): the int4 split-half packing pairs byte row r
-    with weight rows (r, r + K/2), so the dense row-parallel split of
-    wo/w2 (fairscale RowParallelLinear, llama_ens5.py:63-90) cannot be
-    expressed as a contiguous shard of the packed bytes — instead every
-    quantized matmul shards N and XLA all-gathers the (tiny, activation-
-    sized) outputs where consumers need them. Weights whose N doesn't
-    split into lane-aligned (128-multiple) shards stay replicated. Dense
-    leaves (norms, embeddings, blocklisted towers) keep their dense specs.
-    """
+    (all-column-parallel TP) by default: the int4 split-half packing pairs
+    byte row r with weight rows (r, r + K/2), so the dense row-parallel
+    split of wo/w2 (fairscale RowParallelLinear, llama_ens5.py:63-90)
+    cannot be expressed as a contiguous shard of the packed bytes —
+    instead every quantized matmul shards N and XLA all-gathers the (tiny,
+    activation-sized) outputs where consumers need them.
+
+    CHUNK-PACKED leaves (k_chunks > 1, quantize_params(row_parallel=mp))
+    shard their CHUNK axis over "model" instead — true row-parallel TP
+    with a psum of activation-sized partials (ops/quant_matmul.py
+    ``_spmd_int4_rowp``). Weights whose dims don't split into lane-aligned
+    shards stay replicated. Dense leaves (norms, embeddings, blocklisted
+    towers) keep their dense specs."""
     import jax.sharding as _sh
 
     def leaf_fn(qw, spec):
         if not isinstance(qw, QuantizedWeight):
             return spec
-        lead = qw.q.ndim - 2
         N = qw.q.shape[-1]
         axes = [a for a in spec if a is not None] if spec is not None else []
         wants_model = any(
             a == MODEL_AXIS or (isinstance(a, tuple) and MODEL_AXIS in a)
             for a in axes
         )
+        if qw.k_chunks > 1:
+            # [*, c, halfc, N]: shard the chunk axis (row-parallel)
+            lead = qw.q.ndim - 3
+            if wants_model and n_model > 1 and qw.k_chunks % n_model == 0:
+                qs = _sh.PartitionSpec(
+                    *([None] * lead), MODEL_AXIS, None, None
+                )
+            else:
+                qs = _sh.PartitionSpec(*([None] * (lead + 3)))
+            return QuantizedWeight(
+                qs, qs, qw.bits, qw.group, qw.in_dim, qw.k_chunks
+            )
+        lead = qw.q.ndim - 2
         if wants_model and n_model > 1 and N % (n_model * 128) == 0:
             qs = _sh.PartitionSpec(*([None] * (lead + 1)), MODEL_AXIS)
         else:

@@ -49,10 +49,14 @@ class ModelServer:
             )
             if quant:
                 # tp_align pads the ffn hidden dim so the quantized gate/up
-                # weights' TP output shards stay lane-aligned at this mp
+                # weights' TP output shards stay lane-aligned at this mp;
+                # row_parallel chunk-packs wo/w2 so they K-shard (psum of
+                # partials) instead of forcing activation all-gathers
                 self.model.quantize(
                     tp_align=model_parallel_size * 128
-                    if model_parallel_size > 1 else 0
+                    if model_parallel_size > 1 else 0,
+                    row_parallel=model_parallel_size
+                    if model_parallel_size > 1 else 0,
                 )
         if kv_cache_bits is not None:
             # int8 KV cache (serving extension; ops/decode_attention.py)

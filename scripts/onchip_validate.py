@@ -155,6 +155,50 @@ def leg_spmd_wrapper_single_device():
     check("int8_spmd_wrapper_vs_kernel", _err(direct8, via8), 1e-6)
 
 
+def leg_chunked_int4():
+    """Round-4 CHUNK-PACKED int4 (the K-shardable row-parallel layout) on
+    real TPU: the chunk-aware BlockSpec index maps and the BK=256 block
+    (a chunked shard's half-chunk can drop below 512 rows) have only run
+    in interpret mode; Mosaic must compile and match the XLA per-chunk
+    fallback. Shapes mirror 7B wo under mp=8 (chunks=8, halfc=256 -> BK
+    256) and a 2-chunk local weight (halfc=1024 -> BK 1024)."""
+    from a3vlm_tpu.ops.quant_matmul import (
+        _int4_local_chunked,
+        _int4_matmul_xla,
+        _spmd_int4_rowp,
+    )
+    from a3vlm_tpu.quant import QuantizedWeight, _quantize_leaf_int4
+
+    rng = np.random.default_rng(4)
+    for chunks, K, N, label in ((8, 4096, 4096, "mp8_shard"),
+                                (2, 4096, 1024, "local_c2")):
+        w = rng.normal(size=(K, N)).astype(np.float32)
+        qw = _quantize_leaf_int4(w, k_chunks=chunks)
+        x = jnp.asarray(rng.normal(size=(16, K)), jnp.bfloat16)
+        Kc = K // chunks
+        ref = sum(
+            _int4_matmul_xla(
+                x[:, ci * Kc:(ci + 1) * Kc],
+                QuantizedWeight(qw.q[ci], qw.scale[ci], 4, qw.group, Kc),
+            )
+            for ci in range(chunks)
+        )
+        got = jax.jit(
+            lambda xx, qq, ss: _int4_local_chunked(
+                xx, qq, ss, group=qw.group, interpret=False
+            )
+        )(x, qw.q, qw.scale)
+        # kernel accumulates per K-block bf16-weight dots in f32; XLA
+        # fallback dequantizes to f32 — same tolerance class as the
+        # unchunked kernel-vs-XLA legs
+        check(f"chunked_int4_{label}", _err(got, ref), 0.5)
+        via_rowp = jax.jit(_spmd_int4_rowp(qw.group, False))(
+            x.reshape(16, chunks, Kc), qw.q, qw.scale
+        )
+        check(f"chunked_int4_rowp_wrapper_{label}", _err(got, via_rowp),
+              1e-6)
+
+
 def leg_fused_update_attend(S, label):
     """Round-3 fused write+attend kernels on real TPU vs interpret mode:
     the aliased-output write-back tile (scalar-dependent out index_map,
@@ -216,6 +260,7 @@ def main():
     leg_q8_decode_attention(1024, "blocked_s1024")
     leg_quant_chunked_prefill()
     leg_spmd_wrapper_single_device()
+    leg_chunked_int4()
     leg_fused_update_attend(256, "single_s256")
     leg_fused_update_attend(1024, "blocked_s1024")
 

@@ -212,3 +212,46 @@ def test_ens5_server_mp2_quantized_image_parity(devices8,
     assert "model" in str(w1.q.sharding.spec)
     out = server.generate(prompts, images=image, **kw)
     assert out == ref
+
+
+def test_mp2_row_parallel_quantized_generation_parity(
+    devices8, tiny_tokenizer
+):
+    """int4 with row_parallel chunk-packing (quantize_params
+    row_parallel=2): wo/w2 K-shard over "model" (a psum of partials
+    through _spmd_int4_rowp) while wq..w3 stay column-parallel — the full
+    Megatron layout of the dense path, now for packed weights. Generation
+    on the (data=4, model=2) mesh matches single-device."""
+    from a3vlm_tpu.quant import quantize_params, quantized_partition_specs
+
+    tok = tiny_tokenizer
+    # dim 1024 = the smallest wo that chunks at mp=2 (512*mp unit)
+    args = ModelArgs(
+        dim=1024, n_layers=2, n_heads=8, n_kv_heads=4,
+        vocab_size=_padded_vocab(tok), multiple_of=16, max_seq_len=64,
+        max_batch_size=2,
+    )
+    params = llama.init_llama_params(jax.random.PRNGKey(11), args)
+    qparams = quantize_params(params, bits=4, tp_align=256, row_parallel=2)
+    wo = qparams["layers"]["attention"]["wo"]["weight"]
+    w2 = qparams["layers"]["feed_forward"]["w2"]["weight"]
+    assert wo.k_chunks == 2 and wo.q.shape[1] == 2  # [L, c, halfc, N]
+    assert w2.k_chunks == 2
+
+    prompts = ["detect all parts", "the answer is"]
+    kw = dict(max_gen_len=6, temperature=0.0)
+    ref = Generator(
+        qparams, args, tok, vocab_limit=tok.n_words
+    ).generate(prompts, **kw)
+
+    mesh = create_mesh(2, devices=devices8)
+    specs = quantized_partition_specs(
+        llama.llama_partition_specs(args), qparams, 2
+    )
+    wos = specs["layers"]["attention"]["wo"]["weight"]
+    assert tuple(wos.q) == (None, "model", None, None)
+    sharded = shard_params(qparams, mesh, specs)
+    out = Generator(
+        sharded, args, tok, vocab_limit=tok.n_words, mesh=mesh
+    ).generate(prompts, **kw)
+    assert out == ref

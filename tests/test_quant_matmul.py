@@ -432,3 +432,172 @@ def test_int4_ffn_down_fused_matches_unfused():
         np.asarray(fused_b, np.float32), np.asarray(ref),
         rtol=0, atol=0.15,
     )
+
+
+# ---------------------------------------------------------------------------
+# CHUNK-PACKED int4 (k_chunks > 1): the K-shardable row-parallel layout
+# ---------------------------------------------------------------------------
+
+
+def test_int4_chunked_pack_and_dequant():
+    """k_chunks=2 packs per chunk ([c, Kc/2, N] bytes, group 32) and the
+    dequant reproduces the per-group quantized dense weight exactly."""
+    from a3vlm_tpu.quant import _dequantize_leaf
+
+    w = _rand_w(1024, 256, seed=30)
+    qw = _quantize_leaf_int4(w, k_chunks=2)
+    assert qw.k_chunks == 2 and qw.group == 32
+    assert qw.q.shape == (2, 256, 256)
+    assert qw.scale.shape == (2, 1024 // 2 // 32, 256)
+
+    # reference per-group quantization at the same (pad, group)
+    g = 32
+    wg = w.reshape(1024 // g, g, 256)
+    s = np.maximum(np.abs(wg).max(axis=1, keepdims=True), 1e-8) / 7.0
+    qref = np.clip(np.round(wg / s), -7, 7)
+    dense_ref = (qref * s).reshape(1024, 256)
+    got = np.asarray(_dequantize_leaf(qw, dtype=jnp.float32))
+    np.testing.assert_allclose(got, dense_ref, rtol=1e-6, atol=1e-6)
+
+    # chunk shard ci IS the standard packing of that K-shard
+    half_rows = np.asarray(qw.q[0])
+    lo = half_rows & 0x0F
+    hi = (half_rows >> 4) & 0x0F
+    lo = np.where(lo > 7, lo - 16, lo)
+    hi = np.where(hi > 7, hi - 16, hi)
+    np.testing.assert_array_equal(
+        np.concatenate([lo, hi], axis=0),
+        np.asarray(qref.reshape(1024, 256)[:512], np.int8),
+    )
+
+
+def test_int4_chunked_matmul_matches_dense():
+    """Single-device chunked matmul (XLA fallback AND interpret kernel)
+    equals x @ dequantized dense."""
+    from a3vlm_tpu.quant import _dequantize_leaf
+
+    w = _rand_w(1024, 256, seed=31)
+    qw = _quantize_leaf_int4(w, k_chunks=2)
+    x = jnp.asarray(_rand_w(8, 1024, seed=32))
+    dense = _dequantize_leaf(qw, dtype=jnp.float32)
+    ref = np.asarray(x @ dense)
+    got_xla = np.asarray(int4_matmul(x, qw))
+    np.testing.assert_allclose(got_xla, ref, rtol=1e-4, atol=1e-4)
+    # kernel path casts dequantized weights to bf16 (same as the
+    # established unchunked-kernel tolerance)
+    got_kernel = np.asarray(int4_matmul(x, qw, interpret=True))
+    np.testing.assert_allclose(got_kernel, ref, rtol=2e-2, atol=0.5)
+
+
+def test_int4_chunked_kernel_index_maps():
+    """The chunk-aware BlockSpec index maps: interpret-mode kernel with
+    chunks=4 (several K blocks per half-chunk) equals the per-chunk XLA
+    sum."""
+    from a3vlm_tpu.ops.quant_matmul import _int4_local_chunked
+
+    w = _rand_w(4096, 128, seed=33)
+    qw = _quantize_leaf_int4(w, k_chunks=4)
+    assert qw.q.shape == (4, 512, 128)
+    x = jnp.asarray(_rand_w(4, 4096, seed=34))
+    got = np.asarray(
+        _int4_matmul_2d(
+            x, qw.q.reshape(-1, 128), qw.scale.reshape(-1, 128),
+            group=qw.group, chunks=4, interpret=True,
+        )
+    )
+    ref = np.asarray(
+        sum(
+            _int4_matmul_xla(
+                x[:, ci * 1024:(ci + 1) * 1024],
+                QuantizedWeight(
+                    qw.q[ci], qw.scale[ci], 4, qw.group, 1024
+                ),
+            )
+            for ci in range(4)
+        )
+    )
+    np.testing.assert_allclose(got, ref, rtol=2e-2, atol=0.5)
+
+
+@pytest.mark.parametrize("interpret", [True, False])
+def test_int4_rowp_spmd_mp2_matches_reference(interpret):
+    """K-sharded (row-parallel) chunked int4 on a (data=2, model=2) mesh:
+    each shard computes its chunks and the partials psum — matches the
+    unsharded reference."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from a3vlm_tpu.parallel import create_mesh
+
+    w = _rand_w(2048, 256, seed=35)
+    qw = _quantize_leaf_int4(w, k_chunks=2)
+    assert qw.q.shape == (2, 512, 256)
+    mesh = create_mesh(2, devices=jax.devices()[:4])
+    qs = jax.device_put(qw.q, NamedSharding(mesh, P("model", None, None)))
+    ss = jax.device_put(
+        qw.scale, NamedSharding(mesh, P("model", None, None))
+    )
+    qw_sh = QuantizedWeight(qs, ss, 4, qw.group, qw.in_dim, qw.k_chunks)
+    x = jnp.asarray(_rand_w(8, 2048, seed=36))
+    x_sh = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+    ref = np.asarray(int4_matmul(x, qw))
+    with mesh:
+        got = jax.jit(
+            lambda xx, ww: int4_matmul(xx, ww, interpret=interpret)
+        )(x_sh, qw_sh)
+    # interpret=True runs the bf16-weight kernel per shard (established
+    # kernel tolerance); interpret=False on CPU takes the f32 XLA path
+    tol = dict(rtol=2e-2, atol=0.5) if interpret else dict(
+        rtol=2e-3, atol=2e-3
+    )
+    np.testing.assert_allclose(np.asarray(got, np.float32), ref, **tol)
+
+
+def test_quantize_params_row_parallel_and_specs():
+    """quantize_params(row_parallel=2): wo/w2 chunk-pack (w2's in_dim and
+    w1/w3's out_dim pad to the 512*mp unit together), column weights stay
+    split-half; quantized_partition_specs shards the chunk axis over
+    "model" for chunked leaves and N for the rest; the sharded decoder
+    forward matches single-device."""
+    from jax.sharding import PartitionSpec as P
+
+    from a3vlm_tpu.quant import quantized_partition_specs
+
+    D, F = 1024, 1500  # F pads to 2048 at mp=2 (unit 1024)
+    tree = {
+        "layers": {
+            "attention": {"wo": {"weight": _rand_w(D, D, seed=40)}},
+            "feed_forward": {
+                "w1": {"weight": _rand_w(D, F, seed=41)},
+                "w2": {"weight": _rand_w(F, D, seed=42)},
+                "w3": {"weight": _rand_w(D, F, seed=43)},
+            },
+        }
+    }
+    qp = quantize_params(tree, bits=4, tp_align=256, row_parallel=2)
+    wo = qp["layers"]["attention"]["wo"]["weight"]
+    w1 = qp["layers"]["feed_forward"]["w1"]["weight"]
+    w2 = qp["layers"]["feed_forward"]["w2"]["weight"]
+    assert wo.k_chunks == 2 and wo.q.shape == (2, D // 4, D)
+    assert w1.k_chunks == 1 and w1.q.shape[-1] == 2048  # padded out
+    assert w2.k_chunks == 2 and w2.q.shape == (2, 2048 // 4, D)
+
+    dense_specs = {
+        "layers": {
+            "attention": {"wo": {"weight": P("model", None)}},
+            "feed_forward": {
+                "w1": {"weight": P(None, "model")},
+                "w2": {"weight": P("model", None)},
+                "w3": {"weight": P(None, "model")},
+            },
+        }
+    }
+    specs = quantized_partition_specs(dense_specs, qp, 2)
+    assert specs["layers"]["attention"]["wo"]["weight"].q == P(
+        "model", None, None
+    )
+    assert specs["layers"]["feed_forward"]["w2"]["weight"].q == P(
+        "model", None, None
+    )
+    assert specs["layers"]["feed_forward"]["w1"]["weight"].q == P(
+        None, "model"
+    )
