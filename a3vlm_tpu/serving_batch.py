@@ -74,6 +74,77 @@ def _ragged_step(params, args, cache, token, pos, rng, vocab_limit,
 
 @functools.partial(
     jax.jit,
+    static_argnames=("args", "vocab_limit", "temperature", "top_p",
+                     "t_steps", "pos_cap"),
+    donate_argnames=("cache",),
+)
+def _ragged_step_chunk(params, args, cache, token, pos, active, remaining,
+                       stop_tokens, rng, vocab_limit, temperature, top_p,
+                       t_steps, pos_cap, fsm_table=None, fsm_state=None):
+    """``t_steps`` vanilla ragged decode steps in ONE dispatch — the
+    round-4 fix for relay-latency-bound serving: the per-step host loop
+    pays ~3 synchronous host<->device round trips (~27 ms each on the
+    axon relay) per ~10 ms compute step, which benched continuous
+    batching at 0.46x static waves on-chip. Tokens, positions, EOS flags
+    and grammar states ride the loop carry on device; the host reads back
+    ONE [B, T] token block per chunk.
+
+    GREEDY output is EXACTLY the per-step path's: slots stop emitting
+    in-loop on stop tokens / gen limits / the position cap (mirroring the
+    host bookkeeping) and frozen slots idempotently rewrite their own
+    cache row. The rng splits once per step only while any slot emits, so
+    the DECODE split sequence matches the per-step path — but sampled
+    output may still differ across chunk sizes because admission timing
+    (which shares the stream) shifts to chunk boundaries, exactly like
+    batched-admission grouping already does at temperature>0. Sampled
+    runs are seed-reproducible, not scheduling-invariant.
+
+    ``active`` [B] bool, ``remaining`` [B] int32 (tokens each slot may
+    still emit), ``stop_tokens`` [n] int32. Returns
+    (tokens [B, t_steps] int32, rng', cache)."""
+    B = token.shape[0]
+
+    def body(i, carry):
+        token, pos, active, remaining, rng, fsm_state, toks, cache = carry
+        emit = active & (remaining > 0)
+        rng, sub = jax.lax.cond(
+            jnp.any(emit),
+            lambda r: tuple(jax.random.split(r)),
+            lambda r: (r, r),
+            rng,
+        )
+        logits, cache = llama.decode_step_ragged(
+            params, args, cache, token, pos
+        )
+        rows = None if fsm_table is None else fsm_table[fsm_state]
+        pick = _pick(logits, sub, vocab_limit, temperature, top_p, rows)
+        nxt = jnp.where(emit, pick, token[:, 0])
+        toks = jax.lax.dynamic_update_slice(toks, nxt[:, None], (0, i))
+        if fsm_table is not None:
+            walked = jnp.maximum(
+                fsm_table[fsm_state, nxt], 0
+            ).astype(fsm_state.dtype)
+            fsm_state = jnp.where(emit, walked, fsm_state)
+        hit_stop = jnp.any(
+            nxt[:, None] == stop_tokens[None, :], axis=-1
+        )
+        remaining = remaining - emit.astype(remaining.dtype)
+        pos = pos + emit.astype(pos.dtype)
+        capped = pos + 1 >= pos_cap
+        active = emit & ~hit_stop & (remaining > 0) & ~capped
+        return (nxt[:, None], pos, active, remaining, rng, fsm_state,
+                toks, cache)
+
+    toks0 = jnp.zeros((B, t_steps), jnp.int32)
+    out = jax.lax.fori_loop(
+        0, t_steps, body,
+        (token, pos, active, remaining, rng, fsm_state, toks0, cache),
+    )
+    return out[6], out[4], out[7]
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("args", "vocab_limit"),
     donate_argnames=("cache",),
 )
@@ -289,6 +360,7 @@ class ContinuousBatcher:
         mesh=None,
         draft_k: int = 0,
         fsm=None,
+        steps_per_dispatch: int = 1,
     ):
         """``ens5_params``/``ens5_cfg``: pass the full multimodal tree +
         Ens5Config to serve IMAGE-conditioned requests — admission encodes
@@ -307,7 +379,16 @@ class ContinuousBatcher:
         reset at admission; EOS legal only at grammar-complete answers).
         Composes with greedy/top-p and with speculative mode (verify
         masks each window position by the state walked along the draft,
-        so output stays exactly the constrained-greedy sequence)."""
+        so output stays exactly the constrained-greedy sequence).
+
+        ``steps_per_dispatch`` > 1 (vanilla mode only): each decode round
+        runs that many ragged steps inside one jit (``_ragged_step_chunk``)
+        and reads back one [B, T] token block — output is exactly the
+        per-step path's, but the host<->device round-trip cost (the 0.46x
+        on-chip regression vs static waves at T=1 over the relay)
+        amortizes T-fold. Admission granularity coarsens to T steps: a
+        slot finishing mid-chunk idles for the remainder, so keep T well
+        under typical gen lengths (8 vs gen 16-64 costs ~9%% occupancy)."""
         self.params = llama.unstack_layers(params)
         self.args = args
         self.ens5_params = ens5_params
@@ -324,6 +405,12 @@ class ContinuousBatcher:
         self.max_seq_len = max_seq_len or args.max_seq_len
         self.kv_bits = kv_cache_bits
         self.draft_k = int(draft_k)
+        self.steps_per_dispatch = int(steps_per_dispatch)
+        assert self.steps_per_dispatch >= 1
+        assert not (self.draft_k and self.steps_per_dispatch > 1), (
+            "speculative mode drafts on host per round; steps_per_dispatch "
+            "applies to vanilla decode only"
+        )
         dtype = kv_cache_dtype(kv_cache_bits)
         # speculative mode writes verify windows up to draft_k rows past a
         # slot's last emitted position — spare rows keep the ragged writes
@@ -449,6 +536,21 @@ class ContinuousBatcher:
                 jnp.zeros((self.slots, K + 1), jnp.int32),
                 jnp.zeros((self.slots,), jnp.int32),
                 self.vocab_limit, self._fsm_dev, fsm_states,
+            )
+        elif self.steps_per_dispatch > 1:
+            # inactive slots: the chunk idempotently rewrites row 0
+            _, self._rng, self.cache = _ragged_step_chunk(
+                self.params, self.args, self.cache,
+                jnp.zeros((self.slots, 1), jnp.int32),
+                jnp.zeros((self.slots,), jnp.int32),
+                jnp.zeros((self.slots,), bool),
+                jnp.zeros((self.slots,), jnp.int32),
+                jnp.asarray([self.tokenizer.eos_id], jnp.int32),
+                self._rng, self.vocab_limit, self._temperature,
+                self._top_p, self.steps_per_dispatch,
+                int(self.max_seq_len), self._fsm_dev,
+                None if self._fsm_dev is None
+                else jnp.asarray(self._fsm_state),
             )
         else:
             _, self.cache = _ragged_step(
@@ -767,6 +869,64 @@ class ContinuousBatcher:
             else:
                 self._host_tok[slot, 0] = int(preds[slot, emitted - 1])
 
+    def _decode_round_chunked(self, out_tokens, gen_lims, stops,
+                              additional_stop_symbols):
+        """steps_per_dispatch ragged steps in one jit + one readback
+        (see _ragged_step_chunk). The host walk below mirrors the in-jit
+        stop logic exactly, so a slot's emitted tokens are identical to
+        the per-step path's; finish timestamps land at chunk granularity."""
+        tok = self.tokenizer
+        T = self.steps_per_dispatch
+        active = np.array([a is not None for a in self._active], bool)
+        remaining = np.zeros((self.slots,), np.int32)
+        for slot, idx in enumerate(self._active):
+            if idx is not None:
+                remaining[slot] = gen_lims[idx] - len(out_tokens[idx])
+        toks, self._rng, self.cache = _ragged_step_chunk(
+            self.params, self.args, self.cache,
+            jnp.asarray(self._host_tok),
+            jnp.asarray(self._host_pos.astype(np.int32)),
+            jnp.asarray(active), jnp.asarray(remaining),
+            jnp.asarray(sorted(stops), jnp.int32), self._rng,
+            self.vocab_limit, self._temperature, self._top_p,
+            T, int(self.max_seq_len),
+            self._fsm_dev,
+            None if self._fsm_dev is None
+            else jnp.asarray(self._fsm_state),
+        )
+        self.steps += T
+        toks_host = np.asarray(toks)
+        now = time.perf_counter()
+        for slot in range(self.slots):
+            idx = self._active[slot]
+            if idx is None:
+                continue
+            done = False
+            for j in range(T):
+                t = int(toks_host[slot, j])
+                out_tokens[idx].append(t)
+                self._host_pos[slot] += 1
+                self._host_tok[slot, 0] = t
+                if self._fsm_np is not None:
+                    self._fsm_state[slot] = max(
+                        int(self._fsm_np[self._fsm_state[slot], t]), 0
+                    )
+                done = (
+                    t in stops
+                    or len(out_tokens[idx]) >= gen_lims[idx]
+                    or self._host_pos[slot] + 1 >= self.max_seq_len
+                )
+                if not done and additional_stop_symbols:
+                    tail = tok.decode(out_tokens[idx][-8:])
+                    done = any(
+                        sym in tail for sym in additional_stop_symbols
+                    )
+                if done:
+                    break
+            if done:
+                self._active[slot] = None
+                self._finish_t[idx] = now
+
     def _decode_round(self, out_tokens, gen_lims, stops,
                       additional_stop_symbols):
         """One vanilla batched ragged step over all slots + per-slot
@@ -957,6 +1117,10 @@ class ContinuousBatcher:
 
             if self.draft_k:
                 self._speculative_round(
+                    out_tokens, gen_lims, stops, additional_stop_symbols
+                )
+            elif self.steps_per_dispatch > 1:
+                self._decode_round_chunked(
                     out_tokens, gen_lims, stops, additional_stop_symbols
                 )
             else:

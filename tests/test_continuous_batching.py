@@ -898,3 +898,92 @@ def test_continuous_batcher_warmup_with_prefix(tiny_tokenizer):
         )
 
     assert run(True) == run(False)
+
+
+def test_chunked_dispatch_matches_per_step(tiny_tokenizer):
+    """steps_per_dispatch=3 (multi-step in-jit decode rounds): greedy
+    output is EXACTLY the per-step path's — slots stop mid-chunk on stop
+    tokens / ragged gen limits, and re-admissions land at chunk
+    boundaries without corrupting anything."""
+    tok = tiny_tokenizer
+    args = _tiny_args(_padded_vocab(tok))
+    params = llama.init_llama_params(jax.random.PRNGKey(6), args)
+    prompts = [
+        "### Human: detect all manipulable object parts",
+        "the answer is",
+        "provide the joint's type",
+        "rotated bounding box",
+        "Hi my darling",
+    ]
+    glens = [3, 6, 9, 5, 7]  # ragged so slots finish mid-chunk
+
+    ref_b = ContinuousBatcher(
+        params, args, tok, slots=2, vocab_limit=tok.n_words, seed=4
+    )
+    ref = ref_b.generate(prompts, max_gen_len=glens)
+
+    chunk_b = ContinuousBatcher(
+        params, args, tok, slots=2, vocab_limit=tok.n_words, seed=4,
+        steps_per_dispatch=3,
+    )
+    got = chunk_b.generate(prompts, max_gen_len=glens)
+    assert got == ref
+    assert chunk_b.steps % 3 == 0
+
+
+def test_chunked_dispatch_sampled_reproducible(tiny_tokenizer):
+    """Sampled chunked decoding: same seed -> same output, emitted ids
+    inside vocab_limit. (Sampled output may differ from the per-step
+    path's — admission GROUPING already shifts the shared rng stream at
+    temperature>0, exactly like batched admission does today — so the
+    invariant is reproducibility, not cross-chunk-size identity.)"""
+    tok = tiny_tokenizer
+    args = _tiny_args(_padded_vocab(tok))
+    params = llama.init_llama_params(jax.random.PRNGKey(6), args)
+    prompts = ["detect parts", "### Human: hi", "the answer is"]
+
+    def run():
+        return ContinuousBatcher(
+            params, args, tok, slots=2, vocab_limit=tok.n_words, seed=9,
+            steps_per_dispatch=3,
+        ).generate(prompts, max_gen_len=6, temperature=0.8, top_p=0.9)
+
+    out_a, out_b = run(), run()
+    assert out_a == out_b
+    for o in out_a:
+        ids = tok.encode(o, bos=False, eos=False)
+        assert all(i < tok.n_words for i in ids)
+
+
+def test_chunked_dispatch_constrained_matches(tiny_tokenizer):
+    """steps_per_dispatch composes with grammar constraints: the in-jit
+    DFA walk reproduces the per-step constrained output."""
+    tok = tiny_tokenizer
+    args, params, fsm, _ = _constrained_setup(tok)
+    ref = ContinuousBatcher(
+        params, args, tok, slots=2, vocab_limit=tok.n_words, fsm=fsm
+    ).generate(_CONSTRAINED_PROMPTS, max_gen_len=24)
+    got = ContinuousBatcher(
+        params, args, tok, slots=2, vocab_limit=tok.n_words, fsm=fsm,
+        steps_per_dispatch=4,
+    ).generate(_CONSTRAINED_PROMPTS, max_gen_len=24)
+    assert got == ref
+
+
+def test_chunked_dispatch_warmup_transparent(tiny_tokenizer):
+    """warmup() with steps_per_dispatch>1 compiles the chunk step and
+    leaves outputs unchanged."""
+    tok = tiny_tokenizer
+    args = _tiny_args(_padded_vocab(tok))
+    params = llama.init_llama_params(jax.random.PRNGKey(6), args)
+    prompts = ["detect parts", "### Human: hi"]
+    plain = ContinuousBatcher(
+        params, args, tok, slots=2, vocab_limit=tok.n_words,
+        steps_per_dispatch=3,
+    ).generate(prompts, max_gen_len=6)
+    warm = ContinuousBatcher(
+        params, args, tok, slots=2, vocab_limit=tok.n_words,
+        steps_per_dispatch=3,
+    )
+    warm.warmup(buckets=(16,), groups=(1, 2))
+    assert warm.generate(prompts, max_gen_len=6) == plain
