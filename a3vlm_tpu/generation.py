@@ -392,6 +392,9 @@ class Generator:
         # buffers batch-on-"data"; XLA turns the per-layer TP matmuls into
         # ICI collectives via the params' NamedShardings.
         self.mesh = mesh
+        # set by _generate_lookup (draft_k > 0): realized speculative
+        # acceptance for the LAST request — emitted tokens, verify rounds
+        self.last_spec_stats = None
         # 8 -> int8 KV cache with per-token scales (halves decode cache
         # traffic / doubles capacity; ops/decode_attention.QuantizedKV).
         # NOTE: the traffic win needs the fused q8 kernels (D % 128 == 0);
@@ -588,7 +591,7 @@ class Generator:
         if image_tokens is not None:
             image_tokens = self._shard_batched(image_tokens)
         prompt = self._shard_batched(np.asarray([t], np.int32))
-        out, count, _cache = _lookup_generate_loop(
+        out, count, _cache, rounds = _lookup_generate_loop(
             self.params, args, cache, prompt, image_tokens,
             gen_len=gen_len, draft_k=draft_k, impl=impl,
             vocab_limit=self.vocab_limit,
@@ -599,6 +602,13 @@ class Generator:
             key_offset=len(t) - _prefill_bucket(len(t)),
         )
         gen = np.asarray(out)[: int(count)].tolist()
+        # realized acceptance telemetry (scripts/spec_acceptance.py): how
+        # many verify forwards the emitted tokens actually cost
+        self.last_spec_stats = {
+            "emitted": int(count),
+            "verify_rounds": int(rounds),
+            "tokens_per_round": round(int(count) / max(int(rounds), 1), 3),
+        }
         buf = list(t) + gen
         P = len(t)
         cut = len(gen)

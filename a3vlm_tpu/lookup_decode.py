@@ -163,11 +163,11 @@ def lookup_generate(
         return cont
 
     def cond(state):
-        buf, n_emit, pos, cache, done, fstate = state
+        buf, n_emit, pos, cache, done, fstate, rounds = state
         return (~done) & (n_emit < gen_len)
 
     def body(state):
-        buf, n_emit, pos, cache, done, fstate = state
+        buf, n_emit, pos, cache, done, fstate, rounds = state
         n_buf = P + n_emit
         last = buf[n_buf - 1]
         draft = find_draft(buf, n_buf, last)
@@ -224,20 +224,22 @@ def lookup_generate(
 
         # write all K preds after the current end; only m count
         buf = jax.lax.dynamic_update_slice(buf, preds, (n_buf,))
-        return buf, n_emit + m, pos + m, cache, done, fstate
+        return buf, n_emit + m, pos + m, cache, done, fstate, rounds + 1
 
     first_is_stop = jnp.asarray(first_token, jnp.int32) == stop_token
     fstate0 = jnp.asarray(
         fsm_state0 if fsm_state0 is not None else 0, jnp.int32
     )
-    buf, n_emit, pos, cache, done, _ = jax.lax.while_loop(
+    buf, n_emit, pos, cache, done, _, rounds = jax.lax.while_loop(
         cond, body, (buf, jnp.int32(1), jnp.asarray(start_pos, jnp.int32),
-                     cache, first_is_stop, fstate0),
+                     cache, first_is_stop, fstate0, jnp.int32(0)),
     )
     out = jax.lax.dynamic_slice(buf, (P,), (gen_len,))
     # cache returned (and dropped by callers) purely to give the donated
     # input an output alias — see _generate_loop's note in generation.py
-    return out, n_emit, cache
+    # rounds = verify forwards run; n_emit / (rounds + 1) is the realized
+    # tokens-per-forward including the prefill-argmax freebie
+    return out, n_emit, cache, rounds
 
 
 def greedy_reference(params, args, cache, start_pos, first_token,

@@ -164,10 +164,10 @@ def leg_chunked_int4():
     256) and a 2-chunk local weight (halfc=1024 -> BK 1024)."""
     from a3vlm_tpu.ops.quant_matmul import (
         _int4_local_chunked,
-        _int4_matmul_xla,
+        _int4_matmul_2d,
         _spmd_int4_rowp,
     )
-    from a3vlm_tpu.quant import QuantizedWeight, _quantize_leaf_int4
+    from a3vlm_tpu.quant import _quantize_leaf_int4
 
     rng = np.random.default_rng(4)
     for chunks, K, N, label in ((8, 4096, 4096, "mp8_shard"),
@@ -176,22 +176,30 @@ def leg_chunked_int4():
         qw = _quantize_leaf_int4(w, k_chunks=chunks)
         x = jnp.asarray(rng.normal(size=(16, K)), jnp.bfloat16)
         Kc = K // chunks
-        ref = sum(
-            _int4_matmul_xla(
-                x[:, ci * Kc:(ci + 1) * Kc],
-                QuantizedWeight(qw.q[ci], qw.scale[ci], 4, qw.group, Kc),
-            )
-            for ci in range(chunks)
+        # reference: the ESTABLISHED unchunked kernel over the SAME
+        # quantized values in classic split-half layout (chunking changes
+        # byte layout, not values) — isolates the chunk-aware index maps
+        # from bf16-weight accumulation error, which at K=4096 reaches
+        # ~1.0 abs vs an f32 dequant reference on |out|~300 (measured; the
+        # first cut of this leg compared against XLA-f32 at the K=2048
+        # tolerance and flagged exactly that). Remaining delta is f32
+        # block-sum ORDER only (chunk-major vs half-major walk).
+        g = qw.group
+        wg = w.reshape(K // g, g, N)
+        s = np.maximum(np.abs(wg).max(axis=1, keepdims=True), 1e-8) / 7.0
+        q = np.clip(np.round(wg / s), -7, 7).astype(np.int8).reshape(K, N)
+        packed = ((q[: K // 2] & 0x0F)
+                  | ((q[K // 2:] & 0x0F) << 4)).astype(np.int8)
+        scale = s.reshape(K // g, N).astype(np.float32)
+        ref = _int4_matmul_2d(
+            x, jnp.asarray(packed), jnp.asarray(scale), group=g
         )
         got = jax.jit(
             lambda xx, qq, ss: _int4_local_chunked(
                 xx, qq, ss, group=qw.group, interpret=False
             )
         )(x, qw.q, qw.scale)
-        # kernel accumulates per K-block bf16-weight dots in f32; XLA
-        # fallback dequantizes to f32 — same tolerance class as the
-        # unchunked kernel-vs-XLA legs
-        check(f"chunked_int4_{label}", _err(got, ref), 0.5)
+        check(f"chunked_int4_{label}", _err(got, ref), 0.1)
         via_rowp = jax.jit(_spmd_int4_rowp(qw.group, False))(
             x.reshape(16, chunks, Kc), qw.q, qw.scale
         )

@@ -53,7 +53,7 @@ def test_lookup_matches_greedy(seed, repetitive):
         vocab_limit=250, stop_token=2,
     )
 
-    out, count, _ = lookup_generate(
+    out, count, _, _rounds = lookup_generate(
         params, args, cache0, jnp.asarray(prompt, jnp.int32),
         len(prompt), first, gen_len=gen, draft_k=6,
         vocab_limit=250, stop_token=2,
@@ -70,7 +70,7 @@ def test_lookup_respects_stop_token():
     args = _args()
     prompt = [1, 7, 8, 9, 7, 8, 9, 7, 8]
     params, cache, first = _setup(prompt, args, seed=3)
-    out, count, _ = lookup_generate(
+    out, count, _, _rounds = lookup_generate(
         params, args, cache, jnp.asarray(prompt, jnp.int32),
         len(prompt), first, gen_len=20, draft_k=4,
         vocab_limit=250, stop_token=first,
@@ -167,7 +167,7 @@ def test_lookup_constrained_matches_constrained_greedy(seed):
     )
     params, cache0, first2, state02 = setup()
     assert (first2, state02) == (first, state0)
-    out, count, _ = lookup_generate(
+    out, count, _, _rounds = lookup_generate(
         params, args, cache0, jnp.asarray(prompt, jnp.int32),
         len(prompt), first, gen_len=gen, draft_k=6,
         vocab_limit=250, stop_token=2,
