@@ -145,16 +145,20 @@ def generate_bank_for_object(
     return path
 
 
-DEFAULT_PROMPT = """Create grounding tasks for a {OBJECT_CLASS}.
-The object has these manipulable parts (name, joint type, open/close
-status): {LINK_INFO}
-Already generated (do not repeat): {HISTORY_GENERATION}
-For each part, produce a JSON object of the form
-{"<task_name>": {"description": "<one-sentence task>", "actions":
-["<action>[<part name>]", ..., "StatusComplete"]}} where <action> is one
-of flap_open, flap_close, slide_open, slide_close, slide_in, slide_out,
-rotate, press, wipe, pick, place. Provide output in valid JSON keyed by
-the object class."""
+# The full GPT-4 prompt is a DATA CONTRACT shipped verbatim
+# (prompts/grounding_task_generation.txt — the reference's
+# data_gen/prompts/grounding_task_generation.txt: skill library, the 10
+# generation constraints, and both worked examples). Substitution is
+# str.replace on the three {PLACEHOLDER}s, so the template's literal
+# JSON braces survive (the reference formats the same way,
+# openai_grounding_tasks.py:104-151).
+with open(
+    os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "prompts", "grounding_task_generation.txt",
+    )
+) as _f:
+    DEFAULT_PROMPT = _f.read()
 
 _SYSTEM_MSG = (
     "You are a good assistant, skilled in creating a grounding training "
