@@ -129,7 +129,11 @@ def build_tasks(tmp: str):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--draft_k", type=int, default=8)
+    ap.add_argument(
+        "--draft_k", type=str, default="8",
+        help="comma-separated list; the expensive memorization training "
+        "runs once and every K is measured on the same model",
+    )
     ap.add_argument("--max_epochs", type=int, default=400)
     ap.add_argument("--max_gen_len", type=int, default=48)
     ap.add_argument(
@@ -167,59 +171,67 @@ def main():
                                    max_epochs=args.max_epochs)
 
     conv_sep = conv_templates["v1"]().response_end_signal
-    per_task = {}
-    agg_emitted = agg_rounds = 0
-    for name, task_file in (("single_link_rec", rec_file),
-                            ("joint_rec", joint_file)):
-        ds = VQADataset(task_file, input_size=cfg.image_size)
-        items = [ds[i] for i in range(len(ds))]
-        stats = []
-        for it in items:
-            # batch-1 greedy through the production lookup path; the
-            # vanilla path is the exactness oracle
-            spec = model.generate(
-                [it["prompt"]], images=np.stack([it["image"]]),
-                max_gen_len=args.max_gen_len, temperature=0.0,
-                additional_stop_symbols=[conv_sep],
-                draft_k=args.draft_k,
-            )[0]
-            s = dict(model._generator.last_spec_stats)
-            vanilla = model.generate(
-                [it["prompt"]], images=np.stack([it["image"]]),
-                max_gen_len=args.max_gen_len, temperature=0.0,
-                additional_stop_symbols=[conv_sep],
-            )[0]
-            assert spec == vanilla, (spec, vanilla)
-            stats.append(s)
-            agg_emitted += s["emitted"]
-            agg_rounds += s["verify_rounds"]
-        per_task[name] = {
-            "n": len(stats),
-            "emitted": sum(s["emitted"] for s in stats),
-            "verify_rounds": sum(s["verify_rounds"] for s in stats),
-            "tokens_per_round": round(
-                sum(s["emitted"] for s in stats)
-                / max(sum(s["verify_rounds"] for s in stats), 1), 3
-            ),
-        }
-        print(f"{name}: {per_task[name]}", flush=True)
+    ks = [int(k) for k in args.draft_k.split(",")]
+    by_k = {}
+    for K in ks:
+        per_task = {}
+        agg_emitted = agg_rounds = 0
+        for name, task_file in (("single_link_rec", rec_file),
+                                ("joint_rec", joint_file)):
+            ds = VQADataset(task_file, input_size=cfg.image_size)
+            items = [ds[i] for i in range(len(ds))]
+            stats = []
+            for it in items:
+                # batch-1 greedy through the production lookup path; the
+                # vanilla path is the exactness oracle
+                spec = model.generate(
+                    [it["prompt"]], images=np.stack([it["image"]]),
+                    max_gen_len=args.max_gen_len, temperature=0.0,
+                    additional_stop_symbols=[conv_sep],
+                    draft_k=K,
+                )[0]
+                s = dict(model._generator.last_spec_stats)
+                vanilla = model.generate(
+                    [it["prompt"]], images=np.stack([it["image"]]),
+                    max_gen_len=args.max_gen_len, temperature=0.0,
+                    additional_stop_symbols=[conv_sep],
+                )[0]
+                assert spec == vanilla, (spec, vanilla)
+                stats.append(s)
+                agg_emitted += s["emitted"]
+                agg_rounds += s["verify_rounds"]
+            per_task[name] = {
+                "n": len(stats),
+                "emitted": sum(s["emitted"] for s in stats),
+                "verify_rounds": sum(s["verify_rounds"] for s in stats),
+                "tokens_per_round": round(
+                    sum(s["emitted"] for s in stats)
+                    / max(sum(s["verify_rounds"] for s in stats), 1), 3
+                ),
+            }
+            print(f"K={K} {name}: {per_task[name]}", flush=True)
 
-    out = {
-        "draft_k": args.draft_k,
-        "per_task": per_task,
-        "emitted": agg_emitted,
-        "verify_rounds": agg_rounds,
-        "tokens_per_round": round(agg_emitted / max(agg_rounds, 1), 3),
-        "mean_accepted_per_round": round(
-            agg_emitted / max(agg_rounds, 1) - 1.0, 3
-        ),
-        "exactness": "every speculative output equaled vanilla greedy",
-    }
-    if args.verify_overhead:
-        out["implied_7b_decode_speedup"] = round(
-            out["tokens_per_round"] / args.verify_overhead, 3
-        )
-    print(json.dumps(out))
+        out = {
+            "draft_k": K,
+            "per_task": per_task,
+            "emitted": agg_emitted,
+            "verify_rounds": agg_rounds,
+            "tokens_per_round": round(agg_emitted / max(agg_rounds, 1), 3),
+            "mean_accepted_per_round": round(
+                agg_emitted / max(agg_rounds, 1) - 1.0, 3
+            ),
+            "exactness": "every speculative output equaled vanilla greedy",
+        }
+        if args.verify_overhead:
+            out["implied_7b_decode_speedup"] = round(
+                out["tokens_per_round"] / args.verify_overhead, 3
+            )
+        by_k[K] = out
+        print(json.dumps(out), flush=True)
+    if len(ks) > 1:
+        print(json.dumps({
+            k: v["tokens_per_round"] for k, v in by_k.items()
+        }))
 
 
 if __name__ == "__main__":
