@@ -61,7 +61,7 @@ def _verify_step(params, args, cache, tokens_k, pos):
 @functools.partial(
     jax.jit,
     static_argnames=("args", "gen_len", "draft_k", "vocab_limit",
-                     "stop_token", "temperature", "top_p"),
+                     "stop_token", "temperature", "top_p", "accept_cap"),
     donate_argnames=("cache",),
 )
 def lookup_generate(
@@ -80,6 +80,7 @@ def lookup_generate(
     temperature: float = 0.0,
     top_p: float = 0.95,
     sample_keys=None,  # [gen_len + draft_k, 2] uint32: vanilla split chain
+    accept_cap: tuple | None = None,  # BENCH-ONLY acceptance replay (below)
 ):
     """Greedy speculative generation; returns (tokens [gen_len], count).
 
@@ -114,7 +115,18 @@ def lookup_generate(
     rows past the last emitted position — size the cache with
     ``start_pos + gen_len + draft_k + 1`` rows (dynamic_update_slice
     would otherwise clamp the window onto the last rows and corrupt
-    them)."""
+    them).
+
+    ``accept_cap`` (BENCH-ONLY): a tuple of per-round caps on the
+    accepted draft length, cycled by round index. Accepting FEWER
+    tokens than matched is always legal (each emitted token was still
+    verified), so exactness is unaffected — the knob only forces the
+    loop to spend the round count a given realized acceptance would.
+    bench.py uses it to measure the full-scale latency of the lookup
+    loop at the acceptance measured on real triad content by
+    scripts/spec_acceptance.py (fabricated bench weights emit constant
+    tokens, whose near-perfect acceptance is otherwise an upper bound).
+    Production callers leave it None."""
     P = prompt_ids.shape[0]
     K = draft_k
     BUF = P + gen_len + K + 2
@@ -206,6 +218,11 @@ def lookup_generate(
         # accepted[i]: draft token i+1 matched pred i, all previous too
         match = preds[: K - 1] == draft
         accepted = jnp.sum(jnp.cumprod(match.astype(jnp.int32)))
+        if accept_cap is not None:
+            caps = jnp.asarray(accept_cap, jnp.int32)
+            accepted = jnp.minimum(
+                accepted, caps[rounds % len(accept_cap)]
+            )
         m = accepted + 1  # emitted this round
         m = jnp.minimum(m, gen_len - n_emit)
 

@@ -294,8 +294,19 @@ def bench_vit_encode(batch=16, rounds=5, attn_kernel=True):
 # ---------------------------------------------------------------------------
 
 
+
+# Realized lookup-speculation acceptance, measured on REAL triad content
+# by scripts/spec_acceptance.py (datagen -> memorization-trained tiny ens5
+# -> production eval questions, exactness asserted per answer): 1.62
+# emitted tokens per verify round at draft_k>=6 (1.381 at K=2). Round
+# count is a function of content + drafting rule only, so it transfers
+# across model scale; this cap pattern (mean accepted 0.625/round ->
+# 1.625 tokens/round) replays it inside the full-scale bench loop.
+SPEC_ACCEPT_CAPS = (1, 1, 0, 1, 0, 1, 1, 0)
+
+
 def bench_image_to_triad_full(rounds=3, gen_len=32, prompt_len=32, bits=4,
-                              lookup=False):
+                              lookup=False, accept_cap=None):
     """End-to-end image->triad latency at FULL SCALE: the four full-size
     towers (default Ens5Config = CLIP-L + EVA ViT-g + BLIP-2 Q-Former +
     ConvNeXt-XXL + DINOv2-g, bf16) over a real 448px five-crop, the exact
@@ -331,17 +342,19 @@ def bench_image_to_triad_full(rounds=3, gen_len=32, prompt_len=32, bits=4,
             p["llama"], cfg.llama, cache, tokens, image_tokens=it
         )
         if lookup:
-            # prompt-lookup speculative decode. NOTE: fabricated weights
-            # emit constant tokens -> near-perfect draft acceptance, so
-            # this leg is an UPPER BOUND on the lookup win (real
-            # acceptance is content-dependent; see lookup_verify_overhead
-            # for the honest cost side)
+            # prompt-lookup speculative decode. Fabricated weights emit
+            # constant tokens -> near-perfect draft acceptance, so with
+            # accept_cap=None this leg is an UPPER BOUND on the lookup
+            # win; with accept_cap=SPEC_ACCEPT_CAPS it replays the
+            # acceptance measured on real triad content
+            # (scripts/spec_acceptance.py) and is the REALIZED latency.
             from a3vlm_tpu.lookup_decode import lookup_generate
 
             first = jnp.argmax(logits, -1).astype(jnp.int32)[0]
             out, _, _, _ = lookup_generate(
                 p["llama"], cfg.llama, cache, tokens[0],
                 W + prompt_len, first, gen_len=gen_len, draft_k=8,
+                accept_cap=accept_cap,
             )
             return out[-1:]
         tok = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
@@ -914,7 +927,7 @@ def main(only=None, watchdog_s: float = 3000.0):
     watchdog.start()
 
     def run(name, fn):
-        if only and name != only:
+        if only and name not in only.split(","):
             return
         current["leg"] = name
         try:
@@ -950,6 +963,11 @@ def main(only=None, watchdog_s: float = 3000.0):
     run("lookup_verify_overhead", bench_lookup_overhead)
     run("image_to_triad_p50_ms_lookup_ub", lambda: bench_image_to_triad_full(
         lookup=True))
+    # REALIZED speculative latency: same loop, acceptance clamped to the
+    # rate measured on real triad content (scripts/spec_acceptance.py)
+    run("image_to_triad_p50_ms_spec_realized",
+        lambda: bench_image_to_triad_full(
+            lookup=True, accept_cap=SPEC_ACCEPT_CAPS))
     # training throughput (the reference's primary workload): full towers
     # frozen + ~1B bf16 decoder, fwd+bwd+AdamW in one jit with remat
     run("train_step_multimodal", bench_train_step)

@@ -116,6 +116,41 @@ def test_generator_draft_k_matches_vanilla(tiny_tokenizer):
     assert got == want
 
 
+@pytest.mark.parametrize("caps", [(0,), (1, 0), (1, 1, 0, 1, 0, 1, 1, 0)])
+def test_lookup_accept_cap_exact_and_slower(caps):
+    """The bench-only acceptance replay: clamping accepted length per
+    round never changes the output (accepting fewer verified tokens is
+    always legal) and spends MORE verify rounds — the round count the
+    realized-acceptance bench leg is designed to pay. caps=(0,) degrades
+    to one-token-at-a-time (rounds == emitted - 1 ... +/- the final
+    round's freebie)."""
+    args = _args()
+    pat = [7, 8, 9, 11, 12]
+    prompt = [1] + pat * 7  # repetitive: uncapped acceptance is high
+    params, cache0, first = _setup(prompt, args, seed=0)
+    gen = 24
+
+    params2, cache1, _ = _setup(prompt, args, seed=0)
+    base, count0, _, rounds0 = lookup_generate(
+        params, args, cache0, jnp.asarray(prompt, jnp.int32),
+        len(prompt), first, gen_len=gen, draft_k=6, vocab_limit=250,
+        stop_token=2,
+    )
+    capped, count1, _, rounds1 = lookup_generate(
+        params2, args, cache1, jnp.asarray(prompt, jnp.int32),
+        len(prompt), first, gen_len=gen, draft_k=6, vocab_limit=250,
+        stop_token=2, accept_cap=caps,
+    )
+    assert int(count0) == int(count1)
+    got = np.asarray(capped)[: int(count1)].tolist()
+    want = np.asarray(base)[: int(count0)].tolist()
+    assert got == want
+    assert int(rounds1) >= int(rounds0)
+    # the cap binds: rounds must be at least emitted/(mean_cap+1)
+    mean_emit = sum(caps) / len(caps) + 1.0
+    assert int(rounds1) >= int(np.floor((int(count1) - 1) / mean_emit))
+
+
 def _toy_fsm(vocab=256, eos=2):
     """Synthetic 3-state grammar table over the tiny test vocab: state 0
     admits [5, 50) -> 1; state 1 admits [5, 120) -> 2; state 2 accepts
