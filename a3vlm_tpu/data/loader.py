@@ -31,18 +31,24 @@ class DataLoader:
         accum_steps: int = 1,
         prefetch: int = 2,
         workers: int = 0,
+        with_indices: bool = False,
     ):
         """``workers`` > 0 fetches the items of each micro-batch through a
         thread pool (the torch num_workers role at thread granularity —
         image decode and cv2/PIL transforms release the GIL, so multi-core
         hosts overlap per-item work; item ORDER inside the batch is
-        preserved)."""
+        preserved).
+
+        ``with_indices`` adds a ``_indices`` key ([bs] or [accum, bs]
+        int64) carrying each item's dataset index — the stable cache key
+        for train/feature_cache.py."""
         self.dataset = dataset
         self.sampler = sampler
         self.batch_size = batch_size
         self.accum_steps = accum_steps
         self.prefetch = prefetch
         self.workers = workers
+        self.with_indices = with_indices
         self._pool = None
         if workers > 0:
             from concurrent.futures import ThreadPoolExecutor
@@ -79,9 +85,11 @@ class DataLoader:
             micro = []
             for a in range(self.accum_steps):
                 s = start + a * self.batch_size
-                micro.append(
-                    _stack(self._fetch(indices[s : s + self.batch_size]))
-                )
+                span = indices[s : s + self.batch_size]
+                m = _stack(self._fetch(span))
+                if self.with_indices:
+                    m["_indices"] = np.asarray(span, np.int64)
+                micro.append(m)
             batch = {k: np.stack([m[k] for m in micro]) for k in micro[0]}
             if self.accum_steps == 1:
                 batch = {k: v[0] for k, v in batch.items()}

@@ -51,6 +51,13 @@ def get_args_parser():
     p.add_argument("--save_iteration_interval", type=int, default=5000)
     p.add_argument("--only_save_trainable", action="store_true")
     p.add_argument("--cache_ann_on_disk", action="store_true")
+    p.add_argument("--cache_tower_features", action="store_true",
+                   help="compute the frozen vision towers once per image "
+                   "(epoch 0) and replay the features afterwards — the "
+                   "towers are ~50%% of the multimodal step "
+                   "(train/feature_cache.py); ens5-family only")
+    p.add_argument("--feature_cache_dir", default=None,
+                   help="spill tower features to disk (default: RAM)")
     p.add_argument("--num_workers", type=int, default=0,
                    help="thread-pool item fetching inside each batch "
                    "(the torch num_workers role; decode/transforms "
@@ -200,6 +207,7 @@ def main(argv=None):
     loader = DataLoader(
         dataset, sampler, batch_size=global_bs, accum_steps=args.accum_iter,
         workers=args.num_workers,
+        with_indices=args.cache_tower_features,
     )
     updates_per_epoch = max(len(loader), 1)
 
@@ -220,6 +228,20 @@ def main(argv=None):
         model.params = mixed_precision_policy(
             model.params, trainable, compute_dtype=jnp.bfloat16
         )
+
+    if args.cache_tower_features:
+        assert is_ens, "--cache_tower_features is ens5-family only"
+        from a3vlm_tpu.train.feature_cache import (
+            FeatureCachingLoader,
+            TowerFeatureCache,
+        )
+
+        feat_cache = TowerFeatureCache(
+            model.params, cfg, cache_dir=args.feature_cache_dir
+        )
+        loader = FeatureCachingLoader(loader, feat_cache)
+        print("tower-feature cache on: towers run once per image, "
+              "later epochs are tower-free")
 
     lora = None
     if args.lora_rank > 0:
@@ -290,9 +312,13 @@ def main(argv=None):
                 else attach_lora(params, lora_p)
             )
         if is_ens:
+            imf = None
+            if "image_feat_q" in batch:
+                imf = {"q": batch["image_feat_q"],
+                       "ens": batch["image_feat_ens"]}
             logits = ens5_mod.forward(
                 params, cfg, batch["examples"], image=batch.get("image"),
-                remat=remat,
+                image_features=imf, remat=remat,
             )
         else:
             from a3vlm_tpu.models import llama as llama_mod

@@ -192,10 +192,16 @@ def five_crop(image: jnp.ndarray, crop: int) -> jnp.ndarray:
     return jnp.concatenate([down] + parts, axis=0)
 
 
-def encode_image(params: Params, cfg: Ens5Config, image: jnp.ndarray):
-    """image [B, 448, 448, 3] (CLIP-normalized, NHWC) -> list of 5 crop
-    feature tensors [B, 32+257, D] (llama_ens5.py:377-458)."""
-    B = image.shape[0]
+def encode_image_features(params: Params, cfg: Ens5Config,
+                          image: jnp.ndarray):
+    """The FROZEN half of encode_image: towers only, no trainable params
+    touched. image [B, 448, 448, 3] -> dict with the pre-projection
+    features ``q`` [5B, nq, 768] (BLIP-2 Q-Former queries) and ``ens``
+    [5B, 257, 5632] (CLIP ++ ConvNeXt ++ DINOv2 ensemble). Because every
+    tower is frozen (llama_ens5.py:345-352), these are CONSTANT per image
+    for the whole training run — the train-side tower-feature cache
+    (train/feature_cache.py) stores them once and later epochs skip the
+    towers entirely (~50% of the multimodal step, scripts/profile_train.py)."""
     crops = five_crop(image, cfg.crop_size)  # [5B, c, c, 3]
     if cfg.crop_shard_axes:
         crops = jax.lax.with_sharding_constraint(
@@ -231,10 +237,19 @@ def encode_image(params: Params, cfg: Ens5Config, image: jnp.ndarray):
     ens = jnp.concatenate([clip_feats, cn, dino], axis=-1)  # [5B, 257, 5632]
 
     # the towers are frozen and run under no_grad in the reference
-    # (llama_ens5.py:386-450); the projectors (below) do train
+    # (llama_ens5.py:386-450); the projectors (project_image_features) train
     q_feats = jax.lax.stop_gradient(q_feats)
     ens = jax.lax.stop_gradient(ens)
+    return {"q": q_feats, "ens": ens}
 
+
+def project_image_features(params: Params, cfg: Ens5Config, feats):
+    """The TRAINABLE half of encode_image: qformer/visual projections +
+    per-crop split (llama_ens5.py:452-458). ``feats`` is
+    encode_image_features output (possibly loaded from the feature
+    cache)."""
+    q_feats = feats["q"]
+    ens = feats["ens"]
     q_feats = _apply_proj(q_feats, params["qformer_proj"])
     ens = _apply_proj(ens, params["visual_proj"])
     feats = jnp.concatenate([q_feats, ens], axis=1)  # [5B, 32+257, D]
@@ -248,11 +263,28 @@ def encode_image(params: Params, cfg: Ens5Config, image: jnp.ndarray):
     return list(jnp.split(feats, 5, axis=0))  # 5 x [B, 289, D]
 
 
-def build_image_tokens(params: Params, cfg: Ens5Config, image: jnp.ndarray):
+def encode_image(params: Params, cfg: Ens5Config, image: jnp.ndarray):
+    """image [B, 448, 448, 3] (CLIP-normalized, NHWC) -> list of 5 crop
+    feature tensors [B, 32+257, D] (llama_ens5.py:377-458)."""
+    return project_image_features(
+        params, cfg, encode_image_features(params, cfg, image)
+    )
+
+
+def build_image_tokens(params: Params, cfg: Ens5Config,
+                       image: Optional[jnp.ndarray] = None,
+                       image_features=None):
     """encode + wrap each crop in start/end tags -> [B, image_words, D]
-    (llama_ens5.py:468-479)."""
-    crops = encode_image(params, cfg, image)
-    B = image.shape[0]
+    (llama_ens5.py:468-479). Pass EITHER ``image`` (runs the towers) or
+    ``image_features`` (the encode_image_features dict, e.g. from the
+    tower-feature cache — skips them)."""
+    if image_features is not None:
+        assert image is None
+        crops = project_image_features(params, cfg, image_features)
+        B = crops[0].shape[0]
+    else:
+        crops = encode_image(params, cfg, image)
+        B = image.shape[0]
     start = jnp.broadcast_to(params["start_img"], (B, 1, cfg.llama.dim))
     end = jnp.broadcast_to(params["end_img"], (B, 1, cfg.llama.dim))
     tagged = [
@@ -273,13 +305,19 @@ def forward(
     image: Optional[jnp.ndarray] = None,
     remat: bool = False,
     impl: str = "auto",
+    image_features=None,
 ) -> jnp.ndarray:
     """Training forward: logits for text positions [B, S, V]
     (llama_ens5.py:461-487). Vision towers run without gradient tracking via
-    stop_gradient (they are frozen, :345-352 + torch.no_grad at :386)."""
+    stop_gradient (they are frozen, :345-352 + torch.no_grad at :386).
+    ``image_features`` (encode_image_features output, e.g. from
+    train/feature_cache.py) replaces ``image`` and skips the frozen
+    towers; projectors/tags still train through it."""
     image_tokens = None
-    if image is not None:
-        image_tokens = build_image_tokens(params, cfg, image)
+    if image is not None or image_features is not None:
+        image_tokens = build_image_tokens(
+            params, cfg, image, image_features=image_features
+        )
         # towers + their activations carry no grad; projectors/tags do.
         # (the no_grad block ends before qformer_proj at :452-455)
     return llama.forward_train(

@@ -642,13 +642,133 @@ def bench_continuous_batching(n=48, slots=16):
     return out
 
 
+def bench_continuous_batching_prefix(objects=2, q_per_obj=12, slots=4,
+                                     gen_len=24, q_len=32):
+    """THE reference eval workload (eval_affordance_v2.py:305-401): ~12
+    task-stream questions per object render, every one re-sending the
+    same image. The batcher computes the [BOS | 1455 image words] KV
+    prefix ONCE per object (make_prefix: one tower encode + one image
+    prefill) and admits each question as a text-only extension; the
+    static baseline re-runs the 1456-token image prefill for every row
+    of every wave (towers generously deduped to once per object — the
+    reference itself re-encodes per row). Full scale: bf16 towers + int4
+    7B decoder + bf16 KV. Prompt/gen lengths are uniform so the delta is
+    PURELY prefix reuse (raggedness is the other leg's job)."""
+    import numpy as np
+
+    from a3vlm_tpu.models import ens5, llama
+    from a3vlm_tpu.serving_batch import ContinuousBatcher
+
+    n = objects * q_per_obj
+    largs = _7b_args()
+    W = ens5.Ens5Config(llama=largs, crop_shard_axes=None).image_words
+    total = -(-(1 + W + q_len + gen_len + 8) // 8) * 8
+    largs = largs.replace(max_batch_size=slots, max_seq_len=total)
+    cfg = ens5.Ens5Config(llama=largs, crop_shard_axes=None)
+
+    tower_shapes = jax.eval_shape(
+        lambda: ens5.init_ens5_params(jax.random.PRNGKey(0), cfg)
+    )
+    params = {
+        k: fabricate(v) for k, v in tower_shapes.items() if k != "llama"
+    }
+    params["llama"] = llama.unstack_layers(fabricate_llama(largs, bits=4))
+
+    rng = np.random.default_rng(0)
+    table = {
+        f"q:{o}:{j}": [1] + rng.integers(10, 31000, size=q_len - 1).tolist()
+        for o in range(objects) for j in range(q_per_obj)
+    }
+    tok = _SynthTok(table)
+    images = [
+        jnp.full((448, 448, 3), 0.01 * (o + 1), jnp.bfloat16)
+        for o in range(objects)
+    ]
+    prompts = [f"q:{o}:{j}" for o in range(objects)
+               for j in range(q_per_obj)]
+    total_gen = n * gen_len
+
+    cb = ContinuousBatcher(
+        params["llama"], largs, tok, slots=slots, steps_per_dispatch=8,
+        ens5_params=params, ens5_cfg=cfg, vocab_limit=32000,
+    )
+
+    def run_cb():
+        prefs = [cb.make_prefix(image=images[o]) for o in range(objects)]
+        by_req = [prefs[o] for o in range(objects)
+                  for _ in range(q_per_obj)]
+        cb.generate(prompts, max_gen_len=gen_len, prefixes=by_req)
+
+    run_cb()  # compile (tower encode, prefix prefill, extend, chunk step)
+    t0 = time.perf_counter()
+    run_cb()
+    cb_s = time.perf_counter() - t0
+    stats = cb.last_stats
+    out = {
+        "cb_tok_s": round(total_gen / cb_s, 1),
+        "ttft_p50_s": round(stats["ttft_p50_s"], 3),
+        "tpot_p50_ms": round(stats["tpot_p50_ms"], 2),
+        "n_requests": n,
+        "objects": objects,
+        "slots": slots,
+    }
+    del cb
+    jax.clear_caches()
+
+    # static waves: towers once per object, then a full [slots, 1+W+q]
+    # prefill per wave (prefix re-read for every row) + lockstep decode
+    @jax.jit
+    def static_wave(p, image, tokens):
+        it = ens5.build_image_tokens(p, cfg, image[None])  # [1, W, D]
+        it = jnp.broadcast_to(it, (tokens.shape[0],) + it.shape[1:])
+        cache = llama.KVCache.create(
+            largs, tokens.shape[0], max_seq_len=total,
+            dtype=jnp.bfloat16, layered=True,
+        )
+        logits, cache, _ = llama.prefill(
+            p["llama"], largs, cache, tokens, image_tokens=it
+        )
+        tok0 = jnp.argmax(logits, -1).astype(jnp.int32)[:, None]
+
+        def body(i, carry):
+            t, cache = carry
+            lg, cache = llama.decode_step(
+                p["llama"], largs, cache, t, W + q_len + 1 + i
+            )
+            return jnp.argmax(lg, -1).astype(jnp.int32)[:, None], cache
+
+        tok_last, _ = jax.lax.fori_loop(0, gen_len - 1, body, (tok0, cache))
+        return tok_last
+
+    toks = {
+        o: jnp.asarray(
+            [table[f"q:{o}:{j}"] for j in range(q_per_obj)], jnp.int32
+        )
+        for o in range(objects)
+    }
+
+    def run_static():
+        for o in range(objects):
+            for s in range(0, q_per_obj, slots):
+                _sync(static_wave(params, images[o], toks[o][s:s + slots]))
+
+    assert q_per_obj % slots == 0, "one wave shape only (compile cost)"
+    run_static()  # compile
+    t0 = time.perf_counter()
+    run_static()
+    st_s = time.perf_counter() - t0
+    out["static_tok_s"] = round(total_gen / st_s, 1)
+    out["cb_over_static"] = round(st_s / cb_s, 2)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # train step (the reference's primary workload, engine_finetune.py:13-105)
 # ---------------------------------------------------------------------------
 
 
 def bench_train_step(rounds=3, batch=4, text_len=256, dec_dim=2048,
-                     dec_layers=16, cfg=None):
+                     dec_layers=16, cfg=None, cached_features=False):
     """Full jitted multimodal train step — fwd+bwd+AdamW with remat, the
     four FULL vision towers frozen via the PARTITIONED step (the towers get
     no backward pass at all and no optimizer state — the multi_transform
@@ -693,7 +813,8 @@ def bench_train_step(rounds=3, batch=4, text_len=256, dec_dim=2048,
 
     def loss_fn(p, batch_):
         logits = ens5.forward(
-            p, cfg, batch_["examples"], image=batch_["image"], remat=True
+            p, cfg, batch_["examples"], image=batch_.get("image"),
+            image_features=batch_.get("image_features"), remat=True,
         )
         return next_token_loss(logits, batch_["labels"])
 
@@ -705,10 +826,32 @@ def bench_train_step(rounds=3, batch=4, text_len=256, dec_dim=2048,
     batch_ = {
         "examples": jnp.ones((batch, text_len), jnp.int32),
         "labels": jnp.ones((batch, text_len), jnp.int32),
-        "image": jnp.zeros(
-            (batch, cfg.image_size, cfg.image_size, 3), jnp.bfloat16
-        ),
     }
+    if cached_features:
+        # the tower-feature-cache steady state (epoch >= 1, or epoch 0
+        # after the one-time per-image tower pass): the step consumes
+        # precomputed frozen features; towers don't run at all
+        feat_shapes = jax.eval_shape(
+            lambda: ens5.encode_image_features(
+                jax.tree_util.tree_map(
+                    lambda s: jnp.zeros(s.shape, s.dtype),
+                    {k: v for k, v in tower_shapes.items() if k != "llama"},
+                ),
+                cfg,
+                jnp.zeros(
+                    (batch, cfg.image_size, cfg.image_size, 3),
+                    jnp.bfloat16,
+                ),
+            )
+        )
+        batch_["image_features"] = {
+            k: jnp.full(s.shape, 0.01, s.dtype)
+            for k, s in feat_shapes.items()
+        }
+    else:
+        batch_["image"] = jnp.zeros(
+            (batch, cfg.image_size, cfg.image_size, 3), jnp.bfloat16
+        )
     # DONATE params into state creation: without it the fabricated tree
     # stays live (the local ref) next to its copy inside the state + the
     # adam moments — ~14.4 GB persistent at the ~1B config, and the step
@@ -971,6 +1114,12 @@ def main(only=None, watchdog_s: float = 3000.0):
     # training throughput (the reference's primary workload): full towers
     # frozen + ~1B bf16 decoder, fwd+bwd+AdamW in one jit with remat
     run("train_step_multimodal", bench_train_step)
+    # tower-feature-cache steady state: same step minus the frozen-tower
+    # forward (towers are ~50% of the step at 12.8% MXU —
+    # scripts/profile_train.py); this is what every epoch >= 1 pays when
+    # main_finetune runs with --cache_tower_features
+    run("train_step_multimodal_cached", lambda: bench_train_step(
+        cached_features=True))
     # QLoRA at FULL 7B scale (the reference's --quant train path): int4
     # frozen base + LoRA, the only 7B-trainable-on-one-chip configuration
     run("train_step_qlora_7b", bench_train_qlora)
@@ -979,6 +1128,9 @@ def main(only=None, watchdog_s: float = 3000.0):
     # admission-shape compiles are the most expensive leg, and the
     # watchdog must never let it eat the legs above
     run("continuous_batching", bench_continuous_batching)
+    # the reference eval's actual shape (12 questions per object render):
+    # KV prefix caching vs re-prefilling the image words per row
+    run("continuous_batching_prefix", bench_continuous_batching_prefix)
 
     watchdog.cancel()
     _emit(results, platform)
