@@ -297,12 +297,18 @@ def bench_vit_encode(batch=16, rounds=5, attn_kernel=True):
 
 # Realized lookup-speculation acceptance, measured on REAL triad content
 # by scripts/spec_acceptance.py (datagen -> memorization-trained tiny ens5
-# -> production eval questions, exactness asserted per answer): 1.62
-# emitted tokens per verify round at draft_k>=6 (1.381 at K=2). Round
-# count is a function of content + drafting rule only, so it transfers
-# across model scale; this cap pattern (mean accepted 0.625/round ->
-# 1.625 tokens/round) replays it inside the full-scale bench loop.
-SPEC_ACCEPT_CAPS = (1, 1, 0, 1, 0, 1, 1, 0)
+# -> production eval questions, exactness asserted per answer). Emitted
+# tokens per verify round by draft_k: {2: 1.347, 3: 1.483, 4: 1.518,
+# 8: 1.555}. Round count is a function of content + drafting rule only,
+# so it transfers across model scale; these cap patterns replay the
+# measured mean accepted/round inside the full-scale bench loop.
+SPEC_ACCEPT_CAPS_BY_K = {
+    2: (1, 0, 0),                    # 0.333 ~= measured 0.347
+    3: (1, 0),                       # 0.500 ~= measured 0.483
+    4: (1, 0),                       # 0.500 ~= measured 0.518
+    8: (1, 1, 0, 1, 0, 1, 0, 0, 1),  # 0.556 ~= measured 0.555
+}
+SPEC_ACCEPT_CAPS = SPEC_ACCEPT_CAPS_BY_K[8]
 
 
 def bench_image_to_triad_full(rounds=3, gen_len=32, prompt_len=32, bits=4,
@@ -652,8 +658,10 @@ def bench_continuous_batching_prefix(objects=2, q_per_obj=12, slots=4,
     static baseline re-runs the 1456-token image prefill for every row
     of every wave (towers generously deduped to once per object — the
     reference itself re-encodes per row). Full scale: bf16 towers + int4
-    7B decoder + bf16 KV. Prompt/gen lengths are uniform so the delta is
-    PURELY prefix reuse (raggedness is the other leg's job)."""
+    7B decoder + int8 KV on BOTH paths (towers 6.8 GB + int4 3.4 GB
+    leave no room for bf16 caches next to two live prefixes). Prompt/gen
+    lengths are uniform so the delta is PURELY prefix reuse (raggedness
+    is the other leg's job)."""
     import numpy as np
 
     from a3vlm_tpu.models import ens5, llama
@@ -690,7 +698,8 @@ def bench_continuous_batching_prefix(objects=2, q_per_obj=12, slots=4,
 
     cb = ContinuousBatcher(
         params["llama"], largs, tok, slots=slots, steps_per_dispatch=8,
-        ens5_params=params, ens5_cfg=cfg, vocab_limit=32000,
+        kv_cache_bits=8, ens5_params=params, ens5_cfg=cfg,
+        vocab_limit=32000,
     )
 
     def run_cb():
@@ -723,7 +732,7 @@ def bench_continuous_batching_prefix(objects=2, q_per_obj=12, slots=4,
         it = jnp.broadcast_to(it, (tokens.shape[0],) + it.shape[1:])
         cache = llama.KVCache.create(
             largs, tokens.shape[0], max_seq_len=total,
-            dtype=jnp.bfloat16, layered=True,
+            dtype=jnp.int8, layered=True,
         )
         logits, cache, _ = llama.prefill(
             p["llama"], largs, cache, tokens, image_tokens=it
@@ -1139,6 +1148,11 @@ def main(only=None, watchdog_s: float = 3000.0):
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default=None)
-    ap.add_argument("--watchdog_s", type=float, default=3000.0)
+    # budget for ALL legs incl. the round-4 additions (cached train step,
+    # realized-speculation triad, two continuous-batching legs — the CB
+    # legs alone are ~15 min of admission-shape compiles); the watchdog
+    # exists to dump partial results if the relay wedges mid-bench, not to
+    # cap a healthy run
+    ap.add_argument("--watchdog_s", type=float, default=4800.0)
     a = ap.parse_args()
     main(only=a.only, watchdog_s=a.watchdog_s)

@@ -30,6 +30,14 @@ def main():
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--gen_len", type=int, default=32)
     ap.add_argument("--prompt_len", type=int, default=32)
+    ap.add_argument(
+        "--ks", default=None,
+        help="comma list of draft_k values: sweep realized-acceptance "
+        "latency per K (caps from bench.SPEC_ACCEPT_CAPS_BY_K; smaller K "
+        "pays a cheaper verify forward at only slightly lower measured "
+        "acceptance). Default: the single-K vanilla/realized/upper-bound "
+        "A/B at K=8",
+    )
     a = ap.parse_args()
 
     from a3vlm_tpu.models import ens5, llama
@@ -52,7 +60,7 @@ def main():
         bench.fabricate_llama(largs, bits=4)
     )
 
-    def make(mode):
+    def make(mode, draft_k=8, caps="default"):
         @jax.jit
         def one_query(p, image, tokens):
             it = ens5.build_image_tokens(p, cfg, image)
@@ -84,11 +92,14 @@ def main():
             from a3vlm_tpu.lookup_decode import lookup_generate
 
             first = jnp.argmax(logits, -1).astype(jnp.int32)[0]
-            caps = bench.SPEC_ACCEPT_CAPS if mode == "realized" else None
+            cp = caps
+            if cp == "default":
+                cp = (bench.SPEC_ACCEPT_CAPS if mode == "realized"
+                      else None)
             out, _, _, _ = lookup_generate(
                 p["llama"], cfg.llama, cache, tokens[0],
-                W + a.prompt_len, first, gen_len=a.gen_len, draft_k=8,
-                accept_cap=caps,
+                W + a.prompt_len, first, gen_len=a.gen_len,
+                draft_k=draft_k, accept_cap=cp,
             )
             return out[-1:]
 
@@ -96,8 +107,19 @@ def main():
 
     image = jnp.zeros((1, 448, 448, 3), jnp.bfloat16)
     tokens = jnp.ones((1, a.prompt_len), jnp.int32)
-    modes = ["vanilla", "realized", "upper_bound"]
-    fns = {m: make(m) for m in modes}
+    if a.ks:
+        modes = ["vanilla"]
+        fns = {"vanilla": make("vanilla")}
+        for k in (int(x) for x in a.ks.split(",")):
+            name = f"realized_k{k}"
+            modes.append(name)
+            fns[name] = make(
+                "realized", draft_k=k,
+                caps=bench.SPEC_ACCEPT_CAPS_BY_K[k],
+            )
+    else:
+        modes = ["vanilla", "realized", "upper_bound"]
+        fns = {m: make(m) for m in modes}
     for m in modes:
         t0 = time.time()
         bench._sync(fns[m](params, image, tokens))  # compile
@@ -117,11 +139,11 @@ def main():
             print(f"[rep {rep}] {m}: {med:.1f} ms", flush=True)
 
     best = {m: min(results[m]) for m in modes}
-    print(f"\np50 best-of-reps: vanilla {best['vanilla']:.1f} ms | "
-          f"realized spec {best['realized']:.1f} ms "
-          f"({best['realized'] / best['vanilla']:.3f}x) | "
-          f"upper bound {best['upper_bound']:.1f} ms "
-          f"({best['upper_bound'] / best['vanilla']:.3f}x)")
+    parts = [f"vanilla {best['vanilla']:.1f} ms"] + [
+        f"{m} {best[m]:.1f} ms ({best[m] / best['vanilla']:.3f}x)"
+        for m in modes if m != "vanilla"
+    ]
+    print("\np50 best-of-reps: " + " | ".join(parts))
 
 
 if __name__ == "__main__":
