@@ -312,7 +312,7 @@ SPEC_ACCEPT_CAPS = SPEC_ACCEPT_CAPS_BY_K[8]
 
 
 def bench_image_to_triad_full(rounds=3, gen_len=32, prompt_len=32, bits=4,
-                              lookup=False, accept_cap=None):
+                              lookup=False, accept_cap=None, draft_k=8):
     """End-to-end image->triad latency at FULL SCALE: the four full-size
     towers (default Ens5Config = CLIP-L + EVA ViT-g + BLIP-2 Q-Former +
     ConvNeXt-XXL + DINOv2-g, bf16) over a real 448px five-crop, the exact
@@ -359,7 +359,7 @@ def bench_image_to_triad_full(rounds=3, gen_len=32, prompt_len=32, bits=4,
             first = jnp.argmax(logits, -1).astype(jnp.int32)[0]
             out, _, _, _ = lookup_generate(
                 p["llama"], cfg.llama, cache, tokens[0],
-                W + prompt_len, first, gen_len=gen_len, draft_k=8,
+                W + prompt_len, first, gen_len=gen_len, draft_k=draft_k,
                 accept_cap=accept_cap,
             )
             return out[-1:]
@@ -1116,10 +1116,13 @@ def main(only=None, watchdog_s: float = 3000.0):
     run("image_to_triad_p50_ms_lookup_ub", lambda: bench_image_to_triad_full(
         lookup=True))
     # REALIZED speculative latency: same loop, acceptance clamped to the
-    # rate measured on real triad content (scripts/spec_acceptance.py)
+    # rate measured on real triad content (scripts/spec_acceptance.py).
+    # K=3 is the best measured operating point — and it is break-even
+    # with vanilla (spec_ab sweep: K=2 1.040x, K=3 0.995x, K=8 1.054x);
+    # the leg exists so the wash stays measured, not assumed
     run("image_to_triad_p50_ms_spec_realized",
         lambda: bench_image_to_triad_full(
-            lookup=True, accept_cap=SPEC_ACCEPT_CAPS))
+            lookup=True, draft_k=3, accept_cap=SPEC_ACCEPT_CAPS_BY_K[3]))
     # training throughput (the reference's primary workload): full towers
     # frozen + ~1B bf16 decoder, fwd+bwd+AdamW in one jit with remat
     run("train_step_multimodal", bench_train_step)
