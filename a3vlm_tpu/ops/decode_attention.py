@@ -617,6 +617,355 @@ def decode_attention_quant(q, kq: QuantizedKV, vq: QuantizedKV, valid,
 
 
 # ---------------------------------------------------------------------------
+# multi-token VERIFY attention (round 4): the speculative verify forward
+# attends a K-token window (K = draft_k or draft_k+1, 2..8) over the decode
+# cache with causal-within-window masking — query row i of batch b sees
+# cache cols < valid_b - K + 1 + i (ops/attention.py right-aligned-causal
+# semantics). The XLA route materializes [B, H, K, S] f32 scores AND un-pins
+# the loop-carried cache layout; measured in-loop it made a K=8 verify round
+# cost ~1.7x a plain decode step, which put realized lookup speculation at
+# 1.03-1.05x vanilla (a loss) despite 1.5 tokens/round acceptance
+# (PERFORMANCE.md round-4 section). These kernels are the blocked
+# online-softmax decode kernels with K folded into the q-row axis and a
+# per-ROW mask threshold; same VMEM budget, same custom_partitioning
+# story. No reference analogue (the torch stack has no speculative mode).
+# ---------------------------------------------------------------------------
+
+
+def _verify_kernel_blocked(valid_ref, q_ref, k_ref, v_ref, o_ref,
+                           m_scr, l_scr, acc_scr, *, sm_scale, bs, ns,
+                           s_actual, span):
+    """q rows are [Hkv, G*span] with row r = g*span + i; row i's visible
+    prefix ends at valid - span + i (inclusive)."""
+    b = pl.program_id(0)
+    si = pl.program_id(1)
+
+    @pl.when(si == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]  # [Hkv, G*span, D]
+    k = k_ref[0]  # [Hkv, bs, D]
+    v = v_ref[0]
+    if s_actual % bs:
+        vcols = si * bs + jax.lax.broadcasted_iota(jnp.int32, v.shape, 1)
+        v = jnp.where(vcols < s_actual, v, jnp.zeros_like(v))
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale  # [Hkv, G*span, bs]
+    cols = si * bs + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    thr = valid_ref[b] - span + 1 + rows % span
+    s = jnp.where(cols < thr, s, _NEG_INF)
+
+    m_prev = m_scr[:, :, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = l_scr[:, :, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        p.astype(v.dtype), v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scr[:] = acc_scr[:] * alpha + pv
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(si == ns - 1)
+    def _done():
+        l = l_scr[:, :, :1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("span", "interpret"))
+def _verify_attention_bhgd(q, k, v, valid, span, interpret=False):
+    B, Hkv, GK, D = q.shape
+    S = k.shape[2]
+    bs = 256
+    ns = -(-S // bs)
+    kernel = functools.partial(
+        _verify_kernel_blocked, sm_scale=D ** -0.5, bs=bs, ns=ns,
+        s_actual=S, span=span,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, ns),
+            in_specs=[
+                pl.BlockSpec((1, Hkv, GK, D), lambda b, s, valid: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, bs, D), lambda b, s, valid: (b, 0, s, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, bs, D), lambda b, s, valid: (b, 0, s, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, Hkv, GK, D), lambda b, s, valid: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((Hkv, GK, 128), jnp.float32),
+                pltpu.VMEM((Hkv, GK, 128), jnp.float32),
+                pltpu.VMEM((Hkv, GK, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, GK, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hkv * GK * S * D,
+            bytes_accessed=(k.size + v.size) * k.dtype.itemsize,
+            transcendentals=B * Hkv * GK * S,
+        ),
+        interpret=interpret,
+    )(valid.astype(jnp.int32), q, k, v)
+
+
+def _verify_kernel_blocked_q8(valid_ref, q_ref, k_ref, v_ref, ks_ref,
+                              vs_ref, o_ref, m_scr, l_scr, acc_scr, *,
+                              sm_scale, bs, ns, s_actual, span):
+    b = pl.program_id(0)
+    si = pl.program_id(1)
+
+    @pl.when(si == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    mxdt = jnp.bfloat16 if q_ref.dtype == jnp.bfloat16 else jnp.float32
+    q = q_ref[0]
+    k = k_ref[0].astype(mxdt)
+    v = v_ref[0].astype(mxdt)
+    vs = vs_ref[0]
+    ks = ks_ref[0]
+    if s_actual % bs:
+        scols = si * bs + jax.lax.broadcasted_iota(jnp.int32, vs.shape, 1)
+        vs = jnp.where(scols < s_actual, vs, 0.0)
+        ks = jnp.where(scols < s_actual, ks, 0.0)
+    s = jax.lax.dot_general(
+        q, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * sm_scale
+    s = s * ks[:, None, :]
+    cols = si * bs + jax.lax.broadcasted_iota(jnp.int32, s.shape, 2)
+    rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    thr = valid_ref[b] - span + 1 + rows % span
+    s = jnp.where(cols < thr, s, _NEG_INF)
+
+    m_prev = m_scr[:, :, :1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = l_scr[:, :, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    pv = jax.lax.dot_general(
+        (p * vs[:, None, :]).astype(mxdt), v,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+    acc_scr[:] = acc_scr[:] * alpha + pv
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(si == ns - 1)
+    def _done():
+        l = l_scr[:, :, :1]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0] = (acc_scr[:] / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("span", "interpret"))
+def _verify_attention_bhgd_q8(q, k, v, ks, vs, valid, span,
+                              interpret=False):
+    B, Hkv, GK, D = q.shape
+    S = k.shape[2]
+    bs = 256
+    ns = -(-S // bs)
+    kernel = functools.partial(
+        _verify_kernel_blocked_q8, sm_scale=D ** -0.5, bs=bs, ns=ns,
+        s_actual=S, span=span,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, ns),
+            in_specs=[
+                pl.BlockSpec((1, Hkv, GK, D), lambda b, s, valid: (b, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, bs, D), lambda b, s, valid: (b, 0, s, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, bs, D), lambda b, s, valid: (b, 0, s, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, bs), lambda b, s, valid: (b, 0, s),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Hkv, bs), lambda b, s, valid: (b, 0, s),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, Hkv, GK, D), lambda b, s, valid: (b, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((Hkv, GK, 128), jnp.float32),
+                pltpu.VMEM((Hkv, GK, 128), jnp.float32),
+                pltpu.VMEM((Hkv, GK, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, GK, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hkv * GK * S * D,
+            bytes_accessed=k.size + v.size,
+            transcendentals=B * Hkv * GK * S,
+        ),
+        interpret=interpret,
+    )(valid.astype(jnp.int32), q, k, v, ks, vs)
+
+
+@functools.lru_cache(maxsize=8)
+def _spmd_verify(span: int, interpret: bool):
+    """custom_partitioning for the verify kernel: identical (batch,
+    kv-head) contract to _spmd_decode — the q-row axis (g*span) and
+    s/d stay replicated."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def _positional(q, k, v, valid):
+        return _verify_attention_bhgd(q, k, v, valid, span,
+                                      interpret=interpret)
+
+    fn = custom_partitioning(_positional)
+
+    def _bh(arg_shapes):
+        spec = getattr(arg_shapes[1].sharding, "spec", PartitionSpec())
+        b_ax = spec[0] if len(spec) > 0 else None
+        h_ax = spec[1] if len(spec) > 1 else None
+        return b_ax, h_ax
+
+    def partition(mesh, arg_shapes, result_shape):
+        b_ax, h_ax = _bh(arg_shapes)
+        opshard = NamedSharding(mesh, PartitionSpec(b_ax, h_ax, None, None))
+        vshard = NamedSharding(mesh, PartitionSpec(b_ax))
+        return (mesh, _positional, opshard,
+                (opshard, opshard, opshard, vshard))
+
+    def infer(mesh, arg_shapes, result_shape):
+        b_ax, h_ax = _bh(arg_shapes)
+        return NamedSharding(mesh, PartitionSpec(b_ax, h_ax, None, None))
+
+    fn.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="b h g i, b h s i, b h s j, b -> b h g j",
+        need_replication_factors=("g", "i", "s", "j"),
+    )
+    return fn
+
+
+@functools.lru_cache(maxsize=8)
+def _spmd_verify_q8(span: int, interpret: bool):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def _positional(q, kq, vq, ks, vs, valid):
+        return _verify_attention_bhgd_q8(q, kq, vq, ks, vs, valid, span,
+                                         interpret=interpret)
+
+    fn = custom_partitioning(_positional)
+
+    def _bh(arg_shapes):
+        spec = getattr(arg_shapes[1].sharding, "spec", PartitionSpec())
+        b_ax = spec[0] if len(spec) > 0 else None
+        h_ax = spec[1] if len(spec) > 1 else None
+        return b_ax, h_ax
+
+    def partition(mesh, arg_shapes, result_shape):
+        b_ax, h_ax = _bh(arg_shapes)
+        opshard = NamedSharding(mesh, PartitionSpec(b_ax, h_ax, None, None))
+        sshard = NamedSharding(mesh, PartitionSpec(b_ax, h_ax, None))
+        vshard = NamedSharding(mesh, PartitionSpec(b_ax))
+        return (mesh, _positional, opshard,
+                (opshard, opshard, opshard, sshard, sshard, vshard))
+
+    def infer(mesh, arg_shapes, result_shape):
+        b_ax, h_ax = _bh(arg_shapes)
+        return NamedSharding(mesh, PartitionSpec(b_ax, h_ax, None, None))
+
+    fn.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="b h g i, b h s i, b h s j, b h s, b h s, b -> b h g j",
+        need_replication_factors=("g", "i", "s", "j"),
+    )
+    return fn
+
+
+VERIFY_KERNEL_MAX_SPAN = 16
+
+
+def verify_attention_eligible(q_shape, k_shape, dtype) -> bool:
+    """q [B, Sq, Hq, D] with 1 < Sq <= 16; cache [B, Hkv, S, D]."""
+    B, Sq, Hq, D = q_shape
+    S = k_shape[2]
+    return (
+        1 < Sq <= VERIFY_KERNEL_MAX_SPAN
+        and D % 128 == 0
+        and S % 8 == 0
+        and dtype != jnp.float32
+        and jax.devices()[0].platform == "tpu"
+    )
+
+
+def verify_attention(q, k, v, valid, interpret=False):
+    """Causal-within-window attention of a [B, Sq, Hq, D] verify window
+    over bf16 cache panels [B, Hkv, S, D]; valid [B] counts the populated
+    prefix INCLUDING the window (kv_valid_len semantics of
+    ops/attention.py: query i attends cols <= valid - Sq + i)."""
+    B, Sq, Hq, D = q.shape
+    Hkv = k.shape[1]
+    G = Hq // Hkv
+    qg = q.transpose(0, 2, 1, 3).reshape(B, Hkv, G * Sq, D)
+    if len(jax.devices()) > 1:
+        out = _spmd_verify(Sq, bool(interpret))(qg, k, v, valid)
+    else:
+        out = _verify_attention_bhgd(qg, k, v, valid, Sq,
+                                     interpret=interpret)
+    return (out.reshape(B, Hkv, G, Sq, D)
+            .transpose(0, 3, 1, 2, 4)
+            .reshape(B, Sq, Hq, D))
+
+
+def verify_attention_quant(q, kq: QuantizedKV, vq: QuantizedKV, valid,
+                           interpret=False):
+    B, Sq, Hq, D = q.shape
+    Hkv = kq.qv.shape[1]
+    G = Hq // Hkv
+    qg = q.transpose(0, 2, 1, 3).reshape(B, Hkv, G * Sq, D)
+    if len(jax.devices()) > 1:
+        out = _spmd_verify_q8(Sq, bool(interpret))(
+            qg, kq.qv, vq.qv, kq.scale, vq.scale, valid
+        )
+    else:
+        out = _verify_attention_bhgd_q8(
+            qg, kq.qv, vq.qv, kq.scale, vq.scale, valid, Sq,
+            interpret=interpret,
+        )
+    return (out.reshape(B, Hkv, G, Sq, D)
+            .transpose(0, 3, 1, 2, 4)
+            .reshape(B, Sq, Hq, D))
+
+
+# ---------------------------------------------------------------------------
 # fused update+attend: ONE custom call writes this step's k/v into the cache
 # and attends over it. The two-step path costs 2 dynamic_update_slice ops per
 # layer (~8.6 us each at batch 16 — launch-bound partial-tile RMWs, 0.55
@@ -1523,6 +1872,30 @@ def attend_decode_cache(xq, cache_k, cache_v, *, mask, kv_valid_len,
             sq_actual=Sq, skv_actual=valid_static,
         )
         return out.transpose(0, 2, 1, 3)[:, :Sq]
+    if (
+        mask == "causal"
+        and valid_static is None
+        and kv_valid_len is not None
+        and impl in ("auto", "flash")
+        and layout == "bhsd"
+        and verify_attention_eligible(
+            xq.shape,
+            cache_k.qv.shape if isinstance(cache_k, QuantizedKV)
+            else cache_k.shape,
+            xq.dtype,
+        )
+    ):
+        # multi-token speculative verify window: the Pallas verify kernel
+        # (causal-within-window masking per q row) instead of XLA's
+        # materialized [B, H, Sq, S] scores — and, like the Sq==1 kernel,
+        # a custom call that pins the loop-carried cache layout
+        if isinstance(cache_k, QuantizedKV):
+            return verify_attention_quant(xq, cache_k, cache_v,
+                                          kv_valid_len)
+        return verify_attention(
+            xq, cache_k.astype(xq.dtype), cache_v.astype(xq.dtype),
+            kv_valid_len,
+        )
     if isinstance(cache_k, QuantizedKV):
         if (
             impl in ("auto", "flash")

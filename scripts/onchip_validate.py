@@ -255,6 +255,40 @@ def leg_fused_update_attend(S, label):
         _err(oc[3], it[3]), _err(oc[4], it[4])), 1e-6)
 
 
+def leg_verify_attention(S, label):
+    """Round-4 multi-token verify kernels on real TPU vs interpret mode:
+    the per-ROW mask threshold (causal-within-window) over the blocked
+    online softmax, bf16 and q8 forms."""
+    from a3vlm_tpu.ops import decode_attention as da
+
+    rng = np.random.default_rng(9)
+    B, Hkv, span, D = 4, 8, 8, 128
+    G = 2
+    q = jnp.asarray(rng.normal(size=(B, span, Hkv * G, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.bfloat16)
+    valid = jnp.asarray(rng.integers(span + 1, S + 1, size=(B,)), jnp.int32)
+
+    on_chip = jax.jit(
+        lambda *a: da.verify_attention(*a)
+    )(q, k, v, valid)
+    interp = da.verify_attention(q, k, v, valid, interpret=True)
+    check(f"verify_attention_{label}", _err(on_chip, interp), 2e-2)
+
+    kq = da.QuantizedKV(*da.quantize_kv_tokens(
+        jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32)))
+    vq = da.QuantizedKV(*da.quantize_kv_tokens(
+        jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32)))
+    oc = jax.jit(
+        lambda *a: da.verify_attention_quant(
+            a[0], da.QuantizedKV(a[1], a[2]), da.QuantizedKV(a[3], a[4]),
+            a[5],
+        )
+    )(q, kq.qv, kq.scale, vq.qv, vq.scale, valid)
+    it = da.verify_attention_quant(q, kq, vq, valid, interpret=True)
+    check(f"verify_attention_q8_{label}", _err(oc, it), 2e-2)
+
+
 def main():
     dev = jax.devices()[0]
     print(f"device: {dev} platform={dev.platform}", flush=True)
@@ -271,6 +305,8 @@ def main():
     leg_chunked_int4()
     leg_fused_update_attend(256, "single_s256")
     leg_fused_update_attend(1024, "blocked_s1024")
+    leg_verify_attention(256, "s256")
+    leg_verify_attention(1536, "s1536")
 
     failed = [r for r in RESULTS if not r[1]]
     print(f"{len(RESULTS) - len(failed)}/{len(RESULTS)} legs passed",

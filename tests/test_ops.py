@@ -295,3 +295,119 @@ def test_vit_forward_attn_kernel_flag_interpret(monkeypatch):
     cfg_k = dataclasses.replace(cfg, attn_kernel=True)
     got = np.asarray(vit.vit_forward(params, cfg_k, x))
     np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-3)
+
+
+# -- multi-token verify attention kernel (speculative windows) ---------------
+
+
+@pytest.mark.parametrize("span,group", [(2, 1), (4, 2), (8, 1)])
+def test_verify_attention_matches_causal_reference(span, group):
+    """verify_attention (interpret) == sdpa_reference with the
+    "causal"+kv_valid_len contract over the layered cache layout: query
+    row i of batch b attends cols <= valid_b - span + i. S=600 exercises
+    the blocked ceil-grid boundary; ragged per-row valids exercise the
+    per-row mask threshold."""
+    from a3vlm_tpu.ops.decode_attention import verify_attention
+
+    rng = np.random.default_rng(11)
+    B, Hkv, S, D = 2, 2, 600, 128
+    Hq = Hkv * group
+    q = jnp.asarray(rng.normal(size=(B, span, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Hkv, S, D)), jnp.float32)
+    valid = jnp.asarray([373, 600], jnp.int32)
+    got = verify_attention(q, k, v, valid, interpret=True)
+    want = sdpa_reference(
+        q, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+        mask="causal", kv_valid_len=valid,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
+    )
+
+
+def test_verify_attention_quant_matches_dequantized_reference():
+    """q8 verify kernel == the XLA causal path over the dequantized
+    panels (scales fold at score granularity inside the kernel)."""
+    from a3vlm_tpu.ops.decode_attention import (
+        QuantizedKV,
+        dequantize_kv,
+        quantize_kv_tokens,
+        verify_attention_quant,
+    )
+
+    rng = np.random.default_rng(5)
+    B, Hkv, S, D, span = 2, 2, 280, 128, 4
+    q = jnp.asarray(rng.normal(size=(B, span, Hkv, D)), jnp.float32)
+    # quantize_kv_tokens takes [B, S, Hkv, D] and emits bhsd panels
+    kq = QuantizedKV(*quantize_kv_tokens(
+        jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32)
+    ))
+    vq = QuantizedKV(*quantize_kv_tokens(
+        jnp.asarray(rng.normal(size=(B, S, Hkv, D)), jnp.float32)
+    ))
+    valid = jnp.asarray([97, 280], jnp.int32)
+    got = verify_attention_quant(q, kq, vq, valid, interpret=True)
+    want = sdpa_reference(
+        q,
+        dequantize_kv(kq, jnp.float32).transpose(0, 2, 1, 3),
+        dequantize_kv(vq, jnp.float32).transpose(0, 2, 1, 3),
+        mask="causal", kv_valid_len=valid,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), atol=2e-4, rtol=2e-4
+    )
+
+
+def test_verify_kernel_routing_preserves_lookup_exactness(monkeypatch):
+    """attend_decode_cache routed through the verify kernel (forced
+    eligible + interpret on CPU) leaves lookup_generate's output exactly
+    equal to the greedy oracle — the end-to-end guarantee the routing
+    must not break."""
+    from a3vlm_tpu.lookup_decode import greedy_reference, lookup_generate
+    from a3vlm_tpu.models import llama
+    from a3vlm_tpu.config import ModelArgs
+    from a3vlm_tpu.ops import decode_attention as da
+
+    monkeypatch.setattr(
+        da, "verify_attention_eligible",
+        lambda q_shape, k_shape, dtype: 1 < q_shape[1] <= 16
+        and k_shape[2] % 8 == 0,
+    )
+    orig = da.verify_attention
+    monkeypatch.setattr(
+        da, "verify_attention",
+        lambda q, k, v, valid: orig(q, k, v, valid, interpret=True),
+    )
+    args = ModelArgs(
+        dim=64, n_layers=2, n_heads=4, n_kv_heads=2, vocab_size=256,
+        multiple_of=16, max_seq_len=160, max_batch_size=1,
+    )
+    pat = [7, 8, 9, 11, 12]
+    prompt = [1] + pat * 6
+    params = llama.unstack_layers(
+        llama.init_llama_params(jax.random.PRNGKey(0), args)
+    )
+
+    def setup():
+        cache = llama.KVCache.create(
+            args, 1, max_seq_len=160, dtype=jnp.float32, layered=True
+        )
+        logits, cache, _ = llama.prefill(
+            params, args, cache, jnp.asarray([prompt], jnp.int32)
+        )
+        return cache, int(jnp.argmax(logits[0, :250]))
+
+    cache0, first = setup()
+    cache1, _ = setup()
+    expected = greedy_reference(
+        params, args, cache1, len(prompt), first, 20,
+        vocab_limit=250, stop_token=2,
+    )
+    out, count, _, _ = lookup_generate(
+        params, args, cache0, jnp.asarray(prompt, jnp.int32),
+        len(prompt), first, gen_len=20, draft_k=4,
+        vocab_limit=250, stop_token=2,
+    )
+    got = np.asarray(out)[: int(count)].tolist()
+    assert got == expected
