@@ -1117,12 +1117,12 @@ def main(only=None, watchdog_s: float = 3000.0):
         lookup=True))
     # REALIZED speculative latency: same loop, acceptance clamped to the
     # rate measured on real triad content (scripts/spec_acceptance.py).
-    # K=3 is the best measured operating point — and it is break-even
-    # with vanilla (spec_ab sweep: K=2 1.040x, K=3 0.995x, K=8 1.054x);
-    # the leg exists so the wash stays measured, not assumed
+    # With the multi-token verify kernel (round 4) the verify round costs
+    # ~1.06x a plain step and K=8 wins: 447.6 ms vs vanilla 546.2 same-
+    # session (0.819x; through the XLA verify path it was a 1.05x LOSS)
     run("image_to_triad_p50_ms_spec_realized",
         lambda: bench_image_to_triad_full(
-            lookup=True, draft_k=3, accept_cap=SPEC_ACCEPT_CAPS_BY_K[3]))
+            lookup=True, draft_k=8, accept_cap=SPEC_ACCEPT_CAPS_BY_K[8]))
     # training throughput (the reference's primary workload): full towers
     # frozen + ~1B bf16 decoder, fwd+bwd+AdamW in one jit with remat
     run("train_step_multimodal", bench_train_step)
