@@ -308,6 +308,16 @@ def main(argv=None):
                         "the base, LoRA adapters attach as serving "
                         "side-paths (exact — no merge loss on "
                         "padded/packed bases)")
+    parser.add_argument("--w4a8", action="store_true",
+                        help="int8-activation decode matmuls on the int4 "
+                        "base (ops/quant_matmul.W4A8_DECODE): int8 MXU "
+                        "group-dots replace the bf16 dequant chain "
+                        "(+11% measured decode throughput). NOT bit-exact "
+                        "vs the default — activations round to per-token "
+                        "int8 (numerics gated by tests/test_w4a8.py + "
+                        "scripts/w4a8_accuracy.py). Requires --quant with "
+                        "--quant_bits 4; single-device decode only (TP "
+                        "paths stay exact)")
     parser.add_argument("--kv_cache_bits", type=int, default=None,
                         choices=[8],
                         help="int8 KV cache (halves decode cache traffic; "
@@ -347,6 +357,14 @@ def main(argv=None):
                         "scripts/a3vlm_infer.sh); SPMD drives all chips "
                         "from this one process")
     args = parser.parse_args(argv)
+
+    if args.w4a8:
+        if not (args.quant and args.quant_bits == 4):
+            parser.error("--w4a8 requires --quant --quant_bits 4")
+        # trace-time knob: set before any jit traces a decode matmul
+        from a3vlm_tpu.ops import quant_matmul as _qm
+
+        _qm.W4A8_DECODE = True
 
     if args.dataset_registry:
         with open(args.dataset_registry) as f:

@@ -27,6 +27,7 @@ HBM traffic as dense bf16 (measured: 544 vs 1114 tok/s full-depth 7B).
 from __future__ import annotations
 
 import functools
+import math
 import os
 
 import jax
@@ -50,6 +51,18 @@ _AUTO_VARIANT = os.environ.get("A3VLM_INT4_VARIANT", "v1")
 #     BM=bm instead of 256 (halves dequant work per MXU flop at bm=512).
 PREFILL_DENSE_MIN_M = None
 PREFILL_BM = None
+
+# W4A8 decode knob (trace-time): int4 matmuls with M <= W4A8_MAX_M
+# quantize the ACTIVATIONS to per-row int8 and contract on the MXU in
+# int8 (group-factored f32 scale epilogue, _int4_kernel_w4a8). NOT exact
+# vs the bf16-dequant kernels — activations round to 8 bits (per-token
+# absmax) — so this is opt-in (scripts/w4a8_ab.py; accuracy-gated by
+# tests/test_w4a8.py numerics bounds). Motivation: the exact dequant
+# chain (i32->f32 convert + expanded-scale mul + bf16 cast per weight)
+# is the measured ~11% cap on int4 decode bandwidth; the int-dot path
+# replaces it with 2 shifts + an i8 narrowing per weight.
+W4A8_DECODE = False
+W4A8_MAX_M = 32
 
 
 def _int4_kernel(xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref, o_ref, acc_ref,
@@ -164,6 +177,142 @@ def _int4_kernel_v3(xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref, o_ref,
     @pl.when(pl.program_id(2) == nk - 1)
     def _done():
         o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+def _int4_kernel_w4a8(xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref, xs_ref,
+                      o_ref, acc_ref, *, group: int, nk: int):
+    """W4A8 variant: activations arrive PRE-QUANTIZED to per-row int8
+    (xs_ref holds the [BM, 1] f32 row scales); weights unpack int4 -> int8
+    with NO float dequant (2 shifts + a narrowing per packed byte), and
+    the contraction runs on the MXU in int8 -> int32 per GROUP, so the
+    per-group weight scale applies to an exact integer partial:
+
+        out[m, n] = xs[m] * sum_g s[g, n] * (xq[m, Kg] . wq[Kg, n])
+
+    The int32 group partial is exact (|x| <= 127, |w| <= 8, group <= 512
+    -> |part| <= 520k < 2^31); converting it to f32 is exact below 2^24.
+    Numerics vs the bf16-dequant kernels differ ONLY by the activation
+    rounding (per-token absmax int8)."""
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    BK, BN = q_ref.shape
+    sg = BK // group
+    packed = q_ref[:].astype(jnp.int32)
+    lo = ((packed << 28) >> 28).astype(jnp.int8)
+    hi = (packed >> 4).astype(jnp.int8)
+
+    def half_acc(x_ref, w, s_ref):
+        acc = None
+        for gi in range(sg):
+            part = jnp.dot(
+                x_ref[:, gi * group:(gi + 1) * group],
+                w[gi * group:(gi + 1) * group, :],
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)
+            part = part * s_ref[gi, :][None, :]
+            acc = part if acc is None else acc + part
+        return acc
+
+    acc_ref[:] += half_acc(xlo_ref, lo, slo_ref)
+    acc_ref[:] += half_acc(xhi_ref, hi, shi_ref)
+
+    @pl.when(pl.program_id(2) == nk - 1)
+    def _done():
+        o_ref[:] = (acc_ref[:] * xs_ref[:]).astype(o_ref.dtype)
+
+
+def quantize_act_int8(x):
+    """Per-row (per-token) symmetric int8 activation quantization:
+    [M, K] -> (int8 [M, K], f32 [M, 1] scale). round-to-nearest-even
+    (jnp.round), absmax/127 scaling — the standard A8 recipe."""
+    xf = x.astype(jnp.float32)
+    m = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    s = jnp.maximum(m, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+    return q, s
+
+
+@functools.partial(jax.jit, static_argnames=("group", "interpret", "bm"))
+def _int4_matmul_2d_w4a8(x, q, scale, *, group: int,
+                         interpret: bool = False, bm=None):
+    """x [M, Kpad] float -> quantize per-row int8 -> W4A8 kernel.
+    Same split-half packed operands as _int4_matmul_2d."""
+    M, Kpad = x.shape
+    half, N = q.shape
+    assert Kpad == 2 * half, (x.shape, q.shape)
+    xq, xs = quantize_act_int8(x)
+
+    BK = next(
+        b for b in (1024, 512, 256)
+        if half % b == 0 and b // group >= 8
+    )
+    BN = min(1024, -(-N // 128) * 128)
+    BM = bm if bm is not None else min(256, -(-M // 16) * 16)
+    Mpad = -(-M // BM) * BM
+    if Mpad != M:
+        xq = jnp.pad(xq, ((0, Mpad - M), (0, 0)))
+        xs = jnp.pad(xs, ((0, Mpad - M), (0, 0)))
+
+    nm, nn, nk = Mpad // BM, -(-N // BN), half // BK
+    sg = BK // group
+    out = pl.pallas_call(
+        functools.partial(_int4_kernel_w4a8, group=group, nk=nk),
+        grid=(nm, nn, nk),
+        in_specs=[
+            pl.BlockSpec((BM, BK), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),           # xq low half
+            pl.BlockSpec((BM, BK), lambda i, j, k: (i, k + nk),
+                         memory_space=pltpu.VMEM),           # xq high half
+            pl.BlockSpec((BK, BN), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),           # packed weight
+            pl.BlockSpec((sg, BN), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),           # lo scales
+            pl.BlockSpec((sg, BN), lambda i, j, k: (k + nk, j),
+                         memory_space=pltpu.VMEM),           # hi scales
+            pl.BlockSpec((BM, 1), lambda i, j, k: (i, 0),
+                         memory_space=pltpu.VMEM),           # act row scales
+        ],
+        out_specs=pl.BlockSpec((BM, BN), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mpad, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((BM, BN), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mpad * Kpad * N,
+            bytes_accessed=half * N + Mpad * Kpad + Mpad * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xq, xq, q, scale, scale, xs)
+    return out[:M] if Mpad != M else out
+
+
+def _int4_w4a8_xla(x, qw: QuantizedWeight):
+    """XLA emulation of the W4A8 math (f32 — exact for these ranges:
+    products <= 127*8, group sums < 2^24). Reference for interpret-mode
+    kernel tests and the CPU numerics gate."""
+    half, N = qw.q.shape[-2:]
+    g = qw.group
+    xq, xs = quantize_act_int8(x.reshape(-1, x.shape[-1]))
+    xq = xq.astype(jnp.float32)
+    lo, hi = unpack_int4(qw.q)
+    sg = half // g
+    slo, shi = qw.scale[:sg], qw.scale[sg:]
+
+    def half_out(xh, qh, sh):
+        # per-group exact integer dots (in f32), scaled per group
+        xg = xh.reshape(-1, sg, g)
+        wg = qh.astype(jnp.float32).reshape(sg, g, N)
+        part = jnp.einsum("msg,sgn->msn", xg, wg)
+        return jnp.sum(part * sh[None, :, :], axis=1)
+
+    out = half_out(xq[:, :half], lo, slo) + half_out(xq[:, half:], hi, shi)
+    out = out * xs
+    return out.reshape(*x.shape[:-1], N).astype(x.dtype)
 
 
 @functools.partial(
@@ -637,6 +786,10 @@ def int4_matmul(x, qw: QuantizedWeight, interpret: bool = False):
         )
         return out.reshape(*lead, out.shape[-1])
     if not (interpret or _kernel_eligible(x, qw)):
+        # the W4A8 knob stays semantically consistent off-TPU / on
+        # kernel-ineligible shapes: same math via the XLA emulation
+        if W4A8_DECODE and math.prod(x.shape[:-1]) <= W4A8_MAX_M:
+            return _int4_w4a8_xla(x, qw)
         return _int4_matmul_xla(x, qw)
     x2 = x.reshape(-1, Kpad)
     M = x2.shape[0]
@@ -645,6 +798,11 @@ def int4_matmul(x, qw: QuantizedWeight, interpret: bool = False):
     bm = None
     if PREFILL_BM is not None and M >= PREFILL_BM[0]:
         bm = PREFILL_BM[1]
+    if W4A8_DECODE and M <= W4A8_MAX_M:
+        out = _int4_matmul_2d_w4a8(
+            x2, qw.q, qw.scale, group=qw.group, interpret=interpret, bm=bm
+        )
+        return out.reshape(*lead, out.shape[-1])
     out = _int4_matmul_2d(
         x2, qw.q, qw.scale, group=qw.group, interpret=interpret, bm=bm
     )

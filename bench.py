@@ -1107,6 +1107,23 @@ def main(only=None, watchdog_s: float = 3000.0):
         _7b_args(), bits=4, batch=64))
     run("decode_7b_int4_b16_s1920_kv8", lambda: bench_decode_longctx(
         _7b_args(), bits=4, batch=16, kv_bits=8))
+
+    # W4A8 int-dot decode (opt-in serving mode, NOT bit-exact: activations
+    # round to per-token int8; numerics gated by tests/test_w4a8.py
+    # envelope bounds + scripts/w4a8_accuracy.py full-depth on-chip check).
+    # Captures the ~11% dequant-chain cap the round-3 trace identified:
+    # int8 MXU group-dots replace the per-weight i32->f32->bf16 chain.
+    def _w4a8(fn):
+        from a3vlm_tpu.ops import quant_matmul as qm
+
+        qm.W4A8_DECODE = True
+        try:
+            return fn()
+        finally:
+            qm.W4A8_DECODE = False
+
+    run("decode_7b_int4_w4a8", lambda: _w4a8(
+        lambda: bench_decode_full(_7b_args(), bits=4)))
     run("decode_7b_int4_b8_s1920", lambda: bench_decode_longctx(
         _7b_args(), bits=4, batch=8))
     run("clip_vit_l14_images_per_sec", bench_vit_encode)
@@ -1123,6 +1140,12 @@ def main(only=None, watchdog_s: float = 3000.0):
     run("image_to_triad_p50_ms_spec_realized",
         lambda: bench_image_to_triad_full(
             lookup=True, draft_k=8, accept_cap=SPEC_ACCEPT_CAPS_BY_K[8]))
+    # best-known single-chip configuration: realized speculation + W4A8
+    # int-dot decode (batch-1 steps AND the (K+1)-row verify windows both
+    # route through the int8-MXU path at M <= W4A8_MAX_M)
+    run("image_to_triad_p50_ms_spec_w4a8",
+        lambda: _w4a8(lambda: bench_image_to_triad_full(
+            lookup=True, draft_k=8, accept_cap=SPEC_ACCEPT_CAPS_BY_K[8])))
     # training throughput (the reference's primary workload): full towers
     # frozen + ~1B bf16 decoder, fwd+bwd+AdamW in one jit with remat
     run("train_step_multimodal", bench_train_step)
@@ -1156,6 +1179,6 @@ if __name__ == "__main__":
     # legs alone are ~15 min of admission-shape compiles); the watchdog
     # exists to dump partial results if the relay wedges mid-bench, not to
     # cap a healthy run
-    ap.add_argument("--watchdog_s", type=float, default=4800.0)
+    ap.add_argument("--watchdog_s", type=float, default=5400.0)
     a = ap.parse_args()
     main(only=a.only, watchdog_s=a.watchdog_s)
