@@ -174,13 +174,29 @@ def _generate_loop(
     B, P = prefill_tokens.shape
     image_words = 0 if image_tokens is None else image_tokens.shape[1]
 
+    # pure-greedy fast path (static: temperature and fsm are trace-time):
+    # the rng split chain and the [B, V] pad-mask `where` are dead work —
+    # a truncated argmax over the true vocab picks the identical token,
+    # and no keys are consumed. Exact same outputs as the general path.
+    greedy_nofsm = temperature <= 0.0 and fsm_next is None
+
     def mask_pad_vocab(lg):
-        # lane-padded vocab entries must never be sampled
+        # lane-padded vocab entries must never be sampled (the greedy
+        # fast path covers this by truncating the argmax instead)
+        if greedy_nofsm:
+            return lg
         if vocab_limit is not None and vocab_limit < lg.shape[-1]:
             return jnp.where(
                 jnp.arange(lg.shape[-1]) >= vocab_limit, -1e30, lg
             )
         return lg
+
+    def pick_token(sub, lg):
+        if greedy_nofsm:
+            if vocab_limit is not None and vocab_limit < lg.shape[-1]:
+                lg = lg[:, :vocab_limit]
+            return jnp.argmax(lg, axis=-1).astype(jnp.int32)
+        return sample_token(sub, lg, temperature, top_p)
 
     if prefill_chunk and ops.prefill_chunked is not None:
         # memory-bounded prefill for long prompts/large batches (the
@@ -205,14 +221,17 @@ def _generate_loop(
 
     def body(state):
         cur_pos, tokens, cache, stopped, stop_pos, logits, rng, fstate = state
-        rng, sub = jax.random.split(rng)
+        if temperature <= 0.0:
+            sub = rng  # greedy consumes no keys (matches the lookup path)
+        else:
+            rng, sub = jax.random.split(rng)
         if fsm_next is not None:
             # grammar mask: tokens that would kill the answer DFA (or EOS
             # outside an accepting state) can never be sampled
             # (a3vlm_tpu.constrained). One [B]-row gather per step.
             row = fsm_next[fstate]  # [B, V] int
             logits = jnp.where(row >= 0, logits, -1e30)
-        next_token = sample_token(sub, logits, temperature, top_p)
+        next_token = pick_token(sub, logits)
         in_prompt = jax.lax.dynamic_slice_in_dim(
             input_text_mask, cur_pos, 1, axis=1
         )[:, 0]
