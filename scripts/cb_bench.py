@@ -71,8 +71,17 @@ def main():
                     "prompts accept ~no drafts, so this leg measures the "
                     "WORST-CASE verify overhead of speculation in CB "
                     "(real triad outputs are loopy and accept heavily)")
+    ap.add_argument("--w4a8", action="store_true",
+                    help="route the int4 decode matmuls through the "
+                    "W4A8 int-dot path (ragged CB rows are M <= slots "
+                    "<= 32; +11% measured on the plain decode loop). "
+                    "NOT bit-exact — see eval_affordance --w4a8")
     a = ap.parse_args()
 
+    if a.w4a8:
+        from a3vlm_tpu.ops import quant_matmul as _qm
+
+        _qm.W4A8_DECODE = True
     if a.tiny:
         jax.config.update("jax_platforms", "cpu")
 
