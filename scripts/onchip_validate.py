@@ -289,6 +289,31 @@ def leg_verify_attention(S, label):
     check(f"verify_attention_q8_{label}", _err(oc, it), 2e-2)
 
 
+def leg_w4a8(K, N, label):
+    """Round-4 W4A8 int-dot decode kernel on real TPU vs its XLA
+    emulation: the CPU tests pin kernel==emulation in interpret mode
+    only; Mosaic's int8-dot legalization + the ceil-grid N boundary need
+    a real-chip check. f32 activations so the only tolerance is f32
+    group-sum ordering (the production bf16 path shares every code
+    path; its extra error is the final bf16 store rounding)."""
+    from a3vlm_tpu.ops import quant_matmul as qm
+    from a3vlm_tpu.quant import _quantize_leaf_int4
+
+    rng = np.random.default_rng(7)
+    w = (rng.normal(size=(K, N)) * 0.02).astype(np.float32)
+    qw = _quantize_leaf_int4(w)
+    x = jnp.asarray(rng.normal(size=(16, K)), jnp.float32)
+    qm.W4A8_DECODE = True
+    try:
+        got = qm.int4_matmul(x, qw)  # public route -> Mosaic kernel
+    finally:
+        qm.W4A8_DECODE = False
+    Kpad = qw.q.shape[-2] * 2
+    xp = jnp.pad(x, ((0, 0), (0, Kpad - K))) if Kpad != K else x
+    ref = qm._int4_w4a8_xla(xp, qw)
+    check(f"w4a8_kernel_vs_emulation_{label}", _err(got, ref), 1e-3)
+
+
 def main():
     dev = jax.devices()[0]
     print(f"device: {dev} platform={dev.platform}", flush=True)
@@ -307,6 +332,8 @@ def main():
     leg_fused_update_attend(1024, "blocked_s1024")
     leg_verify_attention(256, "s256")
     leg_verify_attention(1536, "s1536")
+    leg_w4a8(4096, 11008, "k4096_n11008")
+    leg_w4a8(11008, 4096, "k11008_n4096")
 
     failed = [r for r in RESULTS if not r[1]]
     print(f"{len(RESULTS) - len(failed)}/{len(RESULTS)} legs passed",
