@@ -318,6 +318,13 @@ def main(argv=None):
                         "scripts/w4a8_accuracy.py). Requires --quant with "
                         "--quant_bits 4; single-device decode only (TP "
                         "paths stay exact)")
+    parser.add_argument("--tower_bits", type=int, default=None, choices=[8],
+                        help="W8A8 int8 vision towers (per-channel weights "
+                        "+ per-token activations on the int8 MXU at 2x the "
+                        "bf16 rate — the five-crop encode is compute-"
+                        "bound). Opt-in serving mode beyond the reference; "
+                        "NOT bit-exact (numerics gated by "
+                        "tests/test_w8a8.py)")
     parser.add_argument("--kv_cache_bits", type=int, default=None,
                         choices=[8],
                         help="int8 KV cache (halves decode cache traffic; "
@@ -401,11 +408,12 @@ def main(argv=None):
         )
         input_size = args.input_size
 
-    if args.quant:
+    if args.quant or args.tower_bits:
         model.quantize(
-            bits=args.quant_bits,
+            bits=args.quant_bits if args.quant else None,
             tp_align=args.model_parallel_size * 128
             if args.model_parallel_size > 1 else 0,
+            tower_bits=args.tower_bits,
         )
     if args.adapter_path:
         # after quantize(): quantizing resets the transform chain

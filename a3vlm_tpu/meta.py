@@ -299,8 +299,9 @@ class MetaModel:
                 head, ((0, 0), (0, V - head.shape[-1]))
             )
 
-    def quantize(self, bits: int = 4, tp_align: int = 0,
-                 row_parallel: int = 0) -> None:
+    def quantize(self, bits: Optional[int] = 4, tp_align: int = 0,
+                 row_parallel: int = 0, tower_bits: Optional[int] = None
+                 ) -> None:
         """Post-hoc weight-only quantization of the decoder (the NF4 eval
         path, eval_affordance_with_quant.py:327-342). Vision towers and
         projectors stay dense (quant blocklist).
@@ -319,20 +320,33 @@ class MetaModel:
         ``row_parallel`` (model_parallel_size): chunk-pack wo/w2 so they
         K-shard (true row-parallel TP with a psum of partials) instead of
         column-sharding with activation all-gathers — see
-        quant.quantize_params."""
+        quant.quantize_params.
+
+        ``tower_bits=8`` (multimodal types only, opt-in, beyond the
+        reference): per-channel int8 on the frozen vision towers so the
+        five-crop encode contracts on the int8 MXU at 2x the bf16 rate
+        (ens5.quantize_tower_params / ops.quant_matmul.w8a8_matmul —
+        activation rounding is NOT exact; gated by tests/test_w8a8.py)."""
         from a3vlm_tpu.quant import quantize_params
 
         if self.llama_type in ("llama", "falcon"):
-            self.params = quantize_params(
-                self.params, bits=bits, tp_align=tp_align,
-                row_parallel=row_parallel,
-            )
+            if bits:
+                self.params = quantize_params(
+                    self.params, bits=bits, tp_align=tp_align,
+                    row_parallel=row_parallel,
+                )
         else:
             self.params = dict(self.params)
-            self.params["llama"] = quantize_params(
-                self.params["llama"], bits=bits, tp_align=tp_align,
-                row_parallel=row_parallel,
-            )
+            if bits:
+                self.params["llama"] = quantize_params(
+                    self.params["llama"], bits=bits, tp_align=tp_align,
+                    row_parallel=row_parallel,
+                )
+            if tower_bits:
+                assert tower_bits == 8, "towers support W8A8 only"
+                from a3vlm_tpu.models import ens5 as ens5_mod
+
+                self.params = ens5_mod.quantize_tower_params(self.params)
         self._params_transform = None  # qmat consumes packed leaves directly
         self._generator = None
 

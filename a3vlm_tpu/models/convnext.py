@@ -18,6 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from a3vlm_tpu.ops.norms import layer_norm
+from a3vlm_tpu.quant import QuantizedWeight
 
 Params = dict[str, Any]
 
@@ -99,12 +100,27 @@ def _conv2d(x, p, stride: int, groups: int = 1, pad: str | int = "VALID"):
     return out + p["bias"].astype(x.dtype)
 
 
+def _lin(x, p):
+    """Pointwise linear: dense, or W8A8 int8-MXU when tower-quantized
+    (the 1x1 convs carry ~95% of ConvNeXt's FLOPs; dw 7x7 convs and the
+    stem/downsample convs stay dense — their leaves are named "kernel",
+    which quant.quantize_params never touches)."""
+    w = p["weight"]
+    if isinstance(w, QuantizedWeight):
+        from a3vlm_tpu.ops.quant_matmul import w8a8_matmul
+
+        out = w8a8_matmul(x, w)
+    else:
+        out = x @ w
+    return out + p["bias"]
+
+
 def _block_fwd(x, bp, eps):
     h = _conv2d(x, bp["dwconv"], stride=1, groups=x.shape[-1], pad=3)
     h = layer_norm(h, bp["norm"]["weight"], bp["norm"]["bias"], eps)
-    h = h @ bp["pw1"]["weight"] + bp["pw1"]["bias"]
+    h = _lin(h, bp["pw1"])
     h = jax.nn.gelu(h, approximate=False)
-    h = h @ bp["pw2"]["weight"] + bp["pw2"]["bias"]
+    h = _lin(h, bp["pw2"])
     return x + h * bp["gamma"]
 
 

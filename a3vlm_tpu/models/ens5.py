@@ -32,6 +32,7 @@ from a3vlm_tpu.config import ModelArgs
 from a3vlm_tpu.models import convnext as cnx
 from a3vlm_tpu.models import llama, qformer, vit
 from a3vlm_tpu.ops.norms import layer_norm
+from a3vlm_tpu.quant import QuantizedWeight
 
 Params = dict[str, Any]
 
@@ -169,6 +170,55 @@ def quant_blocklist() -> tuple[str, ...]:
     """Param subtrees excluded from weight quantization
     (llama_ens5.py:541-550)."""
     return FROZEN_PREFIXES + ("qformer_proj", "visual_proj")
+
+
+# towers whose linears dispatch to the W8A8 int8-MXU path when quantized
+# (vit._lin / convnext._lin). The Q-Former stays dense: its FLOPs are <2%
+# of the tower pass and its MHA is not dispatch-aware.
+W8A8_TOWER_KEYS = ("clip", "blip2_vision", "dinov2", "convnext")
+
+
+def quantize_tower_params(params: Params,
+                          keys: tuple[str, ...] = W8A8_TOWER_KEYS) -> Params:
+    """Per-output-channel int8 quantization of the FROZEN vision towers —
+    the serving-side W8A8 mode (opt-in; NOT in the reference, whose towers
+    always run fp16). The five-crop tower pass is MXU-COMPUTE bound
+    (~7.5 TFLOPs at batch 1; scripts/profile_towers.py), so int8 MXU dots
+    at 2x the bf16 rate attack the ~108 ms tower leg of the image->triad
+    p50 directly — a different regime from the decoder's bandwidth-bound
+    int4/int8 weight streaming.
+
+    Device-side jnp quantization (same round-half-even absmax math as
+    quant._quantize_leaf_int8, which is host/np-side): full-scale towers
+    are 6.8 GB bf16 and typically already live on-chip. Only matmul
+    ``weight`` leaves outside norm/ln scopes quantize; conv kernels
+    (leaf name "kernel"), norms, biases, embeddings, and layer scales
+    stay dense — mirroring quant.quantize_params' filter."""
+
+    def _q8(w):
+        wf = w.astype(jnp.float32)
+        s = jnp.maximum(
+            jnp.max(jnp.abs(wf), axis=-2, keepdims=True), 1e-8
+        ) / 127.0
+        q = jnp.clip(jnp.round(wf / s), -127, 127).astype(jnp.int8)
+        return QuantizedWeight(q, s, bits=8)
+
+    def leaf_fn(path, x):
+        names = [getattr(p, "key", None) for p in path]
+        if names[-1] != "weight" or getattr(x, "ndim", 0) < 2:
+            return x
+        if any(
+            isinstance(n, str) and ("norm" in n or n.startswith("ln"))
+            for n in names[:-1]
+        ):
+            return x
+        return _q8(x)
+
+    out = dict(params)
+    for k in keys:
+        if k in out:
+            out[k] = jax.tree_util.tree_map_with_path(leaf_fn, out[k])
+    return out
 
 
 def _apply_proj(x, p):

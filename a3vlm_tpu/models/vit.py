@@ -26,6 +26,7 @@ import jax.numpy as jnp
 
 from a3vlm_tpu.ops.attention import attention
 from a3vlm_tpu.ops.norms import layer_norm
+from a3vlm_tpu.quant import QuantizedWeight
 
 Params = dict[str, Any]
 
@@ -147,10 +148,26 @@ def interpolate_pos_embed(
     return jnp.concatenate([cls_pos, patch_pos.reshape(-1, W)], axis=0)
 
 
+def _lin(x, p):
+    """Tower linear: dense ``x @ w + b``, or the W8A8 int8-MXU path when
+    the weight was tower-quantized (ens5.quantize_towers /
+    MetaModel.quantize(tower_bits=8)). Dispatch is by param type so the
+    scanned block stack needs no config plumbing — scan slices the
+    QuantizedWeight's (q, scale) children per layer like any leaf."""
+    w = p["weight"]
+    if isinstance(w, QuantizedWeight):
+        from a3vlm_tpu.ops.quant_matmul import w8a8_matmul
+
+        out = w8a8_matmul(x, w)
+    else:
+        out = x @ w
+    return out + p["bias"]
+
+
 def _vit_block(h, lp, cfg: ViTConfig):
     B, S, W = h.shape
     x = layer_norm(h, lp["ln1"]["weight"], lp["ln1"]["bias"], cfg.norm_eps)
-    qkv = x @ lp["attn"]["wqkv"]["weight"] + lp["attn"]["wqkv"]["bias"]
+    qkv = _lin(x, lp["attn"]["wqkv"])
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = q.reshape(B, S, cfg.heads, cfg.head_dim)
     k = k.reshape(B, S, cfg.heads, cfg.head_dim)
@@ -167,19 +184,19 @@ def _vit_block(h, lp, cfg: ViTConfig):
             out = attention(q, k, v, mask=None)
     else:
         out = attention(q, k, v, mask=None)
-    out = out.reshape(B, S, W) @ lp["attn"]["wo"]["weight"] + lp["attn"]["wo"]["bias"]
+    out = _lin(out.reshape(B, S, W), lp["attn"]["wo"])
     if cfg.layer_scale:
         out = out * lp["ls1"]
     h = h + out
 
     x = layer_norm(h, lp["ln2"]["weight"], lp["ln2"]["bias"], cfg.norm_eps)
-    x = x @ lp["mlp"]["fc1"]["weight"] + lp["mlp"]["fc1"]["bias"]
+    x = _lin(x, lp["mlp"]["fc1"])
     if cfg.use_swiglu:
         gate, up = jnp.split(x, 2, axis=-1)
         x = jax.nn.silu(gate) * up
     else:
         x = _act(x, cfg.act)
-    x = x @ lp["mlp"]["fc2"]["weight"] + lp["mlp"]["fc2"]["bias"]
+    x = _lin(x, lp["mlp"]["fc2"])
     if cfg.layer_scale:
         x = x * lp["ls2"]
     return h + x

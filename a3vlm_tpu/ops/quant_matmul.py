@@ -962,6 +962,37 @@ def int8_matmul(x, qw: QuantizedWeight, interpret: bool = False):
     return out.reshape(*lead, out.shape[-1])
 
 
+def w8a8_matmul(x, qw: QuantizedWeight):
+    """Compute-bound W8A8: per-token int8 activations against the
+    per-output-channel int8 weight, contracted on the int8 MXU (2x the
+    bf16 FLOP rate on v5e, and half the weight bytes). Built for the
+    FROZEN VISION TOWERS (five-crop encode, M ~ 1285 rows), where the
+    bf16 towers are MXU-compute bound — the opposite regime from the
+    bandwidth-bound decode the fused dequant kernels serve.
+
+    Numerics: the int32 accumulation is exact (|a| <= 127, |w| <= 127,
+    K <= 2^17 fits int32); only the activation rounding differs from
+    dense — same envelope-gated opt-in contract as the W4A8 decode path.
+    The epilogue is RANK-1 (a_scale [M,1] x w_scale [1,N]), one fused
+    f32 elementwise per output tile at ANY M — unlike the W4A8 GROUP
+    epilogue whose per-group partial scaling made prefill 1.077x slower.
+
+    Plain XLA ops throughout (dot_general s8xs8->s32 maps to the MXU
+    natively), so pjit shards it with zero custom-partitioning glue —
+    the crop batch shards over the mesh, the weight stays replicated,
+    matching ens5's tower sharding."""
+    assert qw.bits == 8, "w8a8_matmul wants per-channel int8 weights"
+    lead = x.shape[:-1]
+    a, a_scale = quantize_act_int8(x.reshape(-1, x.shape[-1]))
+    acc = jax.lax.dot_general(
+        a, qw.q, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    w_scale = qw.scale.reshape(1, -1).astype(jnp.float32)
+    out = (acc.astype(jnp.float32) * a_scale * w_scale).astype(x.dtype)
+    return out.reshape(*lead, out.shape[-1])
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def _qmat_quant(bits, group, in_dim, k_chunks, x, q, scale):
     """Differentiable wrapper over the quantized dispatch: neither the

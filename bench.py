@@ -312,7 +312,8 @@ SPEC_ACCEPT_CAPS = SPEC_ACCEPT_CAPS_BY_K[8]
 
 
 def bench_image_to_triad_full(rounds=3, gen_len=32, prompt_len=32, bits=4,
-                              lookup=False, accept_cap=None, draft_k=8):
+                              lookup=False, accept_cap=None, draft_k=8,
+                              tower_bits=None):
     """End-to-end image->triad latency at FULL SCALE: the four full-size
     towers (default Ens5Config = CLIP-L + EVA ViT-g + BLIP-2 Q-Former +
     ConvNeXt-XXL + DINOv2-g, bf16) over a real 448px five-crop, the exact
@@ -335,6 +336,12 @@ def bench_image_to_triad_full(rounds=3, gen_len=32, prompt_len=32, bits=4,
     params = {
         k: fabricate(v) for k, v in tower_shapes.items() if k != "llama"
     }
+    if tower_bits:
+        # W8A8 towers (opt-in serving mode): quantize on device, then drop
+        # the dense bf16 towers before fabricating the decoder so HBM
+        # never holds dense+int8+int4 together
+        assert tower_bits == 8
+        params = jax.jit(ens5.quantize_tower_params)(params)
     params["llama"] = llama.unstack_layers(fabricate_llama(largs, bits=bits))
     dtype = jnp.bfloat16
 
@@ -596,6 +603,47 @@ class _SynthTok:
 
     def decode(self, toks):
         return " ".join(map(str, toks))
+
+
+def bench_towers_w8a8(rounds=7):
+    """Same-session interleaved A/B of the full-scale five-crop tower
+    encode: dense bf16 vs W8A8 int8 towers (ens5.quantize_tower_params).
+    The tower pass is MXU-compute bound (~7.5 TFLOPs at batch 1,
+    scripts/profile_towers.py), so the int8 MXU's 2x rate bounds the win;
+    the rank-1 scale epilogue and the dense-held attention/norm/conv ops
+    set the realized ratio. Interleaved arms per measurement-discipline
+    rules — cross-process chip rate drifts +-17%."""
+    from a3vlm_tpu.models import ens5
+
+    cfg = ens5.Ens5Config(llama=_7b_args(), crop_shard_axes=None)
+    tower_shapes = jax.eval_shape(
+        lambda: ens5.init_ens5_params(jax.random.PRNGKey(0), cfg)
+    )
+    dense = {
+        k: fabricate(v) for k, v in tower_shapes.items() if k != "llama"
+    }
+    q8 = jax.jit(ens5.quantize_tower_params)(dense)
+
+    @jax.jit
+    def towers(p, image):
+        return ens5.build_image_tokens(p, cfg, image)
+
+    image = jnp.zeros((1, 448, 448, 3), jnp.bfloat16)
+    _sync(towers(dense, image))
+    _sync(towers(q8, image))
+    a, b = [], []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        _sync(towers(dense, image))
+        a.append((time.perf_counter() - t0) * 1e3)
+        t0 = time.perf_counter()
+        _sync(towers(q8, image))
+        b.append((time.perf_counter() - t0) * 1e3)
+    return {
+        "dense_bf16_ms": round(_median(a), 1),
+        "w8a8_ms": round(_median(b), 1),
+        "ratio": round(_median(b) / _median(a), 3),
+    }
 
 
 def bench_continuous_batching(n=48, slots=16):
@@ -1169,6 +1217,13 @@ def main(only=None, watchdog_s: float = 3000.0):
     run("image_to_triad_p50_ms_spec_w4a8",
         lambda: _w4a8(lambda: bench_image_to_triad_full(
             lookup=True, draft_k=8, accept_cap=SPEC_ACCEPT_CAPS_BY_K[8])))
+    # round-5 tower lever: W8A8 int8 towers (the tower leg is ~25% of the
+    # best spec+w4a8 p50 and is MXU-compute bound — int8 MXU runs 2x bf16)
+    run("towers_w8a8_ab", bench_towers_w8a8)
+    run("image_to_triad_p50_ms_spec_w4a8_t8",
+        lambda: _w4a8(lambda: bench_image_to_triad_full(
+            lookup=True, draft_k=8, accept_cap=SPEC_ACCEPT_CAPS_BY_K[8],
+            tower_bits=8)))
     # training throughput (the reference's primary workload): full towers
     # frozen + ~1B bf16 decoder, fwd+bwd+AdamW in one jit with remat
     run("train_step_multimodal", bench_train_step)
