@@ -145,3 +145,46 @@ def test_meta_quantize_tower_bits(tiny_tokenizer_dir):
         images=np.zeros((1, sz, sz, 3), np.float32),
     )
     assert len(out) == 1 and isinstance(out[0], str)
+
+
+def test_eval_cli_tower_bits_smoke(tmp_path, tiny_tokenizer_dir):
+    """eval_affordance --tower_bits 8 (no --quant): the W8A8-tower serving
+    mode plumbs through the CLI — towers quantize, the decoder stays
+    dense, and the run produces reference-schema records."""
+    import json
+
+    from PIL import Image
+
+    from a3vlm_tpu import eval_affordance
+
+    img_path = tmp_path / "demo.png"
+    Image.new("RGB", (96, 64), (20, 180, 90)).save(img_path)
+    demo = [
+        {
+            "image": str(img_path),
+            "conversations": [
+                {"from": "human", "value": "Detect all manipulable object "
+                 "parts and provide their 3D bounding boxes."},
+                {"from": "gpt", "value": ""},
+            ],
+        }
+    ]
+    task_json = tmp_path / "demo.json"
+    task_json.write_text(json.dumps(demo))
+
+    results_file = eval_affordance.main(
+        [
+            "--dataset", str(task_json),
+            "--output_dir", str(tmp_path / "out"),
+            "--tokenizer_path", tiny_tokenizer_dir,
+            "--tiny_random_model",
+            "--tower_bits", "8",
+            "--batch_size", "1",
+            "--max_gen_len", "4",
+            "--max_seq_len", "384",
+            "--temperature", "0.0",
+        ]
+    )
+    with open(results_file) as f:
+        results = json.load(f)
+    assert len(results) == 1 and isinstance(results[0]["fail"], bool)
