@@ -141,3 +141,126 @@ def read_ply_ascii(path: str) -> np.ndarray:
         [float(v) for v in lines[header_end + i].split()] for i in range(n)
     ]
     return np.asarray(data, np.float32)
+
+
+# -- exact 3D OBB IoU (scoring; no reference analog — the paper's 3D
+# detection metric family is IoU-based but the reference repo dumps raw
+# records without scoring, eval_affordance_v2.py:386-401) -----------------
+
+
+def _box_halfspaces(corners: np.ndarray):
+    """[8, 3] box corners (ANY labeling order) -> (A [6, 3], b [6]) with
+    the box = {x : A @ x <= b}, rows unit-norm.
+
+    Axis recovery is order-free: among the 7 vectors from one corner to
+    the others, the shortest is an edge, and greedily taking the shortest
+    vector orthogonal to all previous picks recovers the other two edges
+    (a face diagonal of two orthogonal edges is always longer than either,
+    so it can never be picked before them — NOT true of plain
+    nearest-3-corners, which fails on elongated boxes). Each edge
+    direction contributes the slab between the min/max corner
+    projections; a perfect box IS the intersection of its 3 slabs, so
+    this is exact for codec output and a principled hull for slightly
+    non-orthogonal (rounded) model output."""
+    c = np.asarray(corners, np.float64)
+    p0 = c[0]
+    vecs = c[1:] - p0
+    lens = np.linalg.norm(vecs, axis=1)
+    order = np.argsort(lens)
+    picked = []
+    for cos_tol in (0.2, 0.5):  # relax for badly skewed model output
+        for j in order:
+            if lens[j] < 1e-12 or len(picked) == 3:
+                continue
+            u = vecs[j] / lens[j]
+            if all(abs(np.dot(u, e)) < cos_tol for e in picked):
+                picked.append(u)
+        if len(picked) == 3:
+            break
+    A, b = [], []
+    for e in picked:
+        proj = c @ e
+        A.append(e)
+        b.append(proj.max())
+        A.append(-e)
+        b.append(-proj.min())
+    return np.asarray(A), np.asarray(b)
+
+
+def _halfspace_volume(A: np.ndarray, b: np.ndarray) -> float:
+    """Volume of the (bounded, convex) polytope {x : A @ x <= b} by vertex
+    enumeration over plane triples + divergence-theorem face sums. Rows of
+    A must be unit-norm. Returns 0.0 for empty/degenerate polytopes."""
+    m = len(A)
+    scale = max(float(np.abs(b).max()), 1.0)
+    tol = 1e-9 * scale
+    verts = []
+    from itertools import combinations
+
+    for i, j, k in combinations(range(m), 3):
+        M = A[[i, j, k]]
+        if abs(np.linalg.det(M)) < 1e-12:
+            continue
+        v = np.linalg.solve(M, b[[i, j, k]])
+        if np.all(A @ v <= b + tol):
+            verts.append(v)
+    if len(verts) < 4:
+        return 0.0
+    V = np.asarray(verts)
+    # dedupe (coincident plane-triple solutions at box corners)
+    kept = []
+    for v in V:
+        if not any(np.linalg.norm(v - u) < 10 * tol for u in kept):
+            kept.append(v)
+    V = np.asarray(kept)
+    if len(V) < 4:
+        return 0.0
+    vol = 0.0
+    for i in range(m):
+        # duplicate / near-duplicate half-spaces (e.g. the two boxes of a
+        # self-IoU, or coplanar pred/GT faces) must contribute ONE face
+        if any(
+            np.dot(A[i], A[j]) > 1.0 - 1e-9
+            and abs(b[i] - b[j]) < 200 * tol
+            for j in range(i)
+        ):
+            continue
+        on = V[np.abs(V @ A[i] - b[i]) < 100 * tol]
+        if len(on) < 3:
+            continue
+        n = A[i]  # outward unit normal
+        cen = on.mean(0)
+        # order the face polygon by angle in-plane
+        u = on[0] - cen
+        un = np.linalg.norm(u)
+        if un < 1e-12:
+            continue
+        u = u / un
+        w = np.cross(n, u)
+        ang = np.arctan2((on - cen) @ w, (on - cen) @ u)
+        P = on[np.argsort(ang)]
+        # fan triangulation; divergence theorem: V = 1/3 sum (x . n) dA
+        for t in range(1, len(P) - 1):
+            a_, b_, c_ = P[0], P[t], P[t + 1]
+            area_vec = 0.5 * np.cross(b_ - a_, c_ - a_)
+            vol += float(np.dot((a_ + b_ + c_) / 3.0, area_vec))
+    return max(vol / 3.0, 0.0)
+
+
+def obb_iou_3d(corners_a: np.ndarray, corners_b: np.ndarray) -> float:
+    """Exact IoU of two 3D oriented boxes given as [8, 3] corner arrays
+    (any corner order). Intersection is the 12-half-space polytope; all
+    three volumes run through the same exact vertex-enumeration routine.
+    Validated against Monte-Carlo sampling to <1% (tests)."""
+    Aa, ba = _box_halfspaces(corners_a)
+    Ab, bb = _box_halfspaces(corners_b)
+    if len(Aa) < 6 or len(Ab) < 6:
+        return 0.0
+    va = _halfspace_volume(Aa, ba)
+    vb = _halfspace_volume(Ab, bb)
+    if va <= 0.0 or vb <= 0.0:
+        return 0.0
+    vi = _halfspace_volume(
+        np.concatenate([Aa, Ab]), np.concatenate([ba, bb])
+    )
+    return float(vi / max(va + vb - vi, 1e-12))

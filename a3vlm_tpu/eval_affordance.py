@@ -318,6 +318,16 @@ def main(argv=None):
                         "scripts/w4a8_accuracy.py). Requires --quant with "
                         "--quant_bits 4; single-device decode only (TP "
                         "paths stay exact)")
+    parser.add_argument("--w8a8_prefill", action="store_true",
+                        help="int8-activation PREFILL matmuls on the int4 "
+                        "base (ops/quant_matmul.W8A8_PREFILL): the group "
+                        "scales fold into int8 weights in VMEM and the "
+                        "contraction rides the int8 MXU at 2x the bf16 "
+                        "rate (prefill is MXU-compute bound, the opposite "
+                        "regime from decode). NOT bit-exact (numerics "
+                        "gated by tests/test_w8a8_prefill.py + "
+                        "scripts/w8a8_prefill_accuracy.py). Requires "
+                        "--quant with --quant_bits 4; single-device only")
     parser.add_argument("--tower_bits", type=int, default=None, choices=[8],
                         help="W8A8 int8 vision towers (per-channel weights "
                         "+ per-token activations on the int8 MXU at 2x the "
@@ -372,6 +382,12 @@ def main(argv=None):
         from a3vlm_tpu.ops import quant_matmul as _qm
 
         _qm.W4A8_DECODE = True
+    if args.w8a8_prefill:
+        if not (args.quant and args.quant_bits == 4):
+            parser.error("--w8a8_prefill requires --quant --quant_bits 4")
+        from a3vlm_tpu.ops import quant_matmul as _qm
+
+        _qm.W8A8_PREFILL = True
 
     if args.dataset_registry:
         with open(args.dataset_registry) as f:

@@ -299,6 +299,7 @@ def _generate_loop(
         "temperature",
         "top_p",
         "key_offset",
+        "lookup_max_n",
     ),
     donate_argnames=("cache",),
 )
@@ -322,6 +323,7 @@ def _lookup_generate_loop(
     top_p: float = 0.95,
     rng=None,
     key_offset: int = 0,
+    lookup_max_n: int = 4,
 ):
     """Whole-query jit for the batch-1 prompt-lookup speculative path:
     prefill the FULL prompt, then lookup_decode.lookup_generate. Output
@@ -381,6 +383,7 @@ def _lookup_generate_loop(
         gen_len=gen_len, draft_k=draft_k, vocab_limit=vocab_limit,
         stop_token=stop_token, fsm_next=fsm_next, fsm_state0=fsm_state0,
         temperature=temperature, top_p=top_p, sample_keys=sample_keys,
+        max_n=lookup_max_n,
     )
 
 
@@ -463,6 +466,7 @@ class Generator:
         impl: str = "auto",
         fsm=None,
         draft_k: int = 0,
+        lookup_max_n: int = 4,
     ) -> list[str]:
         """``fsm``: a ``constrained.TokenFsm`` — every generated token is
         masked to the answer grammar (malformed triads become impossible;
@@ -538,6 +542,7 @@ class Generator:
                 prompt_tokens[0], image_tokens, max_gen_len, stop_tokens,
                 draft_k, impl, fsm_next=fsm_next,
                 temperature=temperature, top_p=top_p, seed=seed,
+                lookup_max_n=lookup_max_n,
             )
 
         P = _prefill_bucket(min_prompt)
@@ -583,7 +588,7 @@ class Generator:
     def _generate_lookup(self, t, image_tokens, max_gen_len, stop_tokens,
                          draft_k, impl, fsm_next=None,
                          temperature: float = 0.0, top_p: float = 0.95,
-                         seed: int = 0):
+                         seed: int = 0, lookup_max_n: int = 4):
         """Batch-1 greedy generation through prompt-lookup speculation.
         The device loop stops on EOS only; multi-token stop sequences are
         matched HERE with the vanilla loop's exact window semantics
@@ -619,6 +624,7 @@ class Generator:
             fsm_next=fsm_next, temperature=temperature, top_p=top_p,
             rng=jax.random.PRNGKey(seed),
             key_offset=len(t) - _prefill_bucket(len(t)),
+            lookup_max_n=lookup_max_n,
         )
         gen = np.asarray(out)[: int(count)].tolist()
         # realized acceptance telemetry (scripts/spec_acceptance.py): how

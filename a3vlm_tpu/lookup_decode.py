@@ -81,6 +81,7 @@ def lookup_generate(
     top_p: float = 0.95,
     sample_keys=None,  # [gen_len + draft_k, 2] uint32: vanilla split chain
     accept_cap: tuple | None = None,  # BENCH-ONLY acceptance replay (below)
+    max_n: int = 4,  # longest suffix n-gram length tried by find_draft
 ):
     """Greedy speculative generation; returns (tokens [gen_len], count).
 
@@ -145,7 +146,7 @@ def lookup_generate(
             lg = jnp.where(fsm_next[states] >= 0, lg, -1e30)
         return lg
 
-    def find_draft(buf, n_buf, last_tok, max_n: int = 4):
+    def find_draft(buf, n_buf, last_tok, max_n: int = max_n):
         """Longest-suffix n-gram lookup (n = max_n .. 1): the most recent
         i with buf[i : i+n] == buf[n_buf-n : n_buf] and i+n < n_buf;
         draft = buf[i+n : i+n+K-1]. Longer matched context disambiguates

@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 from pathlib import Path
 
 import jax
@@ -239,7 +240,17 @@ def main(argv=None):
         feat_cache = TowerFeatureCache(
             model.params, cfg, cache_dir=args.feature_cache_dir
         )
-        loader = FeatureCachingLoader(loader, feat_cache)
+        depth_cache = None
+        if args.llama_type == "llama_ens5_2images":
+            # the depth stream runs the same frozen towers — cache it in
+            # its own namespace (indices collide with the rgb stream's)
+            depth_cache = TowerFeatureCache(
+                model.params, cfg,
+                cache_dir=os.path.join(args.feature_cache_dir, "depth")
+                if args.feature_cache_dir else None,
+            )
+        loader = FeatureCachingLoader(loader, feat_cache,
+                                      depth_cache=depth_cache)
         print("tower-feature cache on: towers run once per image, "
               "later epochs are tower-free")
 
@@ -316,9 +327,18 @@ def main(argv=None):
             if "image_feat_q" in batch:
                 imf = {"q": batch["image_feat_q"],
                        "ens": batch["image_feat_ens"]}
-            logits = ens5_mod.forward(
+            kwargs = {}
+            if args.llama_type == "llama_ens5_2images":
+                # the 2-images forward needs BOTH streams (raw or cached)
+                kwargs["depth_image"] = batch.get("depth_image")
+                if "depth_feat_q" in batch:
+                    kwargs["depth_features"] = {
+                        "q": batch["depth_feat_q"],
+                        "ens": batch["depth_feat_ens"],
+                    }
+            logits = model._mod.forward(
                 params, cfg, batch["examples"], image=batch.get("image"),
-                image_features=imf, remat=remat,
+                image_features=imf, remat=remat, **kwargs,
             )
         else:
             from a3vlm_tpu.models import llama as llama_mod

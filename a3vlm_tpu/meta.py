@@ -549,6 +549,7 @@ class MetaModel:
         seed: int = 0,
         fsm=None,
         draft_k: int = 0,
+        lookup_max_n: int = 4,
     ) -> List[str]:
         image_tokens = self.encode_images(images, depth_images)
         return self._get_generator().generate(
@@ -561,6 +562,7 @@ class MetaModel:
             seed=seed,
             fsm=fsm,
             draft_k=draft_k,
+            lookup_max_n=lookup_max_n,
         )
 
     def stream_generate(

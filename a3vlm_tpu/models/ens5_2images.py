@@ -38,16 +38,25 @@ def image_words(cfg: Ens5Config) -> int:
 def build_image_tokens(
     params: Params,
     cfg: Ens5Config,
-    image: jnp.ndarray,
-    depth_image: jnp.ndarray,
+    image: Optional[jnp.ndarray] = None,
+    depth_image: Optional[jnp.ndarray] = None,
+    image_features=None,
+    depth_features=None,
 ) -> jnp.ndarray:
     """[B, 2*image_words, D]: rgb crops with img tags then depth crops with
-    depth tags (llama_ens5_2images.py:479-500)."""
-    B = image.shape[0]
+    depth tags (llama_ens5_2images.py:479-500). Each stream takes EITHER
+    the raw image (runs the frozen towers) or its encode_image_features
+    dict (from the tower-feature cache — both towers are frozen, so the
+    cache win doubles for this variant)."""
     D = cfg.llama.dim
 
-    def tagged(img, start, end):
-        crops = ens5.encode_image(params, cfg, img)
+    def tagged(img, feats, start, end):
+        if feats is not None:
+            assert img is None, "pass image OR features per stream"
+            crops = ens5.project_image_features(params, cfg, feats)
+        else:
+            crops = ens5.encode_image(params, cfg, img)
+        B = crops[0].shape[0]
         s = jnp.broadcast_to(start, (B, 1, D))
         e = jnp.broadcast_to(end, (B, 1, D))
         return jnp.concatenate(
@@ -58,10 +67,10 @@ def build_image_tokens(
             axis=1,
         )
 
-    rgb = tagged(image, params["start_img"], params["end_img"])
-    dep = tagged(
-        depth_image, params["start_depth_img"], params["end_depth_img"]
-    )
+    rgb = tagged(image, image_features,
+                 params["start_img"], params["end_img"])
+    dep = tagged(depth_image, depth_features,
+                 params["start_depth_img"], params["end_depth_img"])
     return jnp.concatenate([rgb, dep], axis=1)
 
 
@@ -73,11 +82,22 @@ def forward(
     depth_image: Optional[jnp.ndarray] = None,
     remat: bool = False,
     impl: str = "auto",
+    image_features=None,
+    depth_features=None,
 ) -> jnp.ndarray:
     image_tokens = None
-    if image is not None:
-        assert depth_image is not None, "2-image model needs both images"
-        image_tokens = build_image_tokens(params, cfg, image, depth_image)
+    if (image is not None or image_features is not None
+            or depth_image is not None or depth_features is not None):
+        assert (image is not None) != (image_features is not None), (
+            "2-image model needs the rgb stream (image or features)"
+        )
+        assert (depth_image is not None) != (depth_features is not None), (
+            "2-image model needs the depth stream (image or features)"
+        )
+        image_tokens = build_image_tokens(
+            params, cfg, image, depth_image,
+            image_features=image_features, depth_features=depth_features,
+        )
     return llama.forward_train(
         params["llama"], cfg.llama, examples, image_tokens=image_tokens,
         remat=remat, impl=impl,

@@ -64,6 +64,18 @@ PREFILL_BM = None
 W4A8_DECODE = False
 W4A8_MAX_M = 32
 
+# W8A8 prefill knob (trace-time): int4 matmuls with M >= W8A8_PREFILL_MIN_M
+# fold the per-GROUP scales into int8 weights IN VMEM (per-column rescale,
+# _int4_kernel_w8a8p) and contract on the int8 MXU — 2x the bf16 FLOP rate,
+# which is the prefill ceiling (round-4 trace: prefill matmuls within ~17%
+# of the DENSE-bf16 ideal; the int8 MXU is the only remaining lever). The
+# epilogue is RANK-1 (act row scale x column max scale), so unlike the
+# W4A8 group epilogue it does not scale with M. NOT bit-exact (activation
+# int8 rounding + the in-kernel weight requant, see _int4_matmul_2d_w8a8p);
+# opt-in, numerics-gated like W4A8.
+W8A8_PREFILL = False
+W8A8_PREFILL_MIN_M = 256
+
 
 def _int4_kernel(xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref, o_ref, acc_ref,
                  *, group: int, nk: int):
@@ -221,6 +233,164 @@ def _int4_kernel_w4a8(xlo_ref, xhi_ref, q_ref, slo_ref, shi_ref, xs_ref,
     @pl.when(pl.program_id(2) == nk - 1)
     def _done():
         o_ref[:] = (acc_ref[:] * xs_ref[:]).astype(o_ref.dtype)
+
+
+def _int4_kernel_w8a8p(xlo_ref, xhi_ref, q_ref, rlo_ref, rhi_ref, xs_ref,
+                       cs_ref, o_ref, acc_ref, *, group: int, nk: int):
+    """W8A8 PREFILL variant: activations arrive per-row int8 (as in the
+    W4A8 kernel), and the int4 weights are requantized IN VMEM to int8
+    with a per-COLUMN scale — the group scales fold into the integer
+    values instead of the epilogue:
+
+        w8[k, n] = round(q4[k, n] * (s[g(k), n] / smax[n]) * 15.875)
+        out[m, n] = xs[m] * (smax[n] / 15.875) * sum_k x8[m, k] * w8[k, n]
+
+    |q4| <= 8 and s/smax <= 1 keep |w8| <= 127 with no clip; the int32
+    accumulation is exact (K <= 2^17 * 127^2 < 2^31). The contraction
+    runs full-BK on the int8 MXU (2x bf16 rate) and the scale epilogue is
+    RANK-1 — one [BM,1] x [1,BN] f32 multiply at the final store, O(M*N)
+    total regardless of the group count (the W4A8 group epilogue is
+    O(M*N*G), which is why W4A8 lost at prefill M). The requant chain
+    (unpack, f32 mul, round, i8 cast) is O(K*N) per weight pass — at
+    M ~ 1500 it amortizes to noise, unlike at decode M.
+
+    Numerics vs the exact dequant kernels: activation int8 rounding (as
+    W4A8) PLUS the weight requant, whose per-weight error is at most
+    smax[n]/31.75 — sub-LSB of the int4 grid whenever the column's group
+    scales are within 15.9x of each other. Gated by tests/test_w8a8_prefill
+    envelopes + the on-chip accuracy script."""
+    @pl.when(pl.program_id(2) == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    packed = q_ref[:].astype(jnp.int32)  # [BK, BN]
+    lo = (packed << 28) >> 28
+    hi = packed >> 4
+    # ratios arrive pre-multiplied by 15.875 (one fewer VPU op per weight;
+    # the requant chain runs once per M-tile, so it throttles the MXU at
+    # prefill M the same way the v1 dequant chain did)
+    rlo = jnp.repeat(rlo_ref[:], group, axis=0)  # [BK, BN] f32 in (0, 15.875]
+    rhi = jnp.repeat(rhi_ref[:], group, axis=0)
+    wlo = jnp.round(lo.astype(jnp.float32) * rlo).astype(jnp.int8)
+    whi = jnp.round(hi.astype(jnp.float32) * rhi).astype(jnp.int8)
+    acc_ref[:] += jnp.dot(
+        xlo_ref[:], wlo, preferred_element_type=jnp.int32
+    )
+    acc_ref[:] += jnp.dot(
+        xhi_ref[:], whi, preferred_element_type=jnp.int32
+    )
+
+    @pl.when(pl.program_id(2) == nk - 1)
+    def _done():
+        o_ref[:] = (
+            acc_ref[:].astype(jnp.float32) * xs_ref[:] * cs_ref[:]
+        ).astype(o_ref.dtype)
+
+
+# sweep knob for the w8a8p M-tile: the in-kernel requant chain runs once
+# per (M-tile, weight block), so larger BM amortizes it (at the cost of a
+# BM x BN int32 acc scratch). Trace-time; None = 512 — the on-chip sweep
+# winner (triad prefill 180.5 -> 152.9 ms at BM 256, -> 132.0 at 512;
+# 1024 OOMs the 16 MB Mosaic VMEM stack at 19.3 MB).
+W8A8P_BM = None
+
+
+@functools.partial(jax.jit, static_argnames=("group", "interpret", "bm"))
+def _int4_matmul_2d_w8a8p(x, q, scale, *, group: int,
+                          interpret: bool = False, bm=None):
+    """x [M, Kpad] float -> per-row int8 acts + in-VMEM int8 weight requant
+    -> int8 MXU contraction (see _int4_kernel_w8a8p). Same split-half
+    packed operands as _int4_matmul_2d; scale rows [0:half/g] are the lo
+    half, [half/g:] the hi half (quant._quantize_leaf_int4 layout)."""
+    M, Kpad = x.shape
+    half, N = q.shape
+    assert Kpad == 2 * half, (x.shape, q.shape)
+    xq, xs = quantize_act_int8(x)
+    # per-column max group scale + normalized ratios (computed per call —
+    # scales are ~1/16 of the packed bytes, a ~1 ms full-model read)
+    smax = jnp.maximum(jnp.max(scale, axis=0, keepdims=True), 1e-30)
+    r = (scale * (15.875 / smax)).astype(jnp.float32)
+    cs = (smax / 15.875).astype(jnp.float32)  # [1, N]
+
+    BK = next(
+        b for b in (1024, 512, 256)
+        if half % b == 0 and b // group >= 8
+    )
+    BN = min(1024, -(-N // 128) * 128)
+    BM = min(bm or 512, -(-M // 16) * 16)
+    Mpad = -(-M // BM) * BM
+    if Mpad != M:
+        xq = jnp.pad(xq, ((0, Mpad - M), (0, 0)))
+        xs = jnp.pad(xs, ((0, Mpad - M), (0, 0)))
+
+    nm, nn, nk = Mpad // BM, -(-N // BN), half // BK
+    sg = BK // group
+    out = pl.pallas_call(
+        functools.partial(_int4_kernel_w8a8p, group=group, nk=nk),
+        grid=(nm, nn, nk),
+        in_specs=[
+            pl.BlockSpec((BM, BK), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),           # xq low half
+            pl.BlockSpec((BM, BK), lambda i, j, k: (i, k + nk),
+                         memory_space=pltpu.VMEM),           # xq high half
+            pl.BlockSpec((BK, BN), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),           # packed weight
+            pl.BlockSpec((sg, BN), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),           # lo ratios
+            pl.BlockSpec((sg, BN), lambda i, j, k: (k + nk, j),
+                         memory_space=pltpu.VMEM),           # hi ratios
+            pl.BlockSpec((BM, 1), lambda i, j, k: (i, 0),
+                         memory_space=pltpu.VMEM),           # act row scales
+            pl.BlockSpec((1, BN), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),           # col max scales
+        ],
+        out_specs=pl.BlockSpec((BM, BN), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mpad, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((BM, BN), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mpad * Kpad * N,
+            bytes_accessed=half * N + Mpad * Kpad + Mpad * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xq, xq, q, r, r, xs, cs)
+    return out[:M] if Mpad != M else out
+
+
+def _int4_w8a8p_xla(x, qw: QuantizedWeight):
+    """XLA emulation of the W8A8-prefill math: integer dots via dot_general
+    s8 x s8 -> s32 (exact, matching the kernel bit-for-bit), so the opt-in
+    knob is semantically consistent off-TPU and the interpret-mode kernel
+    test has an exact reference."""
+    half, N = qw.q.shape[-2:]
+    g = qw.group
+    xq, xs = quantize_act_int8(x.reshape(-1, x.shape[-1]))
+    lo, hi = unpack_int4(qw.q)
+    smax = jnp.maximum(jnp.max(qw.scale, axis=0, keepdims=True), 1e-30)
+    r = (qw.scale / smax).astype(jnp.float32)
+    sgh = half // g
+
+    def w8(qh, rh):
+        rexp = jnp.repeat(rh, g, axis=0)
+        return jnp.round(
+            qh.astype(jnp.float32) * rexp * 15.875
+        ).astype(jnp.int8)
+
+    def idot(a, b):
+        return jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+
+    acc = idot(xq[:, :half], w8(lo, r[:sgh])) + idot(
+        xq[:, half:], w8(hi, r[sgh:])
+    )
+    out = acc.astype(jnp.float32) * xs * (smax / 15.875)
+    return out.reshape(*x.shape[:-1], N).astype(x.dtype)
 
 
 def quantize_act_int8(x):
@@ -786,13 +956,21 @@ def int4_matmul(x, qw: QuantizedWeight, interpret: bool = False):
         )
         return out.reshape(*lead, out.shape[-1])
     if not (interpret or _kernel_eligible(x, qw)):
-        # the W4A8 knob stays semantically consistent off-TPU / on
-        # kernel-ineligible shapes: same math via the XLA emulation
+        # the W4A8/W8A8 knobs stay semantically consistent off-TPU / on
+        # kernel-ineligible shapes: same math via the XLA emulations
         if W4A8_DECODE and math.prod(x.shape[:-1]) <= W4A8_MAX_M:
             return _int4_w4a8_xla(x, qw)
+        if W8A8_PREFILL and math.prod(x.shape[:-1]) >= W8A8_PREFILL_MIN_M:
+            return _int4_w8a8p_xla(x, qw)
         return _int4_matmul_xla(x, qw)
     x2 = x.reshape(-1, Kpad)
     M = x2.shape[0]
+    if W8A8_PREFILL and M >= W8A8_PREFILL_MIN_M:
+        out = _int4_matmul_2d_w8a8p(
+            x2, qw.q, qw.scale, group=qw.group, interpret=interpret,
+            bm=W8A8P_BM,
+        )
+        return out.reshape(*lead, out.shape[-1])
     if PREFILL_DENSE_MIN_M is not None and M >= PREFILL_DENSE_MIN_M:
         return _int4_matmul_xla(x, qw)
     bm = None

@@ -9,14 +9,16 @@ vocabulary of codecs/vocab.py):
 
 - 2D rotated box (REC/joint-REC): rotated IoU, mIoU + acc@0.25/0.5,
   joint-type accuracy when <tag>'d.
-- 3D bounding box: 8-corner parse; mean corner distance, center error,
-  and acc@corner-dist thresholds (exact 3D OBB IoU is intentionally not
-  approximated), joint-type accuracy when tagged.
+- 3D bounding box: 8-corner parse; EXACT 3D OBB IoU (convex-polytope
+  intersection, datagen.utils.obb_iou_3d — mIoU3d + acc@0.25/0.5, the
+  paper's metric family for 3D detection) plus mean corner distance,
+  center error, acc@corner-dist proxies, joint-type accuracy when tagged.
 - 3D axis: endpoint L2 + direction angle error (degrees, sign-invariant).
 - status: Opened/Closed string accuracy.
 - detection (all parts, 2D): greedy IoU matching, precision/recall@0.5.
-- detection3d (all parts, 3D 8-corner): greedy matching by mean corner
-  distance, precision/recall at corner-dist <= 0.25.
+- detection3d (all parts, 3D 8-corner): TWO matchings — greedy by exact
+  3D IoU (precision/recall@IoU 0.25) and greedy by mean corner distance
+  (precision/recall at corner-dist <= 0.25, the distance proxy).
 
 Parse-failure convention (uniform across families): a record whose answer
 cannot be parsed counts as a MISS in every threshold-accuracy metric
@@ -42,7 +44,7 @@ from a3vlm_tpu.codecs.triad import (
     parse_rotated_box,
     parse_tagged_answer,
 )
-from a3vlm_tpu.datagen.utils import rotated_box_iou
+from a3vlm_tpu.datagen.utils import obb_iou_3d, rotated_box_iou
 
 
 def classify(question: str) -> str:
@@ -108,9 +110,11 @@ def score_records(records: list[dict]) -> dict:
     def bucket(kind):
         return acc.setdefault(
             kind,
-            {"n": 0, "iou": [], "type_ok": [], "corner_dist": [],
-             "center_err": [], "angle_err": [], "endpoint_err": [],
-             "status_ok": [], "tp": 0, "fp": 0, "fn": 0, "parse_fail": 0},
+            {"n": 0, "iou": [], "iou3d": [], "type_ok": [],
+             "corner_dist": [], "center_err": [], "angle_err": [],
+             "endpoint_err": [], "status_ok": [], "tp": 0, "fp": 0,
+             "fn": 0, "tp_iou": 0, "fp_iou": 0, "fn_iou": 0,
+             "parse_fail": 0},
         )
 
     for r in records:
@@ -162,6 +166,7 @@ def score_records(records: list[dict]) -> dict:
             b["center_err"].append(
                 float(np.linalg.norm(pa.mean(0) - ga.mean(0)))
             )
+            b["iou3d"].append(obb_iou_3d(pa, ga))
             continue
         if kind == "detection3d":
             pb, gb = _boxes3d(ans), _boxes3d(gt)
@@ -182,6 +187,22 @@ def score_records(records: list[dict]) -> dict:
                 else:
                     b["fp"] += 1
             b["fn"] += len(gb) - len(matched)
+            # second matching by EXACT 3D IoU (the paper's criterion)
+            matched = set()
+            for p in pb:
+                best, best_j = 0.0, -1
+                for j, g in enumerate(gb):
+                    if j in matched:
+                        continue
+                    i3 = obb_iou_3d(p, g)
+                    if i3 > best:
+                        best, best_j = i3, j
+                if best >= 0.25:
+                    matched.add(best_j)
+                    b["tp_iou"] += 1
+                else:
+                    b["fp_iou"] += 1
+            b["fn_iou"] += len(gb) - len(matched)
             continue
         if kind == "detection":
             pb, gb = _boxes2d(ans), _boxes2d(gt)
@@ -231,12 +252,20 @@ def score_records(records: list[dict]) -> dict:
             row["acc_corner_at_0p25"] = round(
                 float((cd <= 0.25).sum()) / max(scored, 1), 4
             )
+            i3 = np.asarray(b["iou3d"], dtype=np.float64)
+            row["acc_iou3d_at_25"] = round(
+                float((i3 >= 0.25).sum()) / max(scored, 1), 4
+            )
+            row["acc_iou3d_at_50"] = round(
+                float((i3 >= 0.5).sum()) / max(scored, 1), 4
+            )
             if len(cd):
                 row.update(
                     mean_corner_dist=round(float(cd.mean()), 4),
                     mean_center_err=round(
                         float(np.mean(b["center_err"])), 4
                     ),
+                    miou3d=round(float(i3.mean()), 4),
                 )
         if b["angle_err"] or (kind == "axis" and b["parse_fail"]):
             ae = np.asarray(b["angle_err"], dtype=np.float64)
@@ -263,6 +292,14 @@ def score_records(records: list[dict]) -> dict:
                 "precision" + suffix: round(p, 4),
                 "recall" + suffix: round(r_, 4),
                 "f1" + suffix: round(2 * p * r_ / max(p + r_, 1e-9), 4),
+            })
+        if b["tp_iou"] + b["fp_iou"] + b["fn_iou"] > 0:
+            p = b["tp_iou"] / max(b["tp_iou"] + b["fp_iou"], 1)
+            r_ = b["tp_iou"] / max(b["tp_iou"] + b["fn_iou"], 1)
+            row.update({
+                "precision_iou0p25": round(p, 4),
+                "recall_iou0p25": round(r_, 4),
+                "f1_iou0p25": round(2 * p * r_ / max(p + r_, 1e-9), 4),
             })
         out[kind] = row
     return out

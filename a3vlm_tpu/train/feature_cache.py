@@ -139,13 +139,19 @@ class TowerFeatureCache:
 
 class FeatureCachingLoader:
     """Wrap a DataLoader (with_indices=True) so every multimodal batch
-    carries ``image_feat_q``/``image_feat_ens`` instead of ``image``.
-    Handles grad-accum batches ([accum, bs, ...] leaves) by caching each
-    micro-batch; text-only batches (no "image" key) pass through."""
+    carries ``image_feat_q``/``image_feat_ens`` instead of ``image`` —
+    and, for the 2-images variant (``depth_cache`` given),
+    ``depth_feat_q``/``depth_feat_ens`` instead of ``depth_image`` (both
+    streams run the same frozen towers, llama_ens5_2images.py:479-500, so
+    the cache win doubles). Handles grad-accum batches ([accum, bs, ...]
+    leaves) by caching each micro-batch; text-only batches (no "image"
+    key) pass through."""
 
-    def __init__(self, loader, cache: TowerFeatureCache):
+    def __init__(self, loader, cache: TowerFeatureCache,
+                 depth_cache: Optional[TowerFeatureCache] = None):
         self.loader = loader
         self.cache = cache
+        self.depth_cache = depth_cache
 
     def __len__(self) -> int:
         return len(self.loader)
@@ -153,9 +159,11 @@ class FeatureCachingLoader:
     def close(self):
         self.loader.close()
 
-    def _swap(self, idx, img) -> dict:
-        f = self.cache.get_batch(idx, img)
-        return {"image_feat_q": f["q"], "image_feat_ens": f["ens"]}
+    def _swap(self, idx, img, stream="image") -> dict:
+        cache = self.cache if stream == "image" else self.depth_cache
+        f = cache.get_batch(idx, img)
+        pre = "image_feat_" if stream == "image" else "depth_feat_"
+        return {pre + "q": f["q"], pre + "ens": f["ens"]}
 
     def __iter__(self) -> Iterator[dict]:
         for batch in self.loader:
@@ -168,11 +176,23 @@ class FeatureCachingLoader:
                     )
                 yield batch
                 continue
-            img = batch.pop("image")
-            if img.ndim == 5 and idx.ndim == 2:  # [accum, bs, H, W, 3]
-                per = [self._swap(idx[a], img[a]) for a in range(img.shape[0])]
-                for k in per[0]:
-                    batch[k] = np.stack([p[k] for p in per])
-            else:
-                batch.update(self._swap(idx, img))
+            if "depth_image" in batch and self.depth_cache is None:
+                raise ValueError(
+                    "depth batches need FeatureCachingLoader(depth_cache=...)"
+                    " (2-images variant)"
+                )
+            streams = [("image", batch.pop("image"))]
+            if "depth_image" in batch:
+                streams.append(("depth_image", batch.pop("depth_image")))
+            for key, img in streams:
+                stream = "image" if key == "image" else "depth"
+                if img.ndim == 5 and idx.ndim == 2:  # [accum, bs, H, W, 3]
+                    per = [
+                        self._swap(idx[a], img[a], stream)
+                        for a in range(img.shape[0])
+                    ]
+                    for k in per[0]:
+                        batch[k] = np.stack([p[k] for p in per])
+                else:
+                    batch.update(self._swap(idx, img, stream))
             yield batch

@@ -124,7 +124,9 @@ def build_tasks(tmp: str):
         if "joint_rec_tasks" in f and "ext" not in f and "sep" not in f
         and "3d" not in f
     )
-    return rec, joint
+    rec3d = next(f for f in files if "single_link_3d_rec" in f)
+    joint3d = next(f for f in files if "joint_3d_rec_tasks" in f)
+    return rec, joint, rec3d, joint3d
 
 
 def main():
@@ -133,6 +135,11 @@ def main():
         "--draft_k", type=str, default="8",
         help="comma-separated list; the expensive memorization training "
         "runs once and every K is measured on the same model",
+    )
+    ap.add_argument(
+        "--max_n", type=str, default="4",
+        help="comma-separated longest-suffix n-gram lengths to sweep "
+        "(lookup_decode find_draft max_n); one jit per value",
     )
     ap.add_argument("--max_epochs", type=int, default=400)
     ap.add_argument("--max_gen_len", type=int, default=48)
@@ -154,12 +161,12 @@ def main():
 
     tmp = tempfile.mkdtemp(prefix="spec_acc_")
     tok_dir = build_tokenizer(tmp)
-    rec_file, joint_file = build_tasks(tmp)
+    rec_file, joint_file, rec3d_file, joint3d_file = build_tasks(tmp)
     yaml_cfg = os.path.join(tmp, "data.yaml")
     open(yaml_cfg, "w").write(
         "META:\n" + "".join(
             f" - path: {f}\n   type: image_text\n"
-            for f in (rec_file, joint_file)
+            for f in (rec_file, joint_file, rec3d_file, joint3d_file)
         )
     )
     cfg = ens5_mod.tiny_ens5_config()
@@ -172,12 +179,16 @@ def main():
 
     conv_sep = conv_templates["v1"]().response_end_signal
     ks = [int(k) for k in args.draft_k.split(",")]
+    ns = [int(n) for n in args.max_n.split(",")]
     by_k = {}
     for K in ks:
+      for N in ns:
         per_task = {}
         agg_emitted = agg_rounds = 0
         for name, task_file in (("single_link_rec", rec_file),
-                                ("joint_rec", joint_file)):
+                                ("joint_rec", joint_file),
+                                ("single_link_3d_rec", rec3d_file),
+                                ("joint_3d_rec", joint3d_file)):
             ds = VQADataset(task_file, input_size=cfg.image_size)
             items = [ds[i] for i in range(len(ds))]
             stats = []
@@ -188,7 +199,7 @@ def main():
                     [it["prompt"]], images=np.stack([it["image"]]),
                     max_gen_len=args.max_gen_len, temperature=0.0,
                     additional_stop_symbols=[conv_sep],
-                    draft_k=K,
+                    draft_k=K, lookup_max_n=N,
                 )[0]
                 s = dict(model._generator.last_spec_stats)
                 vanilla = model.generate(
@@ -209,10 +220,11 @@ def main():
                     / max(sum(s["verify_rounds"] for s in stats), 1), 3
                 ),
             }
-            print(f"K={K} {name}: {per_task[name]}", flush=True)
+            print(f"K={K} n={N} {name}: {per_task[name]}", flush=True)
 
         out = {
             "draft_k": K,
+            "max_n": N,
             "per_task": per_task,
             "emitted": agg_emitted,
             "verify_rounds": agg_rounds,
@@ -226,11 +238,12 @@ def main():
             out["implied_7b_decode_speedup"] = round(
                 out["tokens_per_round"] / args.verify_overhead, 3
             )
-        by_k[K] = out
+        by_k[(K, N)] = out
         print(json.dumps(out), flush=True)
-    if len(ks) > 1:
+    if len(ks) > 1 or len(ns) > 1:
         print(json.dumps({
-            k: v["tokens_per_round"] for k, v in by_k.items()
+            f"K{k}_n{n}": v["tokens_per_round"]
+            for (k, n), v in by_k.items()
         }))
 
 

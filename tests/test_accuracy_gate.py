@@ -59,7 +59,9 @@ def task_files(tmp_path_factory):
         if "joint_rec_tasks" in f and "ext" not in f and "sep" not in f
         and "3d" not in f
     )
-    return tmp, rec_file, joint_file
+    rec3d_file = next(f for f in files if "single_link_3d_rec" in f)
+    joint3d_file = next(f for f in files if "joint_3d_rec_tasks" in f)
+    return tmp, rec_file, joint_file, rec3d_file, joint3d_file
 
 
 def _train_to_memorization(model, yaml_cfg, max_epochs=400):
@@ -165,17 +167,20 @@ def _score(model, task_file, input_size, with_tag):
     return ious, types_ok
 
 
-def test_closed_loop_triad_accuracy(task_files, tiny_tokenizer_dir):
+@pytest.fixture(scope="module")
+def memorized_model(task_files, tiny_tokenizer_dir):
+    """One tiny ens5 trained to memorize BOTH the 2D and the 3D task
+    streams — the 2D and 3D gates then score the same closed loop."""
     from a3vlm_tpu.meta import MetaModel
     from a3vlm_tpu.models import ens5 as ens5_mod
 
-    tmp, rec_file, joint_file = task_files
+    tmp, rec_file, joint_file, rec3d_file, joint3d_file = task_files
     yaml_cfg = tmp / "data.yaml"
     yaml_cfg.write_text(
         "META:\n"
         + "".join(
             f" - path: {f}\n   type: image_text\n"
-            for f in (rec_file, joint_file)
+            for f in (rec_file, joint_file, rec3d_file, joint3d_file)
         )
     )
     cfg = ens5_mod.tiny_ens5_config()
@@ -187,7 +192,12 @@ def test_closed_loop_triad_accuracy(task_files, tiny_tokenizer_dir):
         model_cfg=cfg,
         seed=0,
     )
-    model = _train_to_memorization(model, yaml_cfg)
+    return _train_to_memorization(model, yaml_cfg)
+
+
+def test_closed_loop_triad_accuracy(task_files, memorized_model):
+    model = memorized_model
+    _, rec_file, joint_file, _, _ = task_files
 
     ious, _ = _score(model, rec_file, model.cfg.image_size, with_tag=False)
     assert len(ious) >= 4
@@ -198,3 +208,75 @@ def test_closed_loop_triad_accuracy(task_files, tiny_tokenizer_dir):
     )
     assert np.mean(ious_j) >= 0.6, f"joint_rec IoU {ious_j}"
     assert np.mean(types_ok) == 1.0, "joint type mispredicted"
+
+
+def test_closed_loop_3d_triad_accuracy(task_files, memorized_model):
+    """The product of A3VLM is the 3D (B, A, S) triad
+    (vqa_task_construction.py:441-501) — close the loop on the 3D box
+    (8-corner codec, exact OBB IoU + corner distance) and the 3D axis +
+    joint type, through the SAME datagen -> train -> generate -> parse
+    path the 2D gate runs."""
+    from a3vlm_tpu.codecs.triad import (
+        parse_axis_3d,
+        parse_bbox_3d_eight_points,
+        parse_tagged_answer,
+    )
+    from a3vlm_tpu.data.conversation import conv_templates
+    from a3vlm_tpu.datagen.utils import obb_iou_3d
+    from a3vlm_tpu.eval_affordance import VQADataset
+
+    model = memorized_model
+    _, _, _, rec3d_file, joint3d_file = task_files
+    conv_sep = conv_templates["v1"]().response_end_signal
+
+    def raws_for(task_file):
+        ds = VQADataset(task_file, input_size=model.cfg.image_size)
+        items = [ds[i] for i in range(len(ds))]
+        raws = model.generate(
+            [it["prompt"] for it in items],
+            images=np.stack([it["image"] for it in items]),
+            max_gen_len=72,
+            temperature=0.0,
+            additional_stop_symbols=[conv_sep],
+        )
+        return items, [r.split("###")[0] for r in raws]
+
+    # -- 3D box stream: 8-corner parse, corner distance + exact OBB IoU
+    items, answers = raws_for(rec3d_file)
+    assert len(items) >= 4
+    corner_dists, ious3d = [], []
+    for it, ans in zip(items, answers):
+        pa = parse_bbox_3d_eight_points(ans)
+        ga = parse_bbox_3d_eight_points(it["annotation"])
+        assert ga is not None
+        if pa is None:
+            corner_dists.append(np.inf)
+            ious3d.append(0.0)
+            continue
+        corner_dists.append(
+            float(np.linalg.norm(pa - ga, axis=-1).mean())
+        )
+        ious3d.append(obb_iou_3d(pa, ga))
+    assert np.mean(corner_dists) <= 0.1, f"3d corner dists {corner_dists}"
+    assert np.mean(ious3d) >= 0.5, f"3d box IoU {ious3d}"
+
+    # -- 3D joint stream: tagged joint type + axis endpoints/direction
+    items_j, answers_j = raws_for(joint3d_file)
+    types_ok, angles = [], []
+    for it, ans in zip(items_j, answers_j):
+        _, ptype, ans_s = parse_tagged_answer(ans)
+        _, gtype, gt_s = parse_tagged_answer(it["annotation"])
+        types_ok.append(ptype == gtype)
+        pa, ga = parse_axis_3d(ans_s), parse_axis_3d(gt_s)
+        if pa is None or ga is None:
+            angles.append(180.0)
+            continue
+        dp, dg = pa[1] - pa[0], ga[1] - ga[0]
+        denom = np.linalg.norm(dp) * np.linalg.norm(dg)
+        if denom < 1e-9:
+            angles.append(180.0)
+            continue
+        cos = abs(float(np.dot(dp, dg) / denom))
+        angles.append(math.degrees(math.acos(min(cos, 1.0))))
+    assert np.mean(types_ok) == 1.0, "3d joint type mispredicted"
+    assert np.mean(angles) <= 10.0, f"3d axis angle errors {angles}"

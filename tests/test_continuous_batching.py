@@ -987,3 +987,54 @@ def test_chunked_dispatch_warmup_transparent(tiny_tokenizer):
     )
     warm.warmup(buckets=(16,), groups=(1, 2))
     assert warm.generate(prompts, max_gen_len=6) == plain
+
+
+def test_prefix_cached_admission_mp2_matches_single(devices8,
+                                                    tiny_tokenizer):
+    """Prefix-cached admissions on a (data=4, model=2) mesh (sharded
+    params + pooled cache) reproduce the unsharded prefix-cached outputs
+    — the best serving configuration (KV-prefix reuse) must be exact
+    under TP, not just compile (round-5 dryrun leg's CPU exactness
+    twin)."""
+    import dataclasses
+
+    from a3vlm_tpu.models import ens5
+    from a3vlm_tpu.parallel import create_mesh, shard_params
+
+    tok = tiny_tokenizer
+    cfg = ens5.tiny_ens5_config(vocab_size=_padded_vocab(tok))
+    args = cfg.llama.replace(max_seq_len=256)
+    cfg = dataclasses.replace(cfg, llama=args)
+    params = ens5.init_ens5_params(jax.random.PRNGKey(11), cfg)
+    rng = np.random.default_rng(11)
+    image = rng.uniform(size=(cfg.image_size, cfg.image_size, 3)).astype(
+        np.float32
+    )
+    prompts = ["### Human: status of the door?", "detect parts",
+               "provide the joint type"]
+    max_gen = 5
+
+    ref_cb = ContinuousBatcher(
+        params["llama"], args, tok, slots=2, max_seq_len=256,
+        ens5_params=params, ens5_cfg=cfg, vocab_limit=tok.n_words,
+    )
+    ref = ref_cb.generate(
+        prompts, max_gen_len=max_gen,
+        prefixes=[ref_cb.make_prefix(image=image)] * 3,
+    )
+
+    mesh = create_mesh(2, devices=devices8)
+    sharded_llama = shard_params(
+        params["llama"], mesh, llama.llama_partition_specs(args)
+    )
+    sharded = {**params, "llama": sharded_llama}
+    cb = ContinuousBatcher(
+        sharded_llama, args, tok, slots=2, max_seq_len=256,
+        ens5_params=sharded, ens5_cfg=cfg, vocab_limit=tok.n_words,
+        mesh=mesh,
+    )
+    got = cb.generate(
+        prompts, max_gen_len=max_gen,
+        prefixes=[cb.make_prefix(image=image)] * 3,
+    )
+    assert got == ref

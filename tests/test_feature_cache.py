@@ -194,3 +194,75 @@ def test_finetune_cli_cached_features_trains(tmp_path, tiny_tokenizer_dir):
     assert any(p.name.startswith("epoch") for p in out_dir.iterdir())
     # the disk cache holds one file per dataset item touched
     assert len(list((tmp_path / "fc").glob("feat_*.npz"))) > 0
+
+
+def test_2images_forward_features_bit_identical(tiny):
+    """The 2-images variant accepts cached features for BOTH streams
+    (rgb + depth run the same frozen towers) and matches the raw-image
+    forward bit-for-bit."""
+    from a3vlm_tpu.models import ens5_2images as e2
+
+    cfg, base = tiny
+    params = e2.init_params(jax.random.PRNGKey(0), cfg)
+    rgb = jnp.asarray(_images(2, cfg, seed=1))
+    dep = jnp.asarray(_images(2, cfg, seed=2))
+    rgb_f = ens5.encode_image_features(params, cfg, rgb)
+    dep_f = ens5.encode_image_features(params, cfg, dep)
+    ex = jnp.ones((2, 8), jnp.int32)
+    lg_img = e2.forward(params, cfg, ex, image=rgb, depth_image=dep)
+    lg_feat = e2.forward(
+        params, cfg, ex, image_features=rgb_f, depth_features=dep_f
+    )
+    np.testing.assert_array_equal(np.asarray(lg_img), np.asarray(lg_feat))
+    # mixed sources per stream are legal too
+    lg_mix = e2.forward(
+        params, cfg, ex, image=rgb, depth_features=dep_f
+    )
+    np.testing.assert_array_equal(np.asarray(lg_img), np.asarray(lg_mix))
+    # half-specified streams are rejected
+    with pytest.raises(AssertionError):
+        e2.forward(params, cfg, ex, image=rgb)
+
+
+def test_caching_loader_depth_stream(tiny):
+    """Depth batches swap BOTH image keys through separate caches; a
+    loader without a depth cache rejects them instead of silently
+    training on raw depth pixels."""
+    from a3vlm_tpu.train.feature_cache import (
+        FeatureCachingLoader,
+        TowerFeatureCache,
+    )
+
+    cfg, params = tiny
+    rgb = _images(2, cfg, seed=3)
+    dep = _images(2, cfg, seed=4)
+
+    class FakeLoader:
+        def __len__(self):
+            return 1
+
+        def close(self):
+            pass
+
+        def __iter__(self):
+            yield {
+                "examples": np.ones((2, 8), np.int32),
+                "image": rgb,
+                "depth_image": dep,
+                "_indices": np.arange(2),
+            }
+
+    cache = TowerFeatureCache(params, cfg)
+    dcache = TowerFeatureCache(params, cfg)
+    (b,) = list(FeatureCachingLoader(FakeLoader(), cache, depth_cache=dcache))
+    assert "image" not in b and "depth_image" not in b
+    for pre, img in (("image_feat_", rgb), ("depth_feat_", dep)):
+        want = jax.jit(
+            lambda p, im: ens5.encode_image_features(p, cfg, im)
+        )(params, jnp.asarray(img))
+        np.testing.assert_array_equal(b[pre + "q"], np.asarray(want["q"]))
+        np.testing.assert_array_equal(b[pre + "ens"], np.asarray(want["ens"]))
+    # the rgb and depth namespaces must not collide (same indices)
+    assert cache.computed == 1 and dcache.computed == 1
+    with pytest.raises(ValueError, match="depth_cache"):
+        list(FeatureCachingLoader(FakeLoader(), cache))

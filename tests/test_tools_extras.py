@@ -615,3 +615,113 @@ def test_score_results_detection3d_and_parse_fail_consistency(tmp_path):
     assert ax["acc_axis_at_10deg"] == 0.5
     assert ax["mean_axis_angle_deg"] == 0.0  # degenerate rec excluded
     assert ax["mean_endpoint_err"] == 0.0
+
+
+def _box_corners_3d(center, axes, half):
+    import numpy as np
+
+    out = []
+    for sx in (-1, 1):
+        for sy in (-1, 1):
+            for sz in (-1, 1):
+                out.append(center + axes @ (np.array([sx, sy, sz]) * half))
+    return np.array(out)
+
+
+def test_obb_iou_3d_exact_vs_monte_carlo():
+    """Exact convex-polytope 3D OBB IoU pinned against Monte-Carlo
+    sampling within 1% (the paper's 3D detection metric family is
+    IoU-based; corner-distance stays as a proxy alongside)."""
+    import numpy as np
+
+    from a3vlm_tpu.datagen.utils import _box_halfspaces, obb_iou_3d
+
+    def rand_rot(rng):
+        q = rng.normal(size=4)
+        q /= np.linalg.norm(q)
+        w, x, y, z = q
+        return np.array([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+             2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+             2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x),
+             1 - 2 * (x * x + y * y)],
+        ])
+
+    I = np.eye(3)
+    a = _box_corners_3d(np.zeros(3), I, np.array([0.5, 0.5, 0.5]))
+    assert obb_iou_3d(a, a) == pytest.approx(1.0, abs=1e-9)
+    b = _box_corners_3d(np.array([0.5, 0, 0]), I, np.array([0.5, 0.5, 0.5]))
+    assert obb_iou_3d(a, b) == pytest.approx(1 / 3, abs=1e-9)
+    far = _box_corners_3d(np.full(3, 5.0), I, np.array([0.5, 0.5, 0.5]))
+    assert obb_iou_3d(a, far) == 0.0
+    # corner-order invariance (parsers provide no canonical order)
+    import numpy.random as npr
+
+    perm = np.random.default_rng(1).permutation(8)
+    th = np.pi / 4
+    R = np.array([[np.cos(th), -np.sin(th), 0],
+                  [np.sin(th), np.cos(th), 0], [0, 0, 1]])
+    c = _box_corners_3d(np.zeros(3), R, np.array([0.5, 0.5, 0.5]))
+    assert obb_iou_3d(a[perm], c) == pytest.approx(obb_iou_3d(a, c))
+    # 45-deg z-rotation of a unit cube: analytic octagon overlap
+    assert obb_iou_3d(a, c) == pytest.approx(np.sqrt(2) / 2, abs=1e-9)
+
+    pts = np.random.default_rng(0).uniform(-1.5, 1.5, (400000, 3))
+    for seed in range(6):
+        rng = np.random.default_rng(seed + 10)
+        # elongated extents included — they broke the naive nearest-3
+        # corner adjacency this implementation replaces
+        b1 = _box_corners_3d(rng.uniform(-0.2, 0.2, 3), rand_rot(rng),
+                             rng.uniform(0.1, 0.6, 3))
+        b2 = _box_corners_3d(rng.uniform(-0.2, 0.2, 3), rand_rot(rng),
+                             rng.uniform(0.1, 0.6, 3))
+        exact = obb_iou_3d(b1, b2)
+        A1, c1 = _box_halfspaces(b1)
+        A2, c2 = _box_halfspaces(b2)
+        in1 = (pts @ A1.T <= c1).all(1)
+        in2 = (pts @ A2.T <= c2).all(1)
+        mc = (in1 & in2).sum() / max((in1 | in2).sum(), 1)
+        assert exact == pytest.approx(mc, abs=0.01), (seed, exact, mc)
+
+
+def test_score_results_3d_iou_metrics(tmp_path):
+    """box3d reports exact-IoU metrics; detection3d reports IoU-matched
+    precision/recall alongside the corner-distance proxies."""
+    import numpy as np
+
+    from a3vlm_tpu.tools.score_results import main as score_main
+
+    def fmt(corners):
+        return "[" + ",".join(
+            f"[{x:.2f},{y:.2f},{z:.2f}]" for x, y, z in corners
+        ) + "]"
+
+    I = np.eye(3)
+    g = _box_corners_3d(np.array([0.5, 0.5, 0.5]), I, np.full(3, 0.2))
+    # shifted by one full extent along x: IoU = 0 but corner dist 0.4
+    p_shift = _box_corners_3d(np.array([0.9, 0.5, 0.5]), I, np.full(3, 0.2))
+    records = [
+        {"question": "provide the 3D bounding box", "answer": fmt(g),
+         "format_answer": fmt(g), "annotation": fmt(g), "image": "a",
+         "fail": False},
+        {"question": "provide the 3D bounding box", "answer": fmt(p_shift),
+         "format_answer": fmt(p_shift), "annotation": fmt(g), "image": "a",
+         "fail": False},
+        {"question": "Detect all manipulable object parts and provide "
+         "their 3D bounding boxes.",
+         "answer": fmt(g) + fmt(p_shift), "format_answer": None,
+         "annotation": fmt(g) + fmt(
+             _box_corners_3d(np.full(3, 3.0), I, np.full(3, 0.2))
+         ), "image": "a", "fail": False},
+    ]
+    f = tmp_path / "r.json"
+    f.write_text(json.dumps(records))
+    summary = score_main([str(f)])
+    b3 = summary["box3d"]
+    assert b3["miou3d"] == pytest.approx(0.5, abs=1e-6)
+    assert b3["acc_iou3d_at_50"] == 0.5 and b3["acc_iou3d_at_25"] == 0.5
+    d3 = summary["detection3d"]
+    assert d3["precision_iou0p25"] == 0.5  # 1 of 2 predictions matched
+    assert d3["recall_iou0p25"] == 0.5     # 1 of 2 GT boxes found
