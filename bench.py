@@ -313,7 +313,20 @@ SPEC_ACCEPT_CAPS = SPEC_ACCEPT_CAPS_BY_K[8]
 
 def bench_image_to_triad_full(rounds=3, gen_len=32, prompt_len=32, bits=4,
                               lookup=False, accept_cap=None, draft_k=8,
-                              tower_bits=None):
+                              tower_bits=None, w8a8_prefill=False):
+    from a3vlm_tpu.ops import quant_matmul as _qm
+
+    if w8a8_prefill:
+        # trace-time knob (fresh jits below); restore on exit
+        _qm.W8A8_PREFILL = True
+        try:
+            return bench_image_to_triad_full(
+                rounds=rounds, gen_len=gen_len, prompt_len=prompt_len,
+                bits=bits, lookup=lookup, accept_cap=accept_cap,
+                draft_k=draft_k, tower_bits=tower_bits,
+            )
+        finally:
+            _qm.W8A8_PREFILL = False
     """End-to-end image->triad latency at FULL SCALE: the four full-size
     towers (default Ens5Config = CLIP-L + EVA ViT-g + BLIP-2 Q-Former +
     ConvNeXt-XXL + DINOv2-g, bf16) over a real 448px five-crop, the exact
@@ -1224,6 +1237,13 @@ def main(only=None, watchdog_s: float = 2400.0, full: bool = False):
         lambda: _w4a8(lambda: bench_image_to_triad_full(
             lookup=True, draft_k=8, accept_cap=SPEC_ACCEPT_CAPS_BY_K[8],
             tower_bits=8)))
+    # round-5 best single-chip config: + W8A8 decoder prefill (group
+    # scales folded into int8 weights in VMEM, int8 MXU at 2x bf16 —
+    # prefill 180.5 -> 132.0 ms same-session, scripts/w8a8_prefill_ab.py)
+    run("image_to_triad_p50_ms_best",
+        lambda: _w4a8(lambda: bench_image_to_triad_full(
+            lookup=True, draft_k=8, accept_cap=SPEC_ACCEPT_CAPS_BY_K[8],
+            tower_bits=8, w8a8_prefill=True)))
     # training throughput (the reference's primary workload): full towers
     # frozen + ~1B bf16 decoder, fwd+bwd+AdamW in one jit with remat;
     # the cached leg is the --cache_tower_features steady state (epoch >= 1)

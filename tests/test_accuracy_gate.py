@@ -83,7 +83,9 @@ def _train_to_memorization(model, yaml_cfg, max_epochs=400):
     dataset = FinetuneDialogDataset(
         str(yaml_cfg),
         transform=get_transform("padded_resize", cfg.image_size),
-        max_words=384,
+        # 8-corner 3D box answers are ~141 tokens under the tiny BPE —
+        # max_words must leave them untruncated after the 135 image words
+        max_words=448,
         image_words=model.get_image_words(),
         tokenizer=model.tokenizer,
     )
@@ -235,7 +237,7 @@ def test_closed_loop_3d_triad_accuracy(task_files, memorized_model):
         raws = model.generate(
             [it["prompt"] for it in items],
             images=np.stack([it["image"] for it in items]),
-            max_gen_len=72,
+            max_gen_len=170,  # 8-corner answers are ~141 tiny-BPE tokens
             temperature=0.0,
             additional_stop_symbols=[conv_sep],
         )
