@@ -152,39 +152,65 @@ def _box_halfspaces(corners: np.ndarray):
     """[8, 3] box corners (ANY labeling order) -> (A [6, 3], b [6]) with
     the box = {x : A @ x <= b}, rows unit-norm.
 
-    Axis recovery is order-free: among the 7 vectors from one corner to
-    the others, the shortest is an edge, and greedily taking the shortest
-    vector orthogonal to all previous picks recovers the other two edges
-    (a face diagonal of two orthogonal edges is always longer than either,
-    so it can never be picked before them — NOT true of plain
-    nearest-3-corners, which fails on elongated boxes). Each edge
-    direction contributes the slab between the min/max corner
-    projections; a perfect box IS the intersection of its 3 slabs, so
-    this is exact for codec output and a principled hull for slightly
-    non-orthogonal (rounded) model output."""
+    Axis recovery is order-free and picks the MINIMUM-VOLUME of two
+    complementary candidates (any slab set containing all 8 corners has
+    volume >= the box volume, with equality exactly at the true axes —
+    so min-volume provably recovers a true box):
+
+    - PCA: for a true box the centered corners are {+-a1 +-a2 +-a3}, so
+      their covariance is R^T diag(|a_i|^2) R and the eigenvectors ARE
+      the axes — for any corner labeling, and CONTINUOUSLY in corner
+      perturbations (matters for the perspective-projected 8-corner
+      answers, which are warped hexahedra: pred~=gt must keep IoU~=1,
+      which discrete neighbor-pick rules break). Fails on eigen-ties
+      (cube-like extents: isotropic covariance hides the rotation).
+    - Greedy orthogonal edges: shortest corner-0 vector is an edge; the
+      shortest vector orthogonal to picks recovers the rest (a face
+      diagonal of two orthogonal edges is longer than either). Exact on
+      cubes; fails on elongated boxes (a short-edge face diagonal can
+      undercut the long edge). Exactly PCA's complement."""
     c = np.asarray(corners, np.float64)
-    p0 = c[0]
-    vecs = c[1:] - p0
-    lens = np.linalg.norm(vecs, axis=1)
-    order = np.argsort(lens)
+
+    def slabs(dirs):
+        A, b = [], []
+        for e in dirs:
+            proj = c @ e
+            if proj.max() - proj.min() < 1e-12:
+                continue  # flat direction: no bounded slab
+            A.append(e)
+            b.append(proj.max())
+            A.append(-e)
+            b.append(-proj.min())
+        return np.asarray(A), np.asarray(b)
+
+    cands = []
+    centered = c - c.mean(0)
+    try:
+        _, vecs = np.linalg.eigh(centered.T @ centered)
+        cands.append(slabs(vecs.T))
+    except np.linalg.LinAlgError:
+        pass
+    vecs7 = c[1:] - c[0]
+    lens = np.linalg.norm(vecs7, axis=1)
     picked = []
     for cos_tol in (0.2, 0.5):  # relax for badly skewed model output
-        for j in order:
+        for j in np.argsort(lens):
             if lens[j] < 1e-12 or len(picked) == 3:
                 continue
-            u = vecs[j] / lens[j]
+            u = vecs7[j] / lens[j]
             if all(abs(np.dot(u, e)) < cos_tol for e in picked):
                 picked.append(u)
         if len(picked) == 3:
             break
-    A, b = [], []
-    for e in picked:
-        proj = c @ e
-        A.append(e)
-        b.append(proj.max())
-        A.append(-e)
-        b.append(-proj.min())
-    return np.asarray(A), np.asarray(b)
+    if picked:
+        cands.append(slabs(picked))
+    full = [(A, b) for A, b in cands if len(A) == 6]
+    if not full:
+        return cands[0] if cands else (np.zeros((0, 3)), np.zeros((0,)))
+    if len(full) == 1:
+        return full[0]
+    vols = [_halfspace_volume(A, b) for A, b in full]
+    return full[int(np.argmin(vols))]
 
 
 def _halfspace_volume(A: np.ndarray, b: np.ndarray) -> float:

@@ -61,7 +61,8 @@ def _verify_step(params, args, cache, tokens_k, pos):
 @functools.partial(
     jax.jit,
     static_argnames=("args", "gen_len", "draft_k", "vocab_limit",
-                     "stop_token", "temperature", "top_p", "accept_cap"),
+                     "stop_token", "temperature", "top_p", "accept_cap",
+                     "max_n"),
     donate_argnames=("cache",),
 )
 def lookup_generate(
