@@ -687,11 +687,13 @@ def bench_continuous_batching(n=48, slots=16):
     tok = _SynthTok(table)
     total_gen = sum(glens)
 
-    # steps_per_dispatch=8: the per-step host loop pays ~3 relay round
-    # trips (~27 ms each) per ~10 ms compute step — measured 0.46x static
-    # waves at T=1 on-chip; the in-jit chunk amortizes it 8x
+    # steps_per_dispatch=24: the per-step host loop pays ~3 relay round
+    # trips (~27 ms each) per ~10 ms compute step — 0.46x static at T=1;
+    # the round-5 on-chip sweep (scripts/cb_dispatch_sweep.py) measured
+    # T=24 ~17% over T=8 (323/318/385 tok/s at T=8/16/24): the dispatch
+    # floor still dominates the ~T/2-per-completion wasted slot-steps
     cb = ContinuousBatcher(params, args, tok, slots=slots, kv_cache_bits=8,
-                           steps_per_dispatch=8)
+                           steps_per_dispatch=24)
     # pre-compile every admission/step shape: remote compiles are 20-120 s
     # each and must not land inside the timed loop
     cb.warmup(buckets=(128, 256))
