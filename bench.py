@@ -299,14 +299,18 @@ def bench_vit_encode(batch=16, rounds=5, attn_kernel=True):
 # by scripts/spec_acceptance.py (datagen -> memorization-trained tiny ens5
 # -> production eval questions, exactness asserted per answer). Emitted
 # tokens per verify round by draft_k: {2: 1.347, 3: 1.483, 4: 1.518,
-# 8: 1.555}. Round count is a function of content + drafting rule only,
-# so it transfers across model scale; these cap patterns replay the
-# measured mean accepted/round inside the full-scale bench loop.
+# 8: 1.555} on the round-4 2D-stream corpus; the round-5 harness adds the
+# 3D task streams (8-corner box + axis answers) and measures K=8 at
+# 1.428 — the K=8 caps replay that more conservative, eval-representative
+# figure (max_n sweep 2/4/6/8 was FLAT: acceptance is content-bound).
+# Round count is a function of content + drafting rule only, so it
+# transfers across model scale; these cap patterns replay the measured
+# mean accepted/round inside the full-scale bench loop.
 SPEC_ACCEPT_CAPS_BY_K = {
     2: (1, 0, 0),                    # 0.333 ~= measured 0.347
     3: (1, 0),                       # 0.500 ~= measured 0.483
     4: (1, 0),                       # 0.500 ~= measured 0.518
-    8: (1, 1, 0, 1, 0, 1, 0, 0, 1),  # 0.556 ~= measured 0.555
+    8: (1, 0, 1, 0, 0, 1, 0),        # 0.429 ~= measured 0.428 (round 5)
 }
 SPEC_ACCEPT_CAPS = SPEC_ACCEPT_CAPS_BY_K[8]
 
