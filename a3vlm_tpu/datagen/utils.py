@@ -244,10 +244,14 @@ def _halfspace_volume(A: np.ndarray, b: np.ndarray) -> float:
     vol = 0.0
     for i in range(m):
         # duplicate / near-duplicate half-spaces (e.g. the two boxes of a
-        # self-IoU, or coplanar pred/GT faces) must contribute ONE face
+        # self-IoU, or coplanar pred/GT faces) must contribute ONE face.
+        # The dedup window must be <= the on-face window below: a pair
+        # offset inside (face_tol, dedup_tol) would drop the tighter
+        # plane while the looser one finds no on-face vertices, losing
+        # the face from the divergence sum entirely
         if any(
             np.dot(A[i], A[j]) > 1.0 - 1e-9
-            and abs(b[i] - b[j]) < 200 * tol
+            and abs(b[i] - b[j]) < 50 * tol
             for j in range(i)
         ):
             continue
@@ -273,20 +277,33 @@ def _halfspace_volume(A: np.ndarray, b: np.ndarray) -> float:
     return max(vol / 3.0, 0.0)
 
 
+def obb_prep(corners: np.ndarray):
+    """Per-box precomputation for repeated IoU evaluation: (A, b, volume),
+    or None for degenerate boxes. Matching loops (detection3d scoring)
+    evaluate O(P*G) pairs — the half-spaces and own-volume are per-box
+    invariants and must not be recomputed per pair."""
+    A, b = _box_halfspaces(corners)
+    if len(A) < 6:
+        return None
+    v = _halfspace_volume(A, b)
+    return (A, b, v) if v > 0.0 else None
+
+
+def obb_iou_3d_prepped(pa, pb) -> float:
+    """IoU from two obb_prep results (either may be None -> 0.0)."""
+    if pa is None or pb is None:
+        return 0.0
+    Aa, ba, va = pa
+    Ab, bb, vb = pb
+    vi = _halfspace_volume(
+        np.concatenate([Aa, Ab]), np.concatenate([ba, bb])
+    )
+    return float(vi / max(va + vb - vi, 1e-12))
+
+
 def obb_iou_3d(corners_a: np.ndarray, corners_b: np.ndarray) -> float:
     """Exact IoU of two 3D oriented boxes given as [8, 3] corner arrays
     (any corner order). Intersection is the 12-half-space polytope; all
     three volumes run through the same exact vertex-enumeration routine.
     Validated against Monte-Carlo sampling to <1% (tests)."""
-    Aa, ba = _box_halfspaces(corners_a)
-    Ab, bb = _box_halfspaces(corners_b)
-    if len(Aa) < 6 or len(Ab) < 6:
-        return 0.0
-    va = _halfspace_volume(Aa, ba)
-    vb = _halfspace_volume(Ab, bb)
-    if va <= 0.0 or vb <= 0.0:
-        return 0.0
-    vi = _halfspace_volume(
-        np.concatenate([Aa, Ab]), np.concatenate([ba, bb])
-    )
-    return float(vi / max(va + vb - vi, 1e-12))
+    return obb_iou_3d_prepped(obb_prep(corners_a), obb_prep(corners_b))

@@ -371,14 +371,17 @@ def _int4_w8a8p_xla(x, qw: QuantizedWeight):
     xq, xs = quantize_act_int8(x.reshape(-1, x.shape[-1]))
     lo, hi = unpack_int4(qw.q)
     smax = jnp.maximum(jnp.max(qw.scale, axis=0, keepdims=True), 1e-30)
-    r = (qw.scale / smax).astype(jnp.float32)
+    # SAME f32 association as the kernel's pre-multiplied ratio (scale *
+    # (15.875/smax)) — computing (q*(s/smax))*15.875 instead rounds
+    # half-step values differently (observed: 62/262k w8 entries) and
+    # breaks the bit-equality contract the tests and the off-TPU
+    # fallback rest on
+    r = (qw.scale * (15.875 / smax)).astype(jnp.float32)
     sgh = half // g
 
     def w8(qh, rh):
         rexp = jnp.repeat(rh, g, axis=0)
-        return jnp.round(
-            qh.astype(jnp.float32) * rexp * 15.875
-        ).astype(jnp.int8)
+        return jnp.round(qh.astype(jnp.float32) * rexp).astype(jnp.int8)
 
     def idot(a, b):
         return jax.lax.dot_general(

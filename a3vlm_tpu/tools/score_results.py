@@ -187,14 +187,19 @@ def score_records(records: list[dict]) -> dict:
                 else:
                     b["fp"] += 1
             b["fn"] += len(gb) - len(matched)
-            # second matching by EXACT 3D IoU (the paper's criterion)
+            # second matching by EXACT 3D IoU (the paper's criterion);
+            # half-spaces + own volumes prepped once per box, not per pair
+            from a3vlm_tpu.datagen.utils import obb_iou_3d_prepped, obb_prep
+
+            pps = [obb_prep(p) for p in pb]
+            gps = [obb_prep(g) for g in gb]
             matched = set()
-            for p in pb:
+            for pp in pps:
                 best, best_j = 0.0, -1
-                for j, g in enumerate(gb):
+                for j, gp in enumerate(gps):
                     if j in matched:
                         continue
-                    i3 = obb_iou_3d(p, g)
+                    i3 = obb_iou_3d_prepped(pp, gp)
                     if i3 > best:
                         best, best_j = i3, j
                 if best >= 0.25:

@@ -318,25 +318,28 @@ SPEC_ACCEPT_CAPS = SPEC_ACCEPT_CAPS_BY_K[8]
 def bench_image_to_triad_full(rounds=3, gen_len=32, prompt_len=32, bits=4,
                               lookup=False, accept_cap=None, draft_k=8,
                               tower_bits=None, w8a8_prefill=False):
-    from a3vlm_tpu.ops import quant_matmul as _qm
-
-    if w8a8_prefill:
-        # trace-time knob (fresh jits below); restore on exit
-        _qm.W8A8_PREFILL = True
-        try:
-            return bench_image_to_triad_full(
-                rounds=rounds, gen_len=gen_len, prompt_len=prompt_len,
-                bits=bits, lookup=lookup, accept_cap=accept_cap,
-                draft_k=draft_k, tower_bits=tower_bits,
-            )
-        finally:
-            _qm.W8A8_PREFILL = False
     """End-to-end image->triad latency at FULL SCALE: the four full-size
     towers (default Ens5Config = CLIP-L + EVA ViT-g + BLIP-2 Q-Former +
     ConvNeXt-XXL + DINOv2-g, bf16) over a real 448px five-crop, the exact
     (32+257+2)x5 = 1455 image-word layout, and a full-depth int4 7B decoder
     (the released A3VLM is the 7B-class variant, internlm_ems5_light.py:42).
-    Whole query in one jit."""
+    Whole query in one jit. ``w8a8_prefill`` flips the trace-time knob
+    around the leg (fresh jits below; restored on exit)."""
+    from a3vlm_tpu.ops import quant_matmul as _qm
+
+    _qm.W8A8_PREFILL = bool(w8a8_prefill)
+    try:
+        return _bench_image_to_triad_full_body(
+            rounds, gen_len, prompt_len, bits, lookup, accept_cap,
+            draft_k, tower_bits,
+        )
+    finally:
+        _qm.W8A8_PREFILL = False
+
+
+def _bench_image_to_triad_full_body(rounds, gen_len, prompt_len, bits,
+                                    lookup, accept_cap, draft_k,
+                                    tower_bits):
     from a3vlm_tpu.models import ens5, llama
 
     largs = _7b_args()

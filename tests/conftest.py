@@ -76,3 +76,21 @@ def tiny_tokenizer(tiny_tokenizer_dir):
     from a3vlm_tpu.tokenizer import Tokenizer
 
     return Tokenizer(tiny_tokenizer_dir)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _drop_jax_caches_between_modules():
+    """Free each module's compiled executables when it finishes. The suite
+    grew enough (round 5: 3D accuracy-gate training, CB TP exactness
+    twins, W8A8 kernels) that XLA:CPU began segfaulting in late-module
+    COMPILES under the accumulated jit-cache footprint (3/3 full-suite
+    runs, 2 distinct old tests, always inside backend_compile; every
+    crashing test passes standalone). Dropping caches per module keeps
+    peak state bounded; recompiles only cost time."""
+    yield
+    import gc
+
+    import jax
+
+    jax.clear_caches()
+    gc.collect()

@@ -65,15 +65,19 @@ def test_w8a8p_requant_stays_in_int8_range():
     from a3vlm_tpu.quant import unpack_int4
 
     lo, hi = unpack_int4(qw.q)
-    smax = np.maximum(np.asarray(qw.scale).max(0, keepdims=True), 1e-30)
-    r = np.asarray(qw.scale) / smax
+    smax = np.maximum(
+        np.asarray(qw.scale, np.float32).max(0, keepdims=True), 1e-30
+    )
+    # the production association: scale * (15.875/smax) in f32
+    r = (np.asarray(qw.scale, np.float32)
+         * (np.float32(15.875) / smax)).astype(np.float32)
     g = qw.group
     half = qw.q.shape[-2]
     w8lo = np.round(
-        np.asarray(lo, np.float32) * np.repeat(r[: half // g], g, 0) * 15.875
+        np.asarray(lo, np.float32) * np.repeat(r[: half // g], g, 0)
     )
     w8hi = np.round(
-        np.asarray(hi, np.float32) * np.repeat(r[half // g:], g, 0) * 15.875
+        np.asarray(hi, np.float32) * np.repeat(r[half // g:], g, 0)
     )
     assert np.abs(w8lo).max() <= 127 and np.abs(w8hi).max() <= 127
 
