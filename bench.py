@@ -790,7 +790,7 @@ def bench_continuous_batching_prefix(objects=2, q_per_obj=12, slots=4,
     total_gen = n * gen_len
 
     cb = ContinuousBatcher(
-        params["llama"], largs, tok, slots=slots, steps_per_dispatch=8,
+        params["llama"], largs, tok, slots=slots, steps_per_dispatch=24,
         kv_cache_bits=8, ens5_params=params, ens5_cfg=cfg,
         vocab_limit=32000,
     )
