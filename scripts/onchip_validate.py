@@ -314,6 +314,35 @@ def leg_w4a8(K, N, label):
     check(f"w4a8_kernel_vs_emulation_{label}", _err(got, ref), 1e-3)
 
 
+def leg_w8a8p(M, K, N, label):
+    """Round-5 W8A8-prefill kernel on real TPU vs its XLA integer
+    emulation (CPU tests pin bit-equality in interpret mode only;
+    Mosaic's f32 round + int8 cast and the int8 MXU dot need a real-chip
+    check). Grid-stable activations (integer grid, row absmax 127) so the
+    activation quantize cannot flip between the two paths; the integer
+    accumulations are then exact on both sides and only the f32 rank-1
+    epilogue differs (elementwise — tight tolerance)."""
+    from a3vlm_tpu.ops import quant_matmul as qm
+    from a3vlm_tpu.quant import _quantize_leaf_int4
+
+    rng = np.random.default_rng(11)
+    w = (rng.normal(size=(K, N)) * 0.02).astype(np.float32)
+    qw = _quantize_leaf_int4(w)
+    x = rng.integers(-127, 128, size=(M, K)).astype(np.float32)
+    x[:, 0] = 127.0
+    x = jnp.asarray(x)
+    qm.W8A8_PREFILL = True
+    try:
+        got = qm.int4_matmul(x, qw)  # public route -> Mosaic kernel
+    finally:
+        qm.W8A8_PREFILL = False
+    Kpad = qw.q.shape[-2] * 2
+    xp = jnp.pad(x, ((0, 0), (0, Kpad - K))) if Kpad != K else x
+    ref = qm._int4_w8a8p_xla(xp, qw)
+    # scale-aware tolerance: outputs are O(K * 127 * w_std)
+    check(f"w8a8p_kernel_vs_emulation_{label}", _err(got, ref), 5e-2)
+
+
 def main():
     dev = jax.devices()[0]
     print(f"device: {dev} platform={dev.platform}", flush=True)
@@ -334,6 +363,8 @@ def main():
     leg_verify_attention(1536, "s1536")
     leg_w4a8(4096, 11008, "k4096_n11008")
     leg_w4a8(11008, 4096, "k11008_n4096")
+    leg_w8a8p(1487, 4096, 11008, "m1487_k4096_n11008")
+    leg_w8a8p(300, 11008, 4096, "m300_k11008_n4096")
 
     failed = [r for r in RESULTS if not r[1]]
     print(f"{len(RESULTS) - len(failed)}/{len(RESULTS)} legs passed",
