@@ -44,6 +44,9 @@ def rotated_box_iou(box1, box2) -> float:
         inter = cv2.contourArea(region)
     a1 = box1[2] * box1[3]
     a2 = box2[2] * box2[3]
+    # cv2's float32 intersection can exceed either area by rounding at
+    # large coordinates (observed IoU 1.0004) — clamp the invariant
+    inter = min(inter, a1, a2)
     union = a1 + a2 - inter
     return inter / union if union > 0 else 0.0
 
@@ -89,6 +92,10 @@ def intersect_line_bbox(origin, direction, bbox):
     origin = np.asarray(origin, float)
     direction = np.asarray(direction, float)
 
+    if not np.any(direction != 0):
+        # degenerate (zero) direction: no line to intersect — the
+        # unguarded slab test returns [nan, nan] for inside origins
+        return None
     tmin, tmax = float("-inf"), float("inf")
     bounds = [(x_min, x_max), (y_min, y_max)]
     for i in range(2):
@@ -108,15 +115,20 @@ def intersect_line_bbox(origin, direction, bbox):
 
 
 def convert_depth_to_color(depth_img, maintain_ratio=False):
-    """uint16 depth -> JET colorized uint8 (utils.py:130-142)."""
+    """uint16 depth -> JET colorized uint8 (utils.py:130-142).
+    ``maintain_ratio``: fixed 2000-unit window above the min depth
+    (utils.py:133-134) so colors stay comparable across frames."""
     import cv2
 
     d = depth_img.astype(np.float32)
     valid = d > 0
     if valid.any():
-        dmin, dmax = d[valid].min(), d[valid].max()
+        dmin = d[valid].min()
+        dmax = dmin + 2000.0 if maintain_ratio else d[valid].max()
         norm = np.zeros_like(d)
-        norm[valid] = (d[valid] - dmin) / (dmax - dmin + 1e-6)
+        norm[valid] = np.clip(
+            (d[valid] - dmin) / (dmax - dmin + 1e-6), 0.0, 1.0
+        )
     else:
         norm = np.zeros_like(d)
     u8 = (norm * 255).astype(np.uint8)
@@ -149,8 +161,17 @@ def read_ply_ascii(path: str) -> np.ndarray:
 
 
 def _box_halfspaces(corners: np.ndarray):
-    """[8, 3] box corners (ANY labeling order) -> (A [6, 3], b [6]) with
-    the box = {x : A @ x <= b}, rows unit-norm.
+    """(A, b) of _box_halfspaces_vol — kept for callers/tests that only
+    need the half-spaces."""
+    A, b, _ = _box_halfspaces_vol(corners)
+    return A, b
+
+
+def _box_halfspaces_vol(corners: np.ndarray):
+    """[8, 3] box corners (ANY labeling order) -> (A [6, 3], b [6], vol)
+    with the box = {x : A @ x <= b}, rows unit-norm; ``vol`` is the slab
+    polytope's volume when it was computed during candidate selection
+    (None when only a degenerate candidate exists).
 
     Axis recovery is order-free and picks the MINIMUM-VOLUME of two
     complementary candidates (any slab set containing all 8 corners has
@@ -204,13 +225,28 @@ def _box_halfspaces(corners: np.ndarray):
             break
     if picked:
         cands.append(slabs(picked))
+    # cands[0] is PCA whenever eigh succeeded (the continuous candidate)
     full = [(A, b) for A, b in cands if len(A) == 6]
     if not full:
-        return cands[0] if cands else (np.zeros((0, 3)), np.zeros((0,)))
+        A, b = cands[0] if cands else (np.zeros((0, 3)), np.zeros((0,)))
+        return A, b, None
     if len(full) == 1:
-        return full[0]
+        A, b = full[0]
+        return A, b, _halfspace_volume(A, b)
     vols = [_halfspace_volume(A, b) for A, b in full]
-    return full[int(np.argmin(vols))]
+    # PCA-PREFERRING rule: a hard argmin flips between the candidates
+    # under ~1e-4 corner perturbations on warped hexahedra (observed:
+    # IoU 0.76-0.88 for near-identical inputs — the GREEDY edge pick is
+    # itself discontinuous, so its volume can jump across a twin pair
+    # and drag the argmin with it). Take the greedy set only when it is
+    # SUBSTANTIALLY tighter (>10%) — the case it exists for is the PCA
+    # eigen-tie on cube-like true boxes, where the PCA slab is the AABB
+    # of a rotated cube (~2x the volume), far beyond the margin. Inside
+    # the margin PCA wins deterministically, so both sides of a
+    # near-identical pair land on the same (continuous) axes.
+    lo = 1 if vols[1] < 0.9 * vols[0] else 0
+    A, b = full[lo]
+    return A, b, vols[lo]
 
 
 def _halfspace_volume(A: np.ndarray, b: np.ndarray) -> float:
@@ -245,17 +281,22 @@ def _halfspace_volume(A: np.ndarray, b: np.ndarray) -> float:
     for i in range(m):
         # duplicate / near-duplicate half-spaces (e.g. the two boxes of a
         # self-IoU, or coplanar pred/GT faces) must contribute ONE face.
-        # The dedup window must be <= the on-face window below: a pair
-        # offset inside (face_tol, dedup_tol) would drop the tighter
-        # plane while the looser one finds no on-face vertices, losing
-        # the face from the divergence sum entirely
+        # The dedup window must EQUAL the on-face window: smaller and a
+        # pair offset inside (dedup, face) double-counts the face (both
+        # planes see the binding plane's vertices); larger and the
+        # binding plane is dropped while the looser one finds no on-face
+        # vertices, losing the face entirely. At equality, a non-deduped
+        # pair's looser plane sits >= face_tol from the vertices and
+        # collects nothing; a deduped pair's survivor collects the face
+        # whichever of the two it is (the pair is within face_tol).
+        face_tol = 100 * tol
         if any(
             np.dot(A[i], A[j]) > 1.0 - 1e-9
-            and abs(b[i] - b[j]) < 50 * tol
+            and abs(b[i] - b[j]) < face_tol
             for j in range(i)
         ):
             continue
-        on = V[np.abs(V @ A[i] - b[i]) < 100 * tol]
+        on = V[np.abs(V @ A[i] - b[i]) < face_tol]
         if len(on) < 3:
             continue
         n = A[i]  # outward unit normal
@@ -282,10 +323,11 @@ def obb_prep(corners: np.ndarray):
     or None for degenerate boxes. Matching loops (detection3d scoring)
     evaluate O(P*G) pairs — the half-spaces and own-volume are per-box
     invariants and must not be recomputed per pair."""
-    A, b = _box_halfspaces(corners)
+    A, b, v = _box_halfspaces_vol(corners)
     if len(A) < 6:
         return None
-    v = _halfspace_volume(A, b)
+    if v is None:
+        v = _halfspace_volume(A, b)
     return (A, b, v) if v > 0.0 else None
 
 

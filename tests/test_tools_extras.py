@@ -725,3 +725,26 @@ def test_score_results_3d_iou_metrics(tmp_path):
     d3 = summary["detection3d"]
     assert d3["precision_iou0p25"] == 0.5  # 1 of 2 predictions matched
     assert d3["recall_iou0p25"] == 0.5     # 1 of 2 GT boxes found
+
+
+def test_obb_iou_3d_continuity_on_warped_hexahedra():
+    """Near-identical warped 8-corner sets (the perspective-projected 3D
+    answers are hexahedra, not exact boxes) must keep IoU ~= 1: the axis
+    recovery prefers the continuous PCA candidate unless the greedy edge
+    set is substantially (>10%) tighter, so a 1e-4 corner perturbation
+    cannot flip the chosen axes (a hard argmin measured IoU as low as
+    0.76 on such twins)."""
+    import numpy as np
+
+    from a3vlm_tpu.datagen.utils import obb_iou_3d
+
+    worst = 1.0
+    for s in range(60):
+        r = np.random.default_rng(s)
+        base = _box_corners_3d(
+            r.uniform(-0.2, 0.2, 3), np.eye(3), r.uniform(0.2, 0.6, 3)
+        )
+        warp = base + r.normal(size=base.shape) * 0.03
+        twin = warp + 1e-4 * r.normal(size=base.shape)
+        worst = min(worst, obb_iou_3d(warp, twin))
+    assert worst >= 0.97, worst
